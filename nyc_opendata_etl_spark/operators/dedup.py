@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash group-by), MinHash+LSH banding, SimHash, and n-gram Jaccard
+near-dup detection. Everything is *deterministic by construction* —
+hashes derive from md5 of content (never a seeded RNG), so results are
+reproducible across runs, engines, and cluster sizes, and the DuckDB
+oracle can mirror them exactly.
+
+Scale design notes:
+- exact dedup: one hash-aggregate shuffle on the content hash; the
+  map-side partial combine collapses most duplicates before the wire.
+- MinHash/LSH: per-doc signature is computed in-stage (explode-free,
+  higher-order functions over the shingle array); the only shuffle is
+  the band-bucket self-join, whose key (band_idx, band_hash) is exactly
+  the LSH bucketing — no O(n²) candidate explosion.
+- SimHash: 64-bit signature in-stage, then a bucket join on rotated
+  prefixes for Hamming-radius search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.hashing import md5_long
+from nyc_opendata_etl_spark.operators.text import TOKEN_SPLIT_RE
+
+
+def canon_text(col: Column | str) -> Column:
+    """Whitespace-canonicalized lowercase text (dedup canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one surviving id + duplicate count
+    per distinct canonical text."""
+    return (
+        df.select(F.col(id_col), md5_long(canon_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles ("w1 w2 w3") over canonical tokens;
+    texts shorter than n words → empty array."""
+    toks = F.split(canon_text(col), " ")
+    num = F.size(toks) - (n - 1)
+    gen = F.transform(
+        F.sequence(F.lit(0), num - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(num > 0, gen).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Deterministic MinHash signatures, one column per "permutation".
+
+    Shape chosen for scale: explode distinct shingles → ONE hash
+    aggregate computing ``min(xxhash64(shingle, i))`` for every i —
+    map-side partial mins mean the shingle fan-out never crosses the
+    wire unreduced, and everything is plain codegen'd expressions (no
+    nested higher-order functions, which Spark evaluates interpreted).
+    xxhash64 (native, seeded by the extra literal column) rather than an
+    md5 fold: MinHash needs determinism + mixing, not reference parity.
+
+    Returns (id, m0..m{n-1}); docs with no shingles are absent.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col))).alias("shingle"),
+    )
+    return sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    The signature is split into ``bands`` bands of ``num_hashes//bands``
+    values; each band hashes to one bucket key and docs sharing a bucket
+    become candidates (id_a < id_b, distinct). The band-bucket self-join
+    is the only pairwise step — the shuffle key (band_idx, band_hash) is
+    uniformly distributed (xxhash64), so no skew and no O(n²) blowup at
+    100 TB.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 64-bit SimHash per document.
+
+    Each canonical token hashes to 64 bits (xxhash64); bit j votes +1/-1
+    on counter j; signature bit j = (counter_j >= 0). Formulated as
+    explode → one hash-aggregate with 64 masked vote sums → bit-pack:
+    a single shuffle on the doc id with map-side partial aggregation,
+    which is the scalable shape (token fan-out never leaves the stage
+    unreduced).
+    """
+
+    def mask(j: int) -> int:
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(canon_text(text_col), " "), lambda x: x != "")).alias(
+            "tok"
+        ),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask(j))) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(mask(j))).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col("id").alias(id_col), sig.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above a threshold.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    shingle (the shuffle key), count shared shingles per pair, then
+    |A∩B| / (|A|+|B|-|A∩B|). No cross join — cost is Σ per-shingle
+    pair counts, the standard scalable form.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,81 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): tokenization, quality scoring, language-ID heuristic,
+document fingerprinting. All native expressions — at 100 TB these run
+embarrassingly parallel inside the scan stage, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct segmentation used for token estimates.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token-count estimate from a BPE-like regex segmentation
+    (letters / digit runs / single punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality-scoring features: length, token stats,
+    punctuation/digit/whitespace ratios, mean token length."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": F.round(n_punct / safe_chars, 6),
+        "digit_ratio": F.round(n_digits / safe_chars, 6),
+        "mean_token_len": F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            6,
+        ),
+    }
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible (the oracle mirrors it).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "de"],
+}
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5-derived 10^9-space hash of the
+    whitespace-canonicalized, lowercased text (stable dedup id)."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return md5_long(canon)

@@ -1,0 +1,242 @@
+"""LLM-training-data pipeline queries (BASELINE.json north star):
+deduplication, similarity search, text analysis over ``documents`` /
+``embeddings``. Deterministic md5-based hashing throughout, so most have
+full DuckDB oracles; genuinely approximate/structural ops are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
+from nyc_opendata_etl_spark.operators import dedup, similarity, text
+from nyc_opendata_etl_spark.queries import register
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+# canonical text form used by dedup ops, as DuckDB SQL
+_CANON = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {md5_long_oracle_sql(_CANON)} AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {md5_long_oracle_sql(_CANON)} AS fingerprint
+    FROM documents
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+          >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 near-dup pairs via inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@register("dedup_minhash_lsh")  # candidate generation is structural → rows-only
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs. Deterministic, but the
+    banding layout is an engine design choice, not SQL semantics →
+    rows-only check; the exact-Jaccard query above is the oracle-checked
+    ground truth it approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs)
+
+
+@register("dedup_simhash")  # structural signature → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.q_vec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]),
+                                      CAST(q.q_vec AS DOUBLE[])))), 6)
+               AS cosine_sim
+    FROM embeddings e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 neighbors of vec_id 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_vec_id=0, k=10)
+
+
+@register("similarity_ann_lsh")  # approximate by design → rows-only
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (deterministic fixed planes:
+    coordinate pairs), exact re-rank within bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = []
+    for i in range(4):
+        plane = [0.0] * 64
+        plane[i * 2] = 1.0
+        plane[i * 2 + 1] = -1.0
+        planes.append(plane)
+    return similarity.ann_lsh_topk(emb, query_vec_id=0, hyperplanes=planes, k=10)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+               AS n_bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+           round(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_token_len
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS en_hits,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de_hits,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS fr_hits,
+           len(list_filter(toks, x -> list_contains(['el','la','que','los','de'], x))) AS es_hits
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS detected_lang
+    FROM hits
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic with a fixed priority
+    tie-break (en > de > fr > es > unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {
+        lang: text.stopword_hits("text", words)
+        for lang, words in text.STOPWORDS.items()
+    }
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    detected = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), detected.alias("detected_lang")
+    )

@@ -1,0 +1,519 @@
+"""General relational surface (SURVEY §2 Part B): aggregation, top-k,
+window functions, the join matrix, set ops, rollup/cube, JSON/array
+functions. All thin declarative wrappers over Spark built-ins — Catalyst
+picks partial aggregation, broadcast vs shuffle joins, and
+TakeOrderedAndProject automatically.
+
+Money aggregates route through DECIMAL(18,2) (exact, order-independent)
+and emit DOUBLE — see queries/_sql.money_sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.queries import register
+from nyc_opendata_etl_spark.queries._sql import money_sum
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+
+def _money(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {money_sum('l_quantity')} AS sum_qty,
+           {money_sum('l_extendedprice')} AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
+                AS DOUBLE) AS sum_charge,
+           CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 4) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-agg group-by with exact
+    decimal money math."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _money("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(12,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_money("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_money("l_extendedprice")), 2)
+        .cast("double")
+        .alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        F.round(
+            F.sum(_money("l_quantity")).cast("double") / F.count("*"), 4
+        )
+        .cast("double")
+        .alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {money_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_money("l_extendedprice")), 2).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {money_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_money("l_quantity")), 2).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: approximate by design → rows-only
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count — the scale path (no exact-distinct
+    shuffle explosion at 100 TB). Approximate ⇒ rows-only check."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject — per-partition heap
+    + driver merge, no full sort, no shuffle of the full table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number with deterministic tie-break."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate) OVER w AS prev_order_date,
+           lead(o_orderdate) OVER w AS next_order_date,
+           CAST(rank() OVER w AS INT) AS order_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_order_date"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.rank().over(w).alias("order_rank"),
+    )
+
+
+@register(
+    "window_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS moving_sum_3,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row sum + running total (rows frames)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(price).over(base.rowsBetween(-2, 0)), 2)
+        .cast("double")
+        .alias("moving_sum_3"),
+        F.round(
+            F.sum(price).over(base.rowsBetween(Window.unboundedPreceding, 0)), 2
+        )
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join matrix (beyond the reference's single left-equi join)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_inner_agg",
+    oracle=f"""
+    SELECT n.n_name, count(*) AS n_orders, {money_sum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner join: fact side streams through two broadcast hash
+    joins (nation and customer are dims), one shuffle for the agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_money("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH co AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         so AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(co.nk, so.nk) AS nationkey, co.n_cust, so.n_supp
+    FROM co FULL OUTER JOIN so ON co.nk = so.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    co = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    so = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return co.join(so, co["nk"] == so["nk"], "full_outer").select(
+        F.coalesce(co["nk"], so["nk"]).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.bucket_id
+    FROM part p
+    JOIN (SELECT CAST(i AS INT) AS bucket_id,
+                 CAST(i * 10 AS INT) AS lo, CAST((i + 1) * 10 AS INT) AS hi
+          FROM range(0, 6) t(i)) b
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (band assignment). The small band table is
+    broadcast → a BroadcastNestedLoopJoin, which is the right physical
+    plan when one side is tiny; never a cartesian shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    buckets = spark.range(0, 6).select(
+        F.col("id").cast("int").alias("bucket_id"),
+        (F.col("id") * 10).cast("int").alias("lo"),
+        ((F.col("id") + 1) * 10).cast("int").alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part["p_size"] >= buckets["lo"]) & (part["p_size"] < buckets["hi"]),
+        )
+        .select("p_partkey", "p_size", "bucket_id")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH j AS (
+        SELECT e.event_id, o.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id % 1500 + 1 = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, j.o_orderkey AS last_order_key
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM j WHERE rn = 1) j
+      USING (event_id)
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event for the matching
+    customer. Spark lacks a native as-of join; expressed as equi-join +
+    inequality filter + max_by per event — one shuffle on the equi key,
+    same as the sort-merge an engine-native as-of would do. Ties on
+    o_orderdate are broken by max o_orderkey (deterministic on both
+    sides; the oracle uses row_number DESC, DESC).
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.select(
+        "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
+    )
+    j = e.join(orders, (F.col("join_cust") == orders["o_custkey"]), "left").filter(
+        F.col("o_orderdate").isNull() | (F.col("o_orderdate") <= F.col("ts"))
+    )
+    picked = j.groupBy("event_id").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("last_order_key")
+    )
+    return events.select("event_id", "user_id", "ts").join(
+        picked, "event_id", "left"
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics): ordering customers minus
+    negative-balance customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(F.col("o_custkey").alias("custkey")).subtract(
+        customer.filter(F.col("c_acctbal") < 0).select(
+            F.col("c_custkey").alias("custkey")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON / array functions (events.props)
+# --------------------------------------------------------------------------
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "json_agg_by_key",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode + re-aggregate: global token frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    return tokens.groupBy("token").agg(F.count("*").alias("n"))

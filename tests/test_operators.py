@@ -1,0 +1,171 @@
+"""Operator-level tests: assign_keys join semantics (null natural keys
+MATCH, missing-field fallback), dim builds, dedup, similarity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators import dedup, similarity
+from nyc_opendata_etl_spark.operators.dims import (
+    build_dim,
+    build_dim_first_per_group,
+    date_dim,
+    time_dim,
+)
+from nyc_opendata_etl_spark.operators.keys import assign_keys
+from tests.test_hashing import ref_hash
+
+
+def test_assign_keys_basic_and_null_matching(spark):
+    dim = spark.createDataFrame(
+        [("brooklyn", "11201"), ("queens", None)], ["boro", "zip"]
+    )
+    fact = spark.createDataFrame(
+        [(1, "brooklyn", "11201"), (2, "queens", None), (3, "bronx", "10451")],
+        ["id", "boro", "zip"],
+    )
+    out = assign_keys(fact, dim, ["boro", "zip"], "loc_key")
+    rows = {r["id"]: r["loc_key"] for r in out.collect()}
+    # row 1: plain match
+    assert rows[1] == ref_hash("brooklyn", "11201")
+    # row 2: NULL zip matches NULL zip (pandas 'nan'-string semantics)
+    assert rows[2] == ref_hash("queens", "nan")
+    # row 3: no dim row -> NULL key
+    assert rows[3] is None
+    # natural-key cols dropped like the reference
+    assert set(out.columns) == {"id", "loc_key"}
+
+
+def test_assign_keys_missing_field_fallback(spark):
+    dim = spark.createDataFrame([("x",)], ["a"])
+    fact = spark.createDataFrame([(1, "x")], ["id", "a"])
+    # dim lacks field 'b' -> typed NULL key, fact unchanged
+    out = assign_keys(fact, dim, ["a", "b"], "k")
+    assert out.columns == ["id", "a", "k"]
+    assert out.collect()[0]["k"] is None
+    # empty dim -> same fallback
+    out2 = assign_keys(fact, dim.filter(F.lit(False)), ["a"], "k")
+    assert out2.collect()[0]["k"] is None
+
+
+def test_assign_keys_idempotent(spark):
+    """Property from SURVEY §5: assign_keys twice == once (the join is a
+    pure function of content)."""
+    dim = spark.createDataFrame([("a",), ("b",)], ["g"])
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "g"])
+    once = {(r["id"], r["k"]) for r in assign_keys(fact, dim, ["g"], "k").collect()}
+    again = {(r["id"], r["k"]) for r in assign_keys(fact, dim, ["g"], "k").collect()}
+    assert once == again
+    assert once == {(1, ref_hash("a")), (2, ref_hash("b")), (3, None)}
+
+
+def test_build_dim_normalizes_and_dedupes(spark):
+    raw = spark.createDataFrame(
+        [("  NYPD ", "Police"), ("nypd", "POLICE "), ("DOT", "Transport")],
+        ["agency", "agency_name"],
+    )
+    dim = build_dim(raw, ["agency", "agency_name"], "agency_key")
+    rows = sorted(
+        (r["agency"], r["agency_name"], r["agency_key"]) for r in dim.collect()
+    )
+    assert rows == [
+        ("dot", "transport", ref_hash("dot", "transport")),
+        ("nypd", "police", ref_hash("nypd", "police")),
+    ]
+
+
+def test_build_dim_first_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [(21, "No parking"), (21, "Alt description"), (14, "Hydrant")],
+        ["violation_code", "violation_description"],
+    )
+    out = build_dim_first_per_group(
+        df, ["violation_code"], ["violation_description"]
+    )
+    rows = {r["violation_code"]: r["violation_description"] for r in out.collect()}
+    assert rows == {21: "Alt description", 14: "Hydrant"}
+
+
+def test_generated_dims(spark):
+    import datetime as dt
+
+    dd = date_dim(spark, dt.date(2024, 1, 1), dt.date(2024, 1, 3)).collect()
+    assert [r["date_key"] for r in dd] == [20240101, 20240102, 20240103]
+    assert dd[0]["weekday"] == "Monday"
+    td = time_dim(spark)
+    assert td.count() == 1440
+    keys = [r["time_key"] for r in td.collect()]
+    assert keys[0] == 0 and keys[-1] == 235900 and keys[61] == 10100
+
+
+def test_exact_dedup_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),   # same canonical form
+            (3, "different doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_word_shingles_and_minhash(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y"), (4, "totally different text here")],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(dedup.word_shingles("text").alias("s")).collect()
+    assert sh[0]["s"] == ["a b c", "b c d"]
+    assert sh[2]["s"] == []  # shorter than n -> empty
+
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_identical_and_different(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark is fast"), (2, "Spark  IS  fast"), (3, "ducks quack loudly")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated content goes here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    # 9 tokens -> 7 shingles each; only the last shingle differs:
+    # |A∩B| = 6, |A∪B| = 8 -> 0.75
+    assert math.isclose(pairs[0]["jaccard"], 0.75, abs_tol=1e-6)
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),    # identical -> sim 1.0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal -> 0.0
+        (3, [-1.0, 0.0, 0.0]),   # opposite -> -1.0
+        (4, [1.0, 1.0, 0.0]),    # cos = 1/sqrt(2)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df, query_vec_id=0, k=4).collect()
+    got = [(r["vec_id"], r["cosine_sim"]) for r in out]
+    assert got[0] == (1, 1.0)
+    assert got[1][0] == 4 and math.isclose(got[1][1], 0.707107, abs_tol=1e-6)
+    assert got[2] == (2, 0.0)
+    assert got[3] == (3, -1.0)
