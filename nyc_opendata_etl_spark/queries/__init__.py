@@ -61,6 +61,7 @@ def _load_all() -> None:
         parity,
         relational,
         llm_ops,
+        event_windows,
     )
 
     _LOADED = True

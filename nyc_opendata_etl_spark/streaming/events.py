@@ -1,0 +1,144 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference's unit of work is a windowed batch append (SURVEY §1.4):
+``[start, end)`` on a timestamp, with a monthly backfill loop
+(``load_history.py:4-17``). Structured Streaming is the Spark-native
+generalization: the same dataflow declared once runs incrementally
+(micro-batch), as a backfill (``Trigger.AvailableNow`` ≙ the reference's
+history loop), or continuously — with watermarks making late-data
+semantics explicit where the reference had none.
+
+Scale notes: event-time windowed aggregation shuffles on (window, key)
+with partial aggregation per micro-batch; state store size is bounded by
+the watermark horizon. At 100 TB/day the same topology holds — state is
+per-window-per-key, not per-event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet directory). In production this
+    would be Kafka/Kinesis; the transformations below are source-agnostic."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window,
+    event_type), tolerating ``watermark`` of event-time lateness."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window counts per event_type (rate monitoring)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Uses the native session_window state operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "backfill",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain the stream as a bounded backfill (Trigger.AvailableNow) into
+    an in-memory sink and return the sink as a batch DataFrame — the
+    Spark-native equivalent of the reference's month-by-month
+    ``load_history`` subprocess loop, minus the subprocesses.
+
+    ``output_mode``: "complete" for aggregations whose final state should
+    equal the batch answer; "append" for row streams / watermark-evicted
+    output (then windows newer than the final watermark are withheld,
+    by design).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,68 @@
+"""Structured Streaming semantics: backfill equivalence and watermark
+eviction (append vs complete)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from nyc_opendata_etl_spark.sources.tables import load_table
+from nyc_opendata_etl_spark.streaming import events as se
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stage(spark) -> str:
+    stage = os.path.join(tempfile.gettempdir(), f"stream_test_{uuid.uuid4().hex[:8]}")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def test_stream_backfill_matches_batch(spark):
+    stage = _stage(spark)
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in se.tumbling_counts(spark.read.parquet(stage)).collect()
+    }
+    stream = se.read_event_stream(spark, stage, max_files_per_trigger=2)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in se.run_available_now(
+            se.tumbling_counts(stream), f"t_{uuid.uuid4().hex[:8]}", "complete"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_watermark_withholds_open_windows_in_append_mode(spark):
+    """In append mode, windows newer than the final watermark (max event
+    time - 2h) must NOT be emitted; complete mode emits everything."""
+    stage = _stage(spark)
+    stream = se.read_event_stream(spark, stage)
+    complete = se.run_available_now(
+        se.tumbling_counts(stream), f"c_{uuid.uuid4().hex[:8]}", "complete"
+    ).collect()
+    stream2 = se.read_event_stream(spark, stage)
+    append = se.run_available_now(
+        se.tumbling_counts(stream2), f"a_{uuid.uuid4().hex[:8]}", "append"
+    ).collect()
+    assert 0 < len(append) < len(complete)
+    ckeys = {(r["window_start"], r["event_type"]) for r in complete}
+    assert {(r["window_start"], r["event_type"]) for r in append} <= ckeys
+    # the withheld windows are exactly the newest ones
+    max_appended = max(r["window_end"] for r in append)
+    max_complete = max(r["window_end"] for r in complete)
+    assert max_appended < max_complete
+
+
+def test_streaming_session_windows(spark):
+    stage = _stage(spark)
+    stream = se.read_event_stream(spark, stage)
+    rows = se.run_available_now(
+        se.session_windows(stream), f"s_{uuid.uuid4().hex[:8]}", "complete"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["session_start"] == r["first_event"]
+        assert r["session_end"] > r["last_event"]
