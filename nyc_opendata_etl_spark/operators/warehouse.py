@@ -1,0 +1,444 @@
+"""The reference's full star-schema warehouse, Spark-native.
+
+Re-expresses the complete E1 dataflow (SURVEY §3): raw Socrata-shaped
+inputs (all-string columns, possibly missing columns) → 6 content-keyed
+dimensions + generated date/time dims → cleaned 311 / parking facts with
+FK stamping → integrated fact.
+
+Semantic parity points preserved (each cited to the reference):
+
+* dims are distinct natural-key projections, normalized, with md5
+  surrogate keys (``etl/dim_loaders/*.py``);
+* the vehicle dim carries first-seen attribute rows alongside the
+  natural key (index-aligned ``assign`` in ``vehicle_loader.py:24-30``)
+  — made deterministic here with a min(struct) tie-break;
+* the violation dim dedupes on the *coerced* code because ``main.py``
+  normalizes parking join fields before any dim runs (``main.py:84-96``,
+  ``violation_loader.py:17``), with min(description) tie-break (SURVEY
+  §7 item 3);
+* the location dim hashes ONLY its string columns but the fact join key
+  includes lat/lon (``location_loader.py:39-43`` vs ``main.py:125-135``)
+  — the float-vs-string 'nan' asymmetry is reproduced exactly;
+* missing columns are re-added as NULLs / empty strings
+  (``violation_loader.py:12-13``, ``main.py:114-118``);
+* facts project to fixed target schemas, intersected with what exists
+  (``main.py:138-145``, ``:171-180``).
+
+One deliberate deviation: the reference dedupes dims on *raw* values and
+normalizes afterwards (extract → transform order, e.g.
+``agency_loader.py:11,15``), so raw case/whitespace variants leave
+duplicate normalized dim rows — which then FAN OUT fact rows in
+``assign_keys`` (pandas merge duplicates matches too). We dedupe after
+normalization instead: dims are unique on their normalized natural key
+and fact grain is preserved. (For the parking side this is invisible —
+``main.py:84-92`` pre-normalizes parking join fields before any dim
+build, which we mirror.)
+
+Scale: every dim build is one hash-aggregate over a column-pruned scan;
+every FK stamp is a broadcast hash join (dims ≪ facts); the fact side
+never shuffles. The whole build is a DAG over two cached raw scans
+(reused by 3-4 dims each, SURVEY §3 step 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.datetime_fns import (
+    date_key,
+    parse_ampm_time_key,
+    time_key,
+)
+from nyc_opendata_etl_spark.functions.hashing import surrogate_key
+from nyc_opendata_etl_spark.functions.normalize import (
+    ensure_columns,
+    normalize_headers,
+    normalize_strings,
+    numeric_coerce,
+    bool_map,
+    project_target,
+)
+from nyc_opendata_etl_spark.operators.keys import assign_keys
+
+# ---------------------------------------------------------------------------
+# Dimension builders (etl/dim_loaders/*.py)
+# ---------------------------------------------------------------------------
+
+AGENCY_NK = ["agency", "agency_name"]
+COMPLAINT_NK = ["complaint_type", "descriptor", "location_type"]
+LOCATION_STR_NK = [
+    "borough", "city", "incident_zip", "street_name", "incident_address",
+    "cross_street_1", "cross_street_2",
+    "intersection_street_1", "intersection_street_2",
+]
+LOCATION_JOIN_NK = LOCATION_STR_NK[:2] + LOCATION_STR_NK[2:] + ["latitude", "longitude"]
+VEHICLE_NK = ["plate", "state", "license_type"]
+VEHICLE_ATTRS = [
+    "vehicle_body_type", "vehicle_make", "vehicle_year", "vehicle_color",
+    "unregistered",
+]
+PARKING_LOCATION_NK = [
+    "house_number", "street_name", "intersecting_street",
+    "violation_county", "violation_precinct",
+]
+
+
+def build_agency_dim(df: DataFrame) -> DataFrame:
+    """agency_loader.py:10-17: project 2 cols, distinct, normalize, key."""
+    out = normalize_strings(df.select(*AGENCY_NK).distinct(), AGENCY_NK).distinct()
+    return out.select(surrogate_key(*AGENCY_NK).alias("agency_key"), *AGENCY_NK)
+
+
+def build_complaint_dim(df: DataFrame) -> DataFrame:
+    """complaint_loader.py:10-17."""
+    src = ensure_columns(df, {c: "string" for c in COMPLAINT_NK})
+    out = normalize_strings(src.select(*COMPLAINT_NK).distinct(), COMPLAINT_NK).distinct()
+    return out.select(
+        surrogate_key(*COMPLAINT_NK).alias("complaint_key"), *COMPLAINT_NK
+    )
+
+
+def build_location_dim(df: DataFrame) -> DataFrame:
+    """location_loader.py:10-47: 11-col distinct; hash over the 9 string
+    cols only; lat/lon coerced to double and carried as attributes."""
+    cols = LOCATION_STR_NK + ["latitude", "longitude"]
+    src = ensure_columns(df, {c: "string" for c in cols})
+    out = normalize_strings(src.select(*cols).distinct(), LOCATION_STR_NK)
+    out = out.withColumns(
+        {
+            "latitude": numeric_coerce("latitude", "double"),
+            "longitude": numeric_coerce("longitude", "double"),
+        }
+    ).distinct()
+    return out.select(
+        surrogate_key(*LOCATION_STR_NK).alias("location_key"),
+        *LOCATION_STR_NK,
+        "latitude",
+        "longitude",
+    )
+
+
+def build_vehicle_dim(df: DataFrame) -> DataFrame:
+    """vehicle_loader.py:10-49: distinct (plate_id, registration_state,
+    plate_type) with first-seen attrs (deterministic min(struct) here),
+    renamed to the warehouse natural key, normalized, keyed."""
+    raw_cols = ["plate_id", "registration_state", "plate_type"]
+    if not set(raw_cols).issubset(df.columns):
+        return df.sparkSession.createDataFrame(
+            [], "vehicle_key long, plate string, state string, license_type string, "
+            "vehicle_body_type string, vehicle_make string, vehicle_year long, "
+            "vehicle_color string, unregistered boolean",
+        )
+    src = ensure_columns(
+        df,
+        {
+            "vehicle_body_type": "string",
+            "vehicle_make": "string",
+            "vehicle_year": "string",
+            "vehicle_color": "string",
+            "unregistered_vehicle": "string",
+        },
+    )
+    src = normalize_strings(src, ["plate_id", "registration_state", "plate_type"])
+    picked = (
+        src.groupBy(
+            F.col("plate_id").alias("plate"),
+            F.col("registration_state").alias("state"),
+            F.col("plate_type").alias("license_type"),
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    "vehicle_body_type",
+                    "vehicle_make",
+                    numeric_coerce("vehicle_year", "long").alias("vehicle_year"),
+                    "vehicle_color",
+                    bool_map("unregistered_vehicle").alias("unregistered"),
+                )
+            ).alias("attrs")
+        )
+        .select("plate", "state", "license_type", "attrs.*")
+    )
+    out = normalize_strings(picked, VEHICLE_NK)
+    return out.select(
+        surrogate_key(*VEHICLE_NK).alias("vehicle_key"), *VEHICLE_NK, *VEHICLE_ATTRS
+    )
+
+
+def build_violation_dim(df: DataFrame) -> DataFrame:
+    """violation_loader.py:10-33: re-add missing description, one row per
+    violation_code (min-description tie-break), normalize description,
+    coerce + drop null codes."""
+    src = ensure_columns(df, {"violation_code": "string", "violation_description": "string"})
+    out = (
+        src.groupBy("violation_code")
+        .agg(F.min("violation_description").alias("violation_description"))
+        .withColumn(
+            "violation_description",
+            F.lower(
+                F.regexp_replace(
+                    F.coalesce(F.col("violation_description").cast("string"), F.lit("")),
+                    r"^\s+|\s+$",
+                    "",
+                )
+            ),
+        )
+        .withColumn("violation_code", numeric_coerce("violation_code", "long"))
+        .na.drop(subset=["violation_code"])
+    )
+    return out.select("violation_code", "violation_description")
+
+
+def build_parking_location_dim(df: DataFrame) -> DataFrame:
+    """parking_location_loader.py:10-34: guarded 5-col distinct,
+    normalize, dropna (no-op post-normalize for strings), key."""
+    if not set(PARKING_LOCATION_NK).issubset(df.columns):
+        return df.sparkSession.createDataFrame(
+            [], "parking_location_key long, house_number string, street_name string, "
+            "intersecting_street string, violation_county string, violation_precinct string",
+        )
+    out = normalize_strings(
+        df.select(*PARKING_LOCATION_NK).distinct(), PARKING_LOCATION_NK
+    ).distinct()
+    out = out.na.drop(subset=PARKING_LOCATION_NK)
+    return out.select(
+        surrogate_key(*PARKING_LOCATION_NK).alias("parking_location_key"),
+        *PARKING_LOCATION_NK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact cleaners (load_311.py:33-110, load_parking.py:70-139)
+# ---------------------------------------------------------------------------
+
+NORM_311_COLS = [
+    "agency", "agency_name", "complaint_type", "descriptor", "location_type",
+    "incident_zip", "incident_address", "street_name", "cross_street_1",
+    "cross_street_2", "intersection_street_1", "intersection_street_2",
+    "address_type", "city", "borough", "landmark", "facility_type",
+    "status", "resolution_description", "community_board", "bbl",
+    "open_data_channel", "park_facility_name", "park_borough",
+    "vehicle_type", "taxi_company_borough", "taxi_pickup_location",
+    "bridge_highway_name", "bridge_highway_direction", "road_ramp",
+    "bridge_highway_segment", "location",
+]
+
+CLEAN_311_TARGET = [
+    "unique_key",
+    "agency", "agency_name", "agency_key",
+    "created_date_key", "created_time_key",
+    "closed_date_key", "closed_time_key",
+    "complaint_type", "complaint_key", "descriptor", "location_type",
+    "incident_zip", "incident_address", "street_name",
+    "cross_street_1", "cross_street_2",
+    "intersection_street_1", "intersection_street_2",
+    "address_type", "city", "borough", "landmark", "facility_type",
+    "status", "resolution_description", "community_board", "bbl",
+    "x_coordinate", "y_coordinate",
+    "open_data_channel", "park_facility_name", "park_borough",
+    "vehicle_type", "taxi_company_borough", "taxi_pickup_location",
+    "bridge_highway_name", "bridge_highway_direction",
+    "road_ramp", "bridge_highway_segment",
+    "latitude", "longitude", "location",
+    "complaint_time", "time_key", "date_key", "location_key",
+]
+
+FACT_311_COLS = [
+    "unique_key",
+    "created_date_key", "created_time_key",
+    "closed_date_key", "closed_time_key",
+    "agency_key", "complaint_key", "location_key",
+    "resolution_action_date", "due_date", "closed_timestamp",
+]
+
+FACT_PARKING_COLS = [
+    "summons_number", "date_key", "time_key",
+    "violation_code", "location_key", "vehicle_key",
+]
+
+
+def clean_311(raw: DataFrame) -> DataFrame:
+    """load_311.py:33-110: parse 4 timestamps, derive date/time keys,
+    require unique_key, normalize 32 descriptive cols, defensive-project.
+
+    ``complaint_time`` is emitted as an "HH:mm:ss" string (Spark has no
+    TimeType; SURVEY §1.2)."""
+    if "unique_key" not in raw.columns:
+        raise ValueError("Missing required column 'unique_key' in 311 data")
+
+    ts_map = {
+        "created_date": "created_timestamp",
+        "closed_date": "closed_timestamp",
+        "due_date": "due_date_ts",
+        "resolution_action_updated_date": "resolution_action_date",
+    }
+    df = raw
+    for raw_col, new_col in ts_map.items():
+        src = (
+            F.to_timestamp(F.col(raw_col))
+            if raw_col in df.columns
+            else F.lit(None).cast("timestamp")
+        )
+        df = df.withColumn(new_col, src)
+    df = df.drop("due_date").withColumnRenamed("due_date_ts", "due_date")
+
+    df = df.withColumns(
+        {
+            "created_date_key": date_key("created_timestamp"),
+            "created_time_key": time_key("created_timestamp"),
+            "closed_date_key": date_key("closed_timestamp"),
+            "closed_time_key": time_key("closed_timestamp"),
+            "date_key": date_key("created_timestamp"),
+            "complaint_time": F.date_format("created_timestamp", "HH:mm:ss"),
+            "time_key": time_key("created_timestamp"),
+            "unique_key": F.col("unique_key").cast("string"),
+        }
+    )
+    df = normalize_strings(df, NORM_311_COLS)
+    # Exact reference projection (load_311.py:89-110). Note a reference
+    # quirk preserved on purpose: main.py's fact_311_cols also name
+    # resolution_action_date / due_date / closed_timestamp, but this
+    # clean-step projection drops them first, so the final fact never
+    # contains them — our output matches the reference's actual output,
+    # not its apparent intent.
+    return project_target(df, CLEAN_311_TARGET)
+
+
+def clean_parking(raw: DataFrame) -> DataFrame:
+    """load_parking.py:70-139: header-normalize, parse issue_date →
+    date_key, AM/PM violation_time → time_key, normalize + dropna the
+    5 location cols, inline location_key hash, coerce violation_code,
+    re-add missing description."""
+    df = normalize_headers(raw)
+    if "violation_code" not in df.columns and "violation" in df.columns:
+        df = df.withColumnRenamed("violation", "violation_code")
+
+    df = ensure_columns(
+        df,
+        {"issue_date": "string", "violation_time": "string",
+         **{c: "string" for c in PARKING_LOCATION_NK}},
+    )
+    df = df.withColumn("issue_date", F.to_timestamp("issue_date"))
+    df = df.withColumns(
+        {
+            "date_key": date_key("issue_date"),
+            "time_key": parse_ampm_time_key("violation_time"),
+        }
+    )
+    df = normalize_strings(df, PARKING_LOCATION_NK)
+    df = df.na.drop(subset=[c for c in PARKING_LOCATION_NK if c in df.columns])
+    df = df.withColumn("location_key", surrogate_key(*PARKING_LOCATION_NK))
+    df = ensure_columns(df, {"violation_code": "string"})
+    df = df.withColumn("violation_code", numeric_coerce("violation_code", "long"))
+    df = ensure_columns(df, {"violation_description": "string"})
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Full build (main.py:71-183)
+# ---------------------------------------------------------------------------
+
+def normalize_parking_join_fields(raw_parking: DataFrame) -> DataFrame:
+    """main.py:84-96: normalize joinable fields + coerce violation_code
+    BEFORE any dim build, so dims and facts key identically."""
+    df = normalize_strings(
+        raw_parking,
+        [
+            "plate_id", "registration_state", "plate_type",
+            "violation_code", "violation_description",
+            "house_number", "street_name", "intersecting_street",
+            "violation_county", "violation_precinct",
+        ],
+    )
+    if "violation_code" in df.columns:
+        df = df.withColumn("violation_code", numeric_coerce("violation_code", "long"))
+    return df
+
+
+def build_star(
+    spark: SparkSession, raw_311: DataFrame, raw_parking: DataFrame
+) -> dict[str, DataFrame]:
+    """The complete warehouse build. Returns all dim + fact DataFrames.
+
+    The two raw inputs are cached — each feeds 3-4 consumers (SURVEY §3
+    E1 step 4): 311 → agency/complaint/location dims + fact; parking →
+    agency/vehicle/violation/parking-location dims + fact.
+    """
+    from nyc_opendata_etl_spark.operators.dims import date_dim, time_dim
+
+    raw_parking = normalize_parking_join_fields(normalize_headers(raw_parking))
+    raw_311.cache()
+    raw_parking.cache()
+
+    agency_src = raw_311.select(
+        *[
+            F.col(c) if c in raw_311.columns else F.lit(None).cast("string").alias(c)
+            for c in AGENCY_NK
+        ]
+    ).unionByName(
+        ensure_columns(raw_parking, {c: "string" for c in AGENCY_NK}).select(*AGENCY_NK),
+        allowMissingColumns=False,
+    )
+
+    dims = {
+        "dim_date": date_dim(spark),
+        "dim_time": time_dim(spark),
+        "dim_agency": build_agency_dim(agency_src),
+        "dim_complaint": build_complaint_dim(raw_311),
+        "dim_location": build_location_dim(raw_311),
+        "dim_vehicle": build_vehicle_dim(raw_parking),
+        "dim_violation": build_violation_dim(raw_parking),
+        "dim_parking_location": build_parking_location_dim(raw_parking),
+    }
+
+    # ── 311 fact ──────────────────────────────────────────────────────
+    cleaned = clean_311(raw_311)
+    cleaned = assign_keys(cleaned, dims["dim_agency"], AGENCY_NK, "agency_key")
+    cleaned = ensure_columns(cleaned, {"location_type": "string"})
+    cleaned = cleaned.withColumn(
+        "location_type", F.coalesce(F.col("location_type"), F.lit(""))
+    )
+    cleaned = assign_keys(cleaned, dims["dim_complaint"], COMPLAINT_NK, "complaint_key")
+    cleaned = assign_keys(
+        cleaned, dims["dim_location"], LOCATION_JOIN_NK, "location_key"
+    )
+    fact_311 = project_target(cleaned, FACT_311_COLS)
+
+    # ── parking fact ─────────────────────────────────────────────────
+    cleaned_p = clean_parking(raw_parking)
+    cleaned_p = cleaned_p.withColumnsRenamed(
+        {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
+    )
+    cleaned_p = assign_keys(cleaned_p, dims["dim_vehicle"], VEHICLE_NK, "vehicle_key")
+    fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
+
+    # ── integrated fact ──────────────────────────────────────────────
+    # The reference ships only a sink for this table
+    # (load_integrated_fact.py:6-24) — no transform exists in-repo. Our
+    # definition: conformed union of both facts on the shared grain
+    # (source, natural id, date_key, time_key, agency/location keys).
+    integrated = fact_311.select(
+        F.lit("311").alias("source"),
+        F.col("unique_key").alias("service_request_id"),
+        F.col("created_date_key").alias("date_key"),
+        F.col("created_time_key").alias("time_key"),
+        "agency_key",
+        "location_key",
+    ).unionByName(
+        fact_parking.select(
+            F.lit("parking").alias("source"),
+            F.col("summons_number").alias("service_request_id"),
+            "date_key",
+            "time_key",
+            F.lit(None).cast("long").alias("agency_key"),
+            "location_key",
+        )
+    )
+
+    return {
+        **dims,
+        "fact_311_complaints": fact_311,
+        "fact_parking_tickets": fact_parking,
+        "integrated_fact_service_requests": integrated,
+    }

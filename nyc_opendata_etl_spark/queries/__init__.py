@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         llm_ops,
         event_windows,
+        pipeline,
     )
 
     _LOADED = True

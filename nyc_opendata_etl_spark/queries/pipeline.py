@@ -1,0 +1,167 @@
+"""The full warehouse pipeline as driver-checked queries.
+
+Synthesizes raw Socrata-shaped (all-string) inputs deterministically
+from the benchmark tables, runs the COMPLETE star build
+(operators/warehouse.build_star: clean → dims → FK-stamp joins →
+project), and exposes the fact outputs with DuckDB oracles.
+
+Because the dims are built from the same rows they stamp, every fact
+row's key must equal the surrogate hash of its own normalized natural
+key — which the oracle computes directly. The Spark side still executes
+the entire dataflow (timestamp parsing, normalization, dim distinct,
+broadcast key-stamp joins, defensive projection), so any deviation in
+any stage breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators.warehouse import build_star
+from nyc_opendata_etl_spark.queries import register
+from nyc_opendata_etl_spark.queries._sql import norm, surrogate
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+
+def _synth_raw_311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → 311-shaped records. location_type is intentionally ABSENT
+    (exercises the re-add-as-'' path, main.py:114-118); location columns
+    are all null (exercises the 'nan' join-key path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    null_s = F.lit(None).cast("string")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            F.col("o_orderkey").cast("string").alias("unique_key"),
+            F.col("o_orderdate").cast("string").alias("created_date"),
+            null_s.alias("closed_date"),
+            F.col("o_orderpriority").alias("agency"),
+            F.col("o_orderstatus").alias("agency_name"),
+            F.col("c_mktsegment").alias("complaint_type"),
+            F.col("o_orderpriority").alias("descriptor"),
+            *[null_s.alias(c) for c in (
+                "borough", "city", "incident_zip", "street_name",
+                "incident_address", "cross_street_1", "cross_street_2",
+                "intersection_street_1", "intersection_street_2",
+                "latitude", "longitude", "status",
+            )],
+        )
+    )
+
+
+def _synth_raw_parking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem → parking-violation-shaped records, with a deterministic
+    AM/PM violation_time derived from the ship date's day-of-month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hour12 = (F.dayofmonth("l_shipdate") % 12) + 1  # 1..12
+    minute = F.lpad((F.col("l_partkey") % 60).cast("string"), 2, "0")
+    marker = F.when(F.col("l_orderkey") % 2 == 0, F.lit("A")).otherwise(F.lit("P"))
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("string")
+        .alias("summons_number"),
+        F.col("l_shipdate").cast("string").alias("issue_date"),
+        F.concat(F.lpad(hour12.cast("string"), 2, "0"), minute, marker).alias(
+            "violation_time"
+        ),
+        F.col("l_linenumber").cast("string").alias("violation_code"),
+        F.col("l_returnflag").alias("violation_description"),
+        F.col("l_returnflag").alias("plate_id"),
+        F.col("l_linestatus").alias("registration_state"),
+        F.lit("PAS").alias("plate_type"),
+        F.lit("SDN").alias("vehicle_body_type"),
+        F.lit("MAKE").alias("vehicle_make"),
+        F.lit("2020").alias("vehicle_year"),
+        F.lit("BLK").alias("vehicle_color"),
+        F.lit("No").alias("unregistered_vehicle"),
+        (F.col("l_suppkey") % 100).cast("string").alias("house_number"),
+        F.col("l_returnflag").alias("street_name"),
+        F.col("l_linestatus").alias("intersecting_street"),
+        F.lit("K").alias("violation_county"),
+        (F.col("l_partkey") % 10).cast("string").alias("violation_precinct"),
+    )
+
+
+_EMPTY_PARKING_COLS = [
+    "summons_number", "issue_date", "violation_time", "violation_code",
+    "plate_id", "registration_state", "plate_type", "house_number",
+    "street_name", "intersecting_street", "violation_county",
+    "violation_precinct",
+]
+_EMPTY_311_COLS = ["unique_key", "created_date", "agency", "agency_name",
+                   "complaint_type", "descriptor"]
+
+
+def _empty(spark: SparkSession, cols: list[str]) -> DataFrame:
+    return spark.createDataFrame([], ", ".join(f"{c} string" for c in cols))
+
+
+_LOC_NULL_KEY = surrogate(
+    "''", "''", "''", "''", "''", "''", "''", "''", "''", "NULL", "NULL"
+)
+
+
+@register(
+    "pipeline_311_fact",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS unique_key,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS created_date_key,
+           CAST(hour(o_orderdate) * 10000 + minute(o_orderdate) * 100 AS INT)
+               AS created_time_key,
+           CAST(NULL AS INT) AS closed_date_key,
+           CAST(NULL AS INT) AS closed_time_key,
+           {surrogate(norm('o_orderpriority'), norm('o_orderstatus'))} AS agency_key,
+           {surrogate(norm('c_mktsegment'), norm('o_orderpriority'), "''")}
+               AS complaint_key,
+           {_LOC_NULL_KEY} AS location_key
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_pipeline_311_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 311 pipeline: synth raw → clean_311 → dims → 3 FK stamps →
+    fact projection. Every stamped key must equal the oracle's direct
+    surrogate of the normalized natural key."""
+    raw_311 = _synth_raw_311(spark, sf_dir)
+    out = build_star(spark, raw_311, _empty(spark, _EMPTY_PARKING_COLS))
+    return out["fact_311_complaints"]
+
+
+@register(
+    "pipeline_parking_fact",
+    oracle=f"""
+    SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS summons_number,
+           CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS date_key,
+           CAST((CASE WHEN l_orderkey % 2 = 0
+                      THEN (day(l_shipdate) % 12 + 1) % 12
+                      ELSE (day(l_shipdate) % 12 + 1) % 12 + 12 END) * 10000
+                + (l_partkey % 60) * 100 AS INT) AS time_key,
+           CAST(l_linenumber AS BIGINT) AS violation_code,
+           {surrogate(
+               "CAST(l_suppkey % 100 AS VARCHAR)",
+               norm('l_returnflag'),
+               norm('l_linestatus'),
+               "'k'",
+               "CAST(l_partkey % 10 AS VARCHAR)",
+           )} AS location_key,
+           {surrogate(norm('l_returnflag'), norm('l_linestatus'), "'pas'")}
+               AS vehicle_key
+    FROM lineitem
+    """,
+)
+def q_pipeline_parking_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parking pipeline: synth raw → clean_parking (headers, AM/PM
+    parse, location hash, code coerce) → vehicle FK stamp → fact
+    projection."""
+    raw_parking = _synth_raw_parking(spark, sf_dir)
+    out = build_star(spark, _synth_311_stub(spark), raw_parking)
+    return out["fact_parking_tickets"]
+
+
+def _synth_311_stub(spark: SparkSession) -> DataFrame:
+    return _empty(spark, _EMPTY_311_COLS)
