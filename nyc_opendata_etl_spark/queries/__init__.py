@@ -63,6 +63,7 @@ def _load_all() -> None:
         llm_ops,
         event_windows,
         pipeline,
+        multimodal_q,
     )
 
     _LOADED = True

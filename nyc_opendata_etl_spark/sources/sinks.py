@@ -1,0 +1,64 @@
+"""Warehouse sinks (SURVEY §2 K1-K4).
+
+The reference appends every table to BigQuery (``dim_loader.py:23-30``,
+``load_311.py:113-126``, ``load_parking.py:142-153``,
+``load_integrated_fact.py:6-24``). Here the sink is an interface with
+two implementations:
+
+* :func:`append_parquet` — the test/bench path and the generic lake
+  path: append-mode parquet, optionally hive-partitioned. Partitioning
+  the parking fact by ``fiscal_year`` turns the reference's manual
+  per-FY dataset map into real partition pruning (Catalyst prunes
+  ``WHERE fiscal_year = X`` scans to one directory).
+* :func:`append_bigquery` — the production path, delegating to the
+  spark-bigquery connector when its jar is on the classpath (not in
+  this container; guarded, like every network dependency in this repo).
+
+Both keep the reference's empty-input no-op guard (``dim_loader.py:24-26``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> int:
+    """Append to a parquet table; returns rows written (0 → no-op)."""
+    if df.isEmpty():
+        return 0
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return -1  # rows not counted — avoid a second job; callers may count
+
+
+def append_bigquery(df: DataFrame, table_id: str) -> None:
+    """``project.dataset.table`` append via the spark-bigquery connector
+    (WRITE_APPEND disposition like the reference's load jobs)."""
+    if df.isEmpty():
+        return
+    try:
+        (
+            df.write.format("bigquery")
+            .mode("append")
+            .option("table", table_id)
+            .option("writeMethod", "direct")
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - connector not installed here
+        raise NotImplementedError(
+            "spark-bigquery connector jar not available in this environment; "
+            "use append_parquet for the lake path"
+        ) from exc
+
+
+def write_warehouse(
+    tables: dict[str, DataFrame], base_path: str, partition_overrides: dict[str, list[str]] | None = None
+) -> None:
+    """Write every star-schema output under ``base_path/<table>/``."""
+    overrides = partition_overrides or {}
+    for name, df in tables.items():
+        append_parquet(df, f"{base_path}/{name}", overrides.get(name))

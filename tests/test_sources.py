@@ -1,0 +1,90 @@
+"""Socrata DataSource (offline mode), SoQL/FY helpers, and sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.sources import sinks
+from nyc_opendata_etl_spark.sources.socrata import (
+    SocrataDataSource,
+    fiscal_year_dataset,
+    soql_window,
+)
+
+
+def test_soql_window():
+    assert (
+        soql_window("created_date", "2024-01-01T00:00:00", "2024-01-02T00:00:00")
+        == "created_date >= '2024-01-01T00:00:00' AND created_date < '2024-01-02T00:00:00'"
+    )
+
+
+def test_fiscal_year_dataset_routing():
+    assert fiscal_year_dataset("2013-06-30") is None      # pre-FY2014
+    assert fiscal_year_dataset("2013-07-01") == "jt7v-77mi"   # FY2014
+    assert fiscal_year_dataset("2023-12-01") == "pvqr-7yc4"   # FY2024
+    assert fiscal_year_dataset("2030-01-01") == "pvqr-7yc4"   # clamped
+    assert fiscal_year_dataset("2016-03-15") == "kiv2-tbus"   # FY2016
+
+
+def test_socrata_datasource_local_mode(spark):
+    rows = [
+        {"unique_key": str(i), "agency": f"A{i % 3}", "latitude": None}
+        for i in range(25)
+    ]
+    path = os.path.join(tempfile.gettempdir(), f"socrata_{uuid.uuid4().hex}.json")
+    with open(path, "w") as f:
+        json.dump(rows, f)
+
+    spark.dataSource.register(SocrataDataSource)
+    df = (
+        spark.read.format("socrata")
+        .schema("unique_key string, agency string, latitude string")
+        .option("local_path", path)
+        .option("limit", "25")
+        .option("page_size", "10")  # 3 partitions through the page path
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = df.collect()
+    assert len(got) == 25
+    assert {r["agency"] for r in got} == {"A0", "A1", "A2"}
+    assert got[0]["latitude"] is None
+
+
+def test_parquet_sink_partition_pruning(spark):
+    """Writing the parking fact partitioned by fiscal_year gives real
+    partition pruning — the Spark-native version of the reference's
+    per-FY dataset map."""
+    from nyc_opendata_etl_spark.functions.datetime_fns import fiscal_year
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.concat(
+                (F.lit(2014) + (F.col("id") % 5)).cast("string"),
+                F.lit("-"),
+                F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"),
+                F.lit("-15"),
+            )
+        ).alias("issue_date"),
+    ).withColumn("fiscal_year", fiscal_year("issue_date"))
+
+    base = os.path.join(tempfile.gettempdir(), f"wh_{uuid.uuid4().hex}")
+    sinks.append_parquet(df, base, partition_by=["fiscal_year"])
+
+    back = spark.read.parquet(base).filter(F.col("fiscal_year") == 2016)
+    assert back.count() == df.filter(F.col("fiscal_year") == 2016).count()
+    from nyc_opendata_etl_spark.plans import explain_str
+
+    plan = explain_str(back)
+    # pruned scan: the partition filter reached the file source
+    assert "PartitionFilters" in plan and "fiscal_year" in plan
+
+    # empty-input no-op guard (dim_loader.py:24-26)
+    assert sinks.append_parquet(df.filter(F.lit(False)), base) == 0
