@@ -183,44 +183,72 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs above a threshold.
+    """Exact n-gram Jaccard near-dup pairs above a threshold, via
+    PREFIX FILTERING (AllPairs/PPJoin family) — lossless for the
+    threshold predicate.
 
-    Inverted-index formulation: explode distinct shingles, self-join on
-    shingle (the shuffle key), count shared shingles per pair, then
-    |A∩B| / (|A|+|B|-|A∩B|). No cross join — cost is Σ per-shingle
-    pair counts, the standard scalable form.
+    A naive inverted-index self-join blows up on common shingles
+    (Σ c_s² pairs for a shingle in c_s docs — quadratic in document
+    frequency, hopeless at 100 TB). Instead: hash each doc's distinct
+    shingles (xxhash64), sort the hash array canonically (a proxy for
+    rarest-first that needs no global DF pass), and index only the first
+    ``|A| - ⌈t·|A|⌉ + 1`` hashes. Two sets with Jaccard ≥ t MUST share
+    an indexed prefix element, so the candidate join touches a small
+    slice of the inverted index. Crucially the exploded index rows carry
+    only ``(id, n_sh, hash)`` — the full arrays are re-fetched by
+    joining candidates back to the compact docs relation, avoiding an
+    O(prefix·|sh|) array-duplication blowup through the explode/join.
+    A length-ratio filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before
+    the exact array_intersect verify.
     """
-    sh = (
+    docs = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(word_shingles(text_col, n)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
         )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
+    pref = docs.select(
+        "id",
+        "n_sh",
+        F.explode(F.slice(F.col("sh"), 1, prefix_len)).alias("ph"),
+    )
+
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length-ratio filter: Jaccard >= t needs t*|A| <= |B| <= |A|/t
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * threshold)
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * threshold),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    da = docs.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    db = docs.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = F.round(
+        n_common / (F.col("n_a") + F.col("n_b") - n_common).cast("double"), 6
+    )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -29,7 +29,7 @@ _CANON = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.exact_dedup_groups(docs)
 
 
@@ -41,7 +41,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
 
 
@@ -75,7 +75,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.8 near-dup pairs via inverted index."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
@@ -85,13 +85,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding layout is an engine design choice, not SQL semantics →
     rows-only check; the exact-Jaccard query above is the oracle-checked
     ground truth it approximates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.minhash_lsh_pairs(docs)
 
 
 @register("dedup_simhash")  # structural signature → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.simhash_signatures(docs)
 
 
@@ -120,7 +120,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 neighbors of vec_id 0."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.cosine_topk(emb, query_vec_id=0, k=10)
 
 
@@ -128,7 +128,7 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets (deterministic fixed planes:
     coordinate pairs), exact re-rank within bucket."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     planes = []
     for i in range(4):
         plane = [0.0] * 64
@@ -156,7 +156,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -187,7 +187,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     feats = text.quality_features("text")
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
@@ -224,7 +224,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic with a fixed priority
     tie-break (en > de > fr > es > unknown)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     hits = {
         lang: text.stopword_hits("text", words)
         for lang, words in text.STOPWORDS.items()

@@ -32,10 +32,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow scan up to cluster parallelism.
+
+    For CPU-heavy per-row operators (shingling, hashing, vector math) a
+    small input that parquet splits into fewer partitions than cores
+    serializes the whole pipeline. At real scale (100 TB) the scan
+    already yields thousands of splits and this is a no-op — the
+    repartition only fires when the source under-splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread_input: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread_input:
+        df = spread(df)
     # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
     # raw long (spark.sql.legacy.parquet.nanosAsLong, set in session.py).
     # Convert to a microsecond TimestampType — integer division keeps
