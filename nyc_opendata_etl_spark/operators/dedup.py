@@ -49,14 +49,27 @@ def exact_dedup_groups(
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of n-word shingles ("w1 w2 w3") over canonical tokens;
-    texts shorter than n words → empty array."""
-    toks = F.split(canon_text(col), " ")
-    num = F.size(toks) - (n - 1)
-    gen = F.transform(
-        F.sequence(F.lit(0), num - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
-    return F.when(num > 0, gen).otherwise(F.array().cast("array<string>"))
+    texts shorter than n words → empty array.
+
+    The tokenization is bound ONCE as a higher-order-function lambda
+    variable (single-element ``transform``): HOF bodies are evaluated
+    interpreted, without codegen's common-subexpression elimination, so
+    referencing the raw ``split(canon_text(...))`` expression from every
+    ``element_at`` would re-run the full per-document regex pipeline for
+    every token access — O(tokens²) work per document.
+    """
+
+    def gen(toks: Column) -> Column:
+        num = F.size(toks) - (n - 1)
+        sh = F.transform(
+            F.sequence(F.lit(0), num - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(num > 0, sh).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(F.split(canon_text(col), " ")), gen), 1)
 
 
 def minhash_signatures(

@@ -32,7 +32,7 @@ def star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation (D2), group-by aggregation, decimal-exact money math.
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread_input=True)
 
     dim_segment = build_dim(customer, ["c_mktsegment"], "segment_key")
 

@@ -28,7 +28,7 @@ def _synth_raw_311(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders → 311-shaped records. location_type is intentionally ABSENT
     (exercises the re-add-as-'' path, main.py:114-118); location columns
     are all null (exercises the 'nan' join-key path)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread_input=True)
     customer = load_table(spark, sf_dir, "customer")
     null_s = F.lit(None).cast("string")
     return (
@@ -58,7 +58,7 @@ def _synth_raw_311(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_raw_parking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitem → parking-violation-shaped records, with a deterministic
     AM/PM violation_time derived from the ship date's day-of-month."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread_input=True)
     hour12 = (F.dayofmonth("l_shipdate") % 12) + 1  # 1..12
     minute = F.lpad((F.col("l_partkey") % 60).cast("string"), 2, "0")
     marker = F.when(F.col("l_orderkey") % 2 == 0, F.lit("A")).otherwise(F.lit("P"))
