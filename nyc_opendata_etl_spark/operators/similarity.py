@@ -93,6 +93,124 @@ def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold) — the brute-force baseline.
+
+    Shape: the full (id, vector) index is broadcast once and each
+    partition scores its rows against it with one vectorized float64
+    numpy matmul (Arrow batches via mapInPandas) — no pairwise shuffle,
+    no O(n²) row materialization; only qualifying pairs are emitted.
+    This is the classic broadcast-index design: exact, and fine as long
+    as the index side fits in executor memory (~N·d·8 bytes). Beyond
+    that, the scale path is candidate generation via LSH banding
+    (``ann_lsh_topk`` buckets / MinHash-style) followed by this same
+    exact verify on the candidate subset.
+
+    Math matches the DuckDB oracle form dot/(|a|·|b|) in float64, so
+    values agree to rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            sims = np.round(sims, round_digits)
+            # keep ordered pairs only: a.id < b.id
+            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bj],
+                    "cosine_sim": sims[ai, bj],
+                }
+            )
+
+    out_schema = "id_a long, id_b long, cosine_sim double"
+    return embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) index.
+
+    Coarse quantizer: ``n_centroids`` deterministic seed centroids (the
+    lowest-id vectors — a stand-in for k-means, which would be iterative
+    and seeded). Every vector is assigned to its nearest centroid by
+    cosine (one broadcast cross join of N×C scored in-stage, argmax via
+    window); the query probes its ``n_probe`` nearest cells and re-ranks
+    exactly only within them. At 100 TB the cell assignment is a write-
+    time partitioning (cluster-by centroid_id), so a query touches
+    n_probe/n_centroids of the data — the standard IVF trade.
+    """
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cent_id__"), F.col(vec_col).alias("__cent_vec__")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "__cent_sim__", cosine(F.col(vec_col), F.col("__cent_vec__"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cent_sim__").desc(), F.col("__cent_id__")
+    )
+    assigned = (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(id_col, vec_col, "__cent_id__")
+    )
+    probes = (
+        scored.filter(F.col(id_col) == query_vec_id)
+        .orderBy(F.col("__cent_sim__").desc(), F.col("__cent_id__"))
+        .limit(n_probe)
+        .select(F.col("__cent_id__").alias("__probe_cell__"))
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q_vec__")
+    )
+    candidates = (
+        assigned.join(
+            F.broadcast(probes),
+            assigned["__cent_id__"] == F.col("__probe_cell__"),
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+    )
+    scored_c = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__q_vec__")), 6).alias("cosine_sim"),
+    )
+    return scored_c.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -79,3 +79,73 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     canon = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return md5_long(canon)
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_000
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over lowercased tokens:
+    ``h = fold(tokens, 0, (a, t) -> (a*31 + md5_long(t)) % 10^9)``.
+
+    Unlike :func:`fingerprint` (whole-text hash), this is a sequence
+    hash — permuted token order changes it — the standard shape for
+    incremental/windowed fingerprinting. Every intermediate stays below
+    31·10^9 + 10^9 < 2^63, so the identical fold is expressible in
+    DuckDB (``list_reduce``) for the differential oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    return F.aggregate(
+        F.transform(toks, lambda t: md5_long(t)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_MOD,
+    )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_digits: int = 6,
+):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count within the doc; idf = ln(N / df) with df = number of
+    docs containing the term. Deterministic tie-break (score desc, term
+    asc) so results are engine-independent. Plan shape: one explode →
+    two hash aggregates (term-per-doc, then doc-frequency) → broadcast
+    of the tiny (term, df) side → per-doc top-k via window. The doc
+    count N is a broadcast scalar, not a driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    term_tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = term_tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n_docs__")
+    )
+    scored = (
+        term_tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs__") / F.col("df")), round_digits
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )

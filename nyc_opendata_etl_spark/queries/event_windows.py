@@ -114,3 +114,24 @@ def q_stream_tumbling_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_events.tumbling_counts(stream)
     name = f"backfill_{uuid.uuid4().hex[:8]}"
     return streaming_events.run_available_now(agg, name, output_mode="complete")
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen keyed dedup across micro-batches. The emitted set — each
+    distinct user exactly once — is batching-invariant, so a plain
+    batch DISTINCT is a full-value oracle for a genuinely streaming
+    stateful execution."""
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_stage", os.path.basename(sf_dir.rstrip("/"))
+    )
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+
+    stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
+    deduped = streaming_events.stateful_first_seen(stream, "user_id")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    return streaming_events.run_available_now(deduped, name, output_mode="append")

@@ -240,3 +240,100 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"), detected.alias("detected_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup + IVF ANN + rolling hash + TF-IDF
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])))), 6)
+               AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])))), 6) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (broadcast-index numpy
+    matmul; cosine >= 0.4 — the synthetic vectors have no planted dups,
+    so the threshold sits in the upper tail of the real distribution)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+@register("similarity_ann_ivf")  # approximate by design → rows-only
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 deterministic coarse cells, probe the 2 nearest,
+    exact re-rank within. The scale path where a broadcast index no
+    longer fits."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.ann_ivf_topk(emb, query_vec_id=0, n_centroids=16, n_probe=2)
+
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform({_TOK}, t -> {md5_long_oracle_sql('t')})
+             ),
+             (a, b) -> (a * 31 + b) % 1000000000
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over tokens (sequence
+    fingerprint, vs the whole-text md5 fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return docs.select("doc_id", text.rolling_hash("text").alias("rolling_hash"))
+
+
+@register(
+    "text_tfidf_top",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by TF-IDF with deterministic
+    tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return text.tfidf_top_terms(docs, k=3)

@@ -517,3 +517,90 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     return tokens.groupBy("token").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {money_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube: it skips
+    the (l_returnflag) level). SQL surface on a registered temp view."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem__")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_qty
+        FROM __gs_lineitem__
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles + p99 per group (linear-interpolation percentile,
+    same continuous-quantile semantics as DuckDB quantile_cont).
+
+    Exact percentile needs the full sorted group — fine per-group here;
+    at 100 TB swap in approx_percentile (t-digest sketch, mergeable and
+    shuffle-light) and accept the declared error bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.99D))"
+    )
+    agg = li.groupBy("l_returnflag").agg(pcts.alias("p"))
+    return agg.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("p")[i], 6).alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p99"])
+        ],
+    )
+
+
+@register(
+    "pivot_orderstatus",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) FILTER (o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — the explicit list
+    keeps the plan one pass (no extra distinct-values job) and a stable
+    output schema, which is what you want at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )

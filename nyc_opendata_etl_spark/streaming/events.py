@@ -118,6 +118,39 @@ def session_windows(
     )
 
 
+def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator: emit each key the first time
+    it is ever seen across the whole stream (keyed dedup with unbounded
+    state), via ``applyInPandasWithState``.
+
+    This is the canonical shape for custom state logic Spark's built-in
+    operators don't cover (the built-in ``dropDuplicates`` on a stream
+    keeps whole rows; here the state is a single bit per key, and the
+    emitted record is deterministic — just the key — regardless of how
+    the input was micro-batched). State is one boolean per distinct key,
+    partitioned by the grouping key: at 100 TB the state store shards
+    with the shuffle, and a watermark-based timeout would bound it for
+    keys that can expire.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, batches, state: GroupState):
+        for _ in batches:  # drain; content irrelevant beyond presence
+            pass
+        if not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=f"{key_col} long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str = "backfill",

@@ -169,3 +169,87 @@ def test_cosine_topk(spark):
     assert got[1][0] == 4 and math.isclose(got[1][1], 0.707107, abs_tol=1e-6)
     assert got[2] == (2, 0.0)
     assert got[3] == (3, -1.0)
+
+
+def test_cosine_neardup_pairs(spark):
+    import math as _m
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [0.7, 0.7, 0.0]),      # ~0.707 to both 0 and 2
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert set(out) == {(0, 1)}
+    expect = 0.999 / _m.sqrt(0.999**2 + 0.01**2)
+    assert abs(out[(0, 1)] - expect) < 1e-6
+    # lower threshold pulls in the diagonal vector, ordered pairs only
+    out2 = similarity.cosine_neardup_pairs(df, threshold=0.7).collect()
+    assert {(r.id_a, r.id_b) for r in out2} == {(0, 1), (0, 3), (1, 3), (2, 3)}
+    assert all(r.id_a < r.id_b for r in out2)
+
+
+def test_ann_ivf_topk_finds_in_probed_cells(spark):
+    # 2 obvious clusters; centroids seeded from ids 0/1; query = 0
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.99, 0.1]),
+        (3, [0.98, 0.2]),
+        (4, [0.1, 0.99]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.ann_ivf_topk(df, query_vec_id=0, n_centroids=2, n_probe=1, k=2)
+    got = [r.vec_id for r in out.collect()]
+    # probing only the query's own cell finds its cluster-mates, ranked
+    assert got == [2, 3]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from nyc_opendata_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta"), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", text_ops.rolling_hash("text").alias("h")
+        ).collect()
+    }
+    assert rows[1] == rows[3]          # deterministic
+    assert rows[1] != rows[2]          # order-sensitive
+    assert rows[4] == 0                # empty -> seed
+    # matches the reference fold in pure Python
+    expect = 0
+    for tok in ["alpha", "beta"]:
+        expect = (expect * 31 + ref_hash(tok)) % 1_000_000_000
+    assert rows[1] == expect
+
+
+def test_tfidf_top_terms(spark):
+    from nyc_opendata_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry date common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text_ops.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.term, r.tfidf))
+    # 'common' appears in every doc -> idf = ln(1) = 0, never a top term
+    assert all(t != "common" for terms in by_doc.values() for _, t, _ in terms)
+    # doc 1: apple (tf=2, df=1) dominates
+    assert sorted(by_doc[1])[0][1] == "apple"
+    assert all(len(v) == 2 for v in by_doc.values())

@@ -66,3 +66,32 @@ def test_streaming_session_windows(spark):
     for r in rows[:50]:
         assert r["session_start"] == r["first_event"]
         assert r["session_end"] > r["last_event"]
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from nyc_opendata_etl_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stateful_first_seen,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 10, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 20, "view", 2.0, "{}"),
+        (4, "2024-01-01 00:03:00", 10, "view", 3.0, "{}"),
+        (5, "2024-01-01 00:04:00", 30, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "events")
+    # multiple files -> multiple micro-batches with maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(path)
+
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_first_seen(stream, "user_id"), "t_dedup", output_mode="append"
+    )
+    assert sorted(r.user_id for r in out.collect()) == [10, 20, 30]
