@@ -265,3 +265,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id)
+    with cluster_id = min member id (the canonical survivor).
+
+    Iterative min-label propagation (HashToMin family): each round every
+    node takes the minimum label among itself and its neighbors; the
+    loop converges in O(component diameter) rounds — near-dup clusters
+    are shallow (dups of dups of one original), so single digits in
+    practice. Each round is one shuffle join + one hash aggregate;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially across iterations (the standard Spark idiom for
+    iterative algorithms). The driver-side loop carries only the
+    convergence bit, never data.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["dst"] == labels["id"]
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

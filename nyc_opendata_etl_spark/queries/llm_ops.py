@@ -45,9 +45,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_JACCARD_SQL = f"""
     WITH sh AS (
         SELECT doc_id AS id,
                unnest(list_distinct([
@@ -71,8 +69,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.id = id_b
     WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
           >= 0.8
-    """,
-)
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.8 near-dup pairs via inverted index."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
@@ -337,3 +337,84 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return text.tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (iterative min-label
+    propagation with lineage checkpoints) over the exact-Jaccard near-dup
+    pairs; cluster id = min member id. Oracle: recursive-CTE transitive
+    closure over the same pairs."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT unnest([0, 1, 2, 3, 4]) AS hot_key,
+               unnest(['a', 'b', 'c', 'd', 'e']) AS dim_val
+    )
+    SELECT dim_val, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM (SELECT l_orderkey % 5 AS hot_key, l_quantity FROM lineitem) f
+    JOIN dim USING (hot_key)
+    GROUP BY dim_val
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under pathological key skew: the fact's join
+    key has only 5 distinct values (each ~20% of all rows — a hot-key
+    disaster for a plain hash shuffle), so rows are salted into 16
+    sub-keys and the dim is replicated per salt. Identical result to the
+    naive join, verified by the oracle."""
+    from nyc_opendata_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("hot_key"), "l_quantity", "l_linenumber"
+    )
+    dim = load_table(spark, sf_dir, "region").sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(["a", "b", "c", "d", "e"])],
+        "hot_key long, dim_val string",
+    )
+    joined = salted_join(li, dim, "hot_key", buckets=16, salt_source=F.col("l_linenumber"))
+    return joined.groupBy("dim_val").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_distinct_twophase",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT): dedupe on (group, value) with map-side
+    partial aggregation first, then count — no hot group ever ships all
+    its values to one reducer."""
+    from nyc_opendata_etl_spark.operators.skew import two_phase_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return two_phase_count_distinct(li, ["l_returnflag"], "l_suppkey", "n_supp")

@@ -253,3 +253,34 @@ def test_tfidf_top_terms(spark):
     # doc 1: apple (tf=2, df=1) dominates
     assert sorted(by_doc[1])[0][1] == "apple"
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_duplicate_clusters(spark):
+    # two components: {1,2,3} via chain 1-2, 2-3; {7,9}; pair order mixed
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_salted_join_matches_plain(spark):
+    from nyc_opendata_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(100)], "k long, rid long, v double"
+    )
+    dim = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, name string")
+    salted = salted_join(fact, dim, "k", buckets=8, salt_source=F.col("rid"))
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_phase_count_distinct(spark):
+    from nyc_opendata_etl_spark.operators.skew import two_phase_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "g string, x long"
+    )
+    out = {r.g: r.n for r in two_phase_count_distinct(df, ["g"], "x", "n").collect()}
+    assert out == {"a": 2, "b": 1}
