@@ -13,18 +13,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# The EXACT character set Python's str.strip() (and hence pandas
+# .str.strip()) treats as whitespace: ASCII \t-\r, the \x1c-\x1f file/
+# group separators, space, NEL, NBSP, and the Unicode space blocks.
+# Java's \s is ASCII-only and (?U)\s is the Unicode White_Space property
+# (which EXCLUDES \x1c-\x1f), so neither matches Python — an explicit
+# class is the only faithful choice (SURVEY §7 item 5). The oracle SQL
+# uses the same class in RE2 syntax (queries/_sql.py).
+PY_WS_JAVA = (
+    "\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
+_STRIP_RE = f"^[{PY_WS_JAVA}]+|[{PY_WS_JAVA}]+$"
+
+
 def normalize_string(col: Column | str) -> Column:
     """null→"", cast to string, strip *all* leading/trailing whitespace,
     lowercase.
 
     Mirrors ``etl/core/utils.py:10-16`` (``fillna("") .astype(str)
     .str.strip() .str.lower()``). pandas ``str.strip`` removes every
-    whitespace class (tabs, newlines) while Spark ``trim`` removes only
-    spaces — so we use a regexp strip for exact parity (SURVEY §7 item 5).
+    Python whitespace character while Spark ``trim`` removes only spaces
+    and ``\\s`` only ASCII — the explicit :data:`PY_WS_JAVA` class gives
+    exact parity (property-tested against ``str.strip`` in
+    tests/test_properties.py).
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.coalesce(c.cast("string"), F.lit(""))
-    return F.lower(F.regexp_replace(s, r"^\s+|\s+$", ""))
+    return F.lower(F.regexp_replace(s, _STRIP_RE, ""))
 
 
 def normalize_strings(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -10,10 +10,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long
+from nyc_opendata_etl_spark.functions.normalize import PY_WS_JAVA
 
-TOKEN_SPLIT_RE = r"\s+"
+# Python-whitespace split (exact str.strip class — see normalize.PY_WS_JAVA,
+# mirrored in the DuckDB oracles via queries/_sql.PY_WS_RE2).
+TOKEN_SPLIT_RE = f"[{PY_WS_JAVA}]+"
 # BPE-ish word/number/punct segmentation used for token estimates.
-BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{PY_WS_JAVA}]"
 
 
 def tokens(col: Column | str) -> Column:
@@ -40,7 +43,9 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_chars = F.length(c)
     toks = tokens(c)
     n_tokens = F.size(toks)
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(
+        F.regexp_replace(c, f"[^\\w{PY_WS_JAVA}]", "")
+    )
     n_digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     return {
@@ -77,7 +82,7 @@ def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5-derived 10^9-space hash of the
     whitespace-canonicalized, lowercased text (stable dedup id)."""
     c = F.col(col) if isinstance(col, str) else col
-    canon = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    canon = F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
     return md5_long(canon)
 
 

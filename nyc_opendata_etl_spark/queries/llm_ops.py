@@ -12,10 +12,13 @@ from pyspark.sql import functions as F
 from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
 from nyc_opendata_etl_spark.operators import dedup, similarity, text
 from nyc_opendata_etl_spark.queries import register
+from nyc_opendata_etl_spark.queries._sql import PY_WS_RE2
 from nyc_opendata_etl_spark.sources.tables import load_table
 
 # canonical text form used by dedup ops, as DuckDB SQL
-_CANON = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WS = "[" + PY_WS_RE2 + "]+"
+_WS_CHARS = PY_WS_RE2
+_CANON = f"regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')"
 
 
 @register(
@@ -144,12 +147,12 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(text, '{_WS}'),
                                 x -> x <> '')) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) AS INT)
                AS n_bpe_ish_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
@@ -167,17 +170,17 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, text,
-               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(text, '{_WS}'), x -> x <> '')
                    AS toks
         FROM documents
     )
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           round((length(text) - length(regexp_replace(text, '[^\\w{_WS_CHARS}]', '', 'g')))
                  / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
            round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                  / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
@@ -194,10 +197,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lang_id",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_filter(regexp_split_to_array(lower(text), '{_WS}'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -285,7 +288,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, query_vec_id=0, n_centroids=16, n_probe=2)
 
 
-_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_TOK = f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')"
 
 
 @register(

@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.queries import register
-from nyc_opendata_etl_spark.queries._sql import money_sum
+from nyc_opendata_etl_spark.queries._sql import PY_WS_RE2, money_sum
 from nyc_opendata_etl_spark.sources.tables import load_table
+
+
+_WS = "[" + PY_WS_RE2 + "]+"
 
 
 def _money(c: str) -> F.Column:
@@ -496,10 +499,10 @@ def q_json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "explode_tokens",
-    oracle="""
+    oracle=f"""
     SELECT token, count(*) AS n
     FROM (
-        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{_WS}'),
                                   x -> x <> '')) AS token
         FROM documents
     )

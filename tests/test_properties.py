@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY §5 item 5): hash parity on arbitrary
+inputs, normalize idempotence, AM/PM parser vs a pure-Python port of the
+reference's branch structure (load_parking.py:87-113).
+
+Each property generates a batch of examples and verifies them in ONE
+Spark job (a per-example Spark round-trip would make hypothesis
+impractically slow), so hypothesis drives the data generation and Spark
+evaluates vectorized.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.datetime_fns import parse_ampm_time_key
+from nyc_opendata_etl_spark.functions.hashing import surrogate_key
+from nyc_opendata_etl_spark.functions.normalize import normalize_string
+
+MOD = 10**9
+
+# printable-ish text incl. unicode, but no surrogates (unencodable)
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=40,
+)
+
+
+def ref_hash(*values) -> int:
+    s = "|".join(str(v) for v in values)
+    return int(hashlib.md5(s.encode()).hexdigest(), 16) % MOD
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(TEXT, st.one_of(st.none(), TEXT)), min_size=1, max_size=50))
+def test_surrogate_key_matches_reference_on_arbitrary_text(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [
+        r.k
+        for r in df.select(surrogate_key("a", "b").alias("k")).collect()
+    ]
+    # reference semantics: None renders as pandas astype(str) NaN -> "nan"
+    want = [ref_hash(a, "nan" if b is None else b) for a, b in rows]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=50))
+def test_normalize_idempotent_and_never_null(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    out = df.select(
+        normalize_string("x").alias("once"),
+        normalize_string(normalize_string("x")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once is not None  # nulls blanked to ""
+        assert r.once == r.twice  # idempotent
+        assert r.once == r.once.strip().lower()
+
+
+def _ref_parse_ampm(s) -> int | None:
+    """Pure-Python port of the reference parser's branch structure."""
+    if s is None:
+        return None
+    s = s.strip().upper()
+    if not s or s[-1] not in ("A", "P"):
+        return None
+    core, marker = s[:-1], s[-1]
+    if ":" not in core and len(core) in (3, 4):
+        core = core[:-2].zfill(2) + ":" + core[-2:]
+    try:
+        t = datetime.datetime.strptime(core + marker + "M", "%I:%M%p").time()
+    except ValueError:
+        return None
+    return t.hour * 10000 + t.minute * 100
+
+
+AMPM = st.one_of(
+    st.none(),
+    TEXT,
+    # well-formed-ish cores with/without colon and either marker
+    st.builds(
+        lambda h, m, c, mk: f"{h}{c}{m:02d}{mk}",
+        st.integers(0, 13),
+        st.integers(0, 65),
+        st.sampled_from([":", ""]),
+        st.sampled_from(["A", "P", "AM", "PM", "X", ""]),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(AMPM, min_size=1, max_size=60))
+def test_ampm_parser_matches_reference_port(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.k for r in df.select(parse_ampm_time_key("t").alias("k")).collect()]
+    want = [_ref_parse_ampm(v) for v in vals]
+    assert got == want
