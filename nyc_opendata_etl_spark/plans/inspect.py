@@ -1,0 +1,68 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale guarantees are *plan shapes*, not hopes: dim joins
+must broadcast, filters must reach the parquet scan, global top-k must
+plan as TakeOrderedAndProject, hot paths must stay inside whole-stage
+codegen. These helpers turn those guarantees into assertions the test
+suite enforces (tests/test_plans.py), so a regression that silently
+flips a broadcast join to a sort-merge join or un-pushes a predicate
+fails CI instead of surfacing as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The `explain("formatted")` text of a DataFrame's physical plan."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_node(df: DataFrame, node: str) -> int:
+    """Occurrences of a physical operator (e.g. "BroadcastHashJoin",
+    "Exchange", "SortMergeJoin") in the plan."""
+    return len(re.findall(re.escape(node), formatted_plan(df)))
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return count_node(df, "BroadcastHashJoin") > 0
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return count_node(df, "SortMergeJoin") > 0
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (pre-AQE)."""
+    return count_node(df, "Exchange hashpartitioning") + count_node(
+        df, "Exchange rangepartitioning"
+    ) + count_node(df, "Exchange RoundRobinPartitioning")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The parquet-scan PushedFilters lists, one string per scan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if any scan's pushed-filter list mentions ``fragment``
+    (e.g. a column name or "GreaterThan")."""
+    return any(fragment in fs for fs in pushed_filters(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """The parquet-scan ReadSchema strings — inspect for column pruning."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+
+
+def is_take_ordered(df: DataFrame) -> bool:
+    """True if the plan computes a global top-k without a full sort."""
+    return count_node(df, "TakeOrderedAndProject") > 0

@@ -607,3 +607,58 @@ def q_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING), 2)
+                AS DOUBLE) AS qty_within_5
+    FROM lineitem
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per order, sum of
+    quantities within ±5 units of each row's quantity — peers enter the
+    frame by value distance, so tied values share identical frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(F.col("l_quantity"))
+        .rangeBetween(-5, 5)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("qty_within_5"),
+    )
+
+
+@register(
+    "map_props_agg",
+    oracle="""
+    WITH kv AS (
+        SELECT event_type, unnest(json_keys(props)) AS k
+        FROM events
+    )
+    SELECT event_type, k AS prop_key, count(*) AS n
+    FROM kv GROUP BY 1, 2
+    """,
+)
+def q_map_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into a
+    map<string,string>, explode its keys, count key usage per event
+    type."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        events.select("event_type", F.explode(F.map_keys(m)).alias("prop_key"))
+        .groupBy("event_type", "prop_key")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale-critical plan shapes the
+engine promises (broadcast dim joins, predicate pushdown, column
+pruning, top-k without global sort) asserted via plans/inspect.py.
+
+These run against sf0.001 — plan shape is data-size-independent here
+because the dims are far below the broadcast threshold at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators.keys import assign_keys
+from nyc_opendata_etl_spark.plans import inspect as pi
+from nyc_opendata_etl_spark.queries import queries
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_assign_keys_broadcasts_the_dim(spark):
+    fact = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority").alias("prio")
+    )
+    dim = (
+        load_table(spark, SF, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .withColumn("prio_key", F.lit(1))
+    )
+    out = assign_keys(fact, dim, ["prio"], "prio_key")
+    assert pi.uses_broadcast_join(out)
+    assert not pi.uses_sort_merge_join(out)
+
+
+def test_filter_window_pushes_predicate_to_scan(spark):
+    df = queries()["filter_window"](spark, SF)
+    assert pi.has_pushed_filter(df, "o_orderdate")
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = pi.read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all(
+        "l_orderkey" in s and "l_quantity" in s and "l_comment" not in s
+        for s in schemas
+    )
+
+
+def test_topk_plans_as_take_ordered(spark):
+    df = queries()["topk_orders"](spark, SF)
+    assert pi.is_take_ordered(df)
+
+
+def test_star_revenue_broadcasts_all_dim_joins(spark):
+    df = queries()["star_revenue"](spark, SF)
+    assert pi.uses_broadcast_join(df)
+    assert not pi.uses_sort_merge_join(df)
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    df = queries()["dedup_exact"](spark, SF)
+    # one hash-aggregate shuffle on the content hash; the spread()
+    # round-robin repartition of the under-split local file adds one.
+    assert pi.shuffle_count(df) <= 2

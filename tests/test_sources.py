@@ -88,3 +88,34 @@ def test_parquet_sink_partition_pruning(spark):
 
     # empty-input no-op guard (dim_loader.py:24-26)
     assert sinks.append_parquet(df.filter(F.lit(False)), base) == 0
+
+
+def test_csv_roundtrip_with_schema_and_coercion(spark, tmp_path):
+    from nyc_opendata_etl_spark.sources.formats import read_csv, write_csv
+
+    path = str(tmp_path / "csv")
+    src = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, Name string, score double"
+    )
+    write_csv(src, path, mode="overwrite")
+    back = read_csv(spark, path, schema="id long, name string, score double")
+    assert back.columns == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {1: ("alpha", 1.5), 2: ("beta", None)}
+    # malformed cells coerce to NULL instead of failing the job
+    (tmp_path / "csv" / "bad.csv").write_text("id,name,score\nxx,gamma,oops\n")
+    bad = read_csv(spark, path, schema="id long, name string, score double")
+    assert {r.score for r in bad.filter("name = 'gamma'").collect()} == {None}
+
+
+def test_jsonl_roundtrip_with_drift(spark, tmp_path):
+    from nyc_opendata_etl_spark.sources.formats import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "jsonl")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_jsonl(src, path, mode="overwrite")
+    # drifted file: missing v, extra field z
+    (tmp_path / "jsonl" / "drift.json").write_text('{"id": 3, "z": true}\n')
+    back = read_jsonl(spark, path, schema="id long, v string")
+    rows = {r.id: r.v for r in back.collect()}
+    assert rows == {1: "a", 2: "b", 3: None}  # missing -> NULL, extra dropped
