@@ -41,10 +41,13 @@ def uses_sort_merge_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (pre-AQE)."""
-    return count_node(df, "Exchange hashpartitioning") + count_node(
-        df, "Exchange rangepartitioning"
-    ) + count_node(df, "Exchange RoundRobinPartitioning")
+    """Number of shuffle exchanges in the plan (pre-AQE).
+
+    ``explain("formatted")`` prints each operator once as a numbered
+    detail header ``(n) Exchange``; broadcast exchanges print as
+    ``(n) BroadcastExchange`` and are not shuffles.
+    """
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

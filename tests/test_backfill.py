@@ -1,0 +1,69 @@
+"""Backfill driver tests: month iteration parity with the reference's
+rollover loop, and idempotent per-window dynamic partition overwrite."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators.backfill import (
+    backfill_partitioned,
+    month_windows,
+    run_month_by_month,
+)
+
+
+def test_month_windows_rollover():
+    ws = list(
+        month_windows(datetime.date(2013, 7, 1), datetime.date(2014, 2, 1))
+    )
+    assert ws[0] == (datetime.date(2013, 7, 1), datetime.date(2013, 8, 1))
+    assert ws[-1] == (datetime.date(2014, 1, 1), datetime.date(2014, 2, 1))
+    assert len(ws) == 7  # Jul..Dec 2013 + Jan 2014, year rollover included
+    # ragged end clamps
+    ws2 = list(month_windows(datetime.date(2024, 1, 5), datetime.date(2024, 2, 15)))
+    assert ws2 == [
+        (datetime.date(2024, 1, 1), datetime.date(2024, 2, 1)),
+        (datetime.date(2024, 2, 1), datetime.date(2024, 2, 15)),
+    ]
+
+
+def test_run_month_by_month_counts():
+    seen = []
+    n = run_month_by_month(
+        lambda s, e: seen.append((s, e)),
+        datetime.date(2023, 11, 1),
+        datetime.date(2024, 2, 1),
+    )
+    assert n == len(seen) == 3
+
+
+def test_backfill_partitioned_is_idempotent_per_window(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00", "a"),
+            (2, "2024-02-10 00:00:00", "b"),
+            (3, "2024-02-20 00:00:00", "c"),
+        ],
+        "id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    backfill_partitioned(df, "ts", sink)
+    assert spark.read.parquet(sink).count() == 3
+
+    # re-run ONLY February with revised data: January must be untouched,
+    # February fully replaced (not appended)
+    feb_revised = spark.createDataFrame(
+        [(9, "2024-02-11 00:00:00", "B!")], "id long, ts string, v string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    backfill_partitioned(
+        feb_revised,
+        "ts",
+        sink,
+        start=datetime.date(2024, 2, 1),
+        end=datetime.date(2024, 3, 1),
+    )
+    out = spark.read.parquet(sink)
+    assert {r.id for r in out.collect()} == {1, 9}
+    assert {r.month for r in out.collect()} == {"2024-01", "2024-02"}
