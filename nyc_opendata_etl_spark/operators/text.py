@@ -154,3 +154,18 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def detected_lang(col: Column | str) -> Column:
+    """Stopword-hit language id with fixed priority tie-break
+    (en > de > fr > es > unknown) — the deterministic heuristic shared
+    by the lang-id query and corpus curation."""
+    hits = {lang: stopword_hits(col, words) for lang, words in STOPWORDS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )

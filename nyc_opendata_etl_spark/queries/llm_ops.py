@@ -228,20 +228,10 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic with a fixed priority
     tie-break (en > de > fr > es > unknown)."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    hits = {
-        lang: text.stopword_hits("text", words)
-        for lang, words in text.STOPWORDS.items()
-    }
-    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
-    detected = (
-        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
-        .when((fr >= es) & (fr > 0), F.lit("fr"))
-        .when(es > 0, F.lit("es"))
-        .otherwise(F.lit("unknown"))
-    )
     return docs.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), detected.alias("detected_lang")
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.detected_lang("text").alias("detected_lang"),
     )
 
 
@@ -421,3 +411,92 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return two_phase_count_distinct(li, ["l_returnflag"], "l_suppkey", "n_supp")
+
+
+# Shared DuckDB fragment: stopword-hit language detection (twin of
+# operators/text.detected_lang).
+_LANG_CASE = """
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits > 0 THEN 'es'
+             ELSE 'unknown'
+           END
+"""
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH surv AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY {md5_long_oracle_sql(_CANON)}
+    ),
+    t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_WS}'), x -> x <> '')
+                   AS raw_toks,
+               list_filter(regexp_split_to_array(lower(text), '{_WS}'),
+                           x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM surv)
+    ),
+    hits AS (
+        SELECT doc_id, CAST(len(raw_toks) AS BIGINT) AS n_tokens,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS en_hits,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de_hits,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS fr_hits,
+           len(list_filter(toks, x -> list_contains(['el','la','que','los','de'], x))) AS es_hits
+        FROM t
+    )
+    SELECT doc_id, n_tokens
+    FROM hits
+    WHERE {_LANG_CASE} = 'en' AND n_tokens BETWEEN 5 AND 1000
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus curation pipeline in one query:
+    exact-dedup to first-seen survivors (hash-aggregate + semi join),
+    language filter (en), token-count band filter. Every stage is
+    shuffle-minimal: one hash aggregate for survivors, one semi join on
+    the id, the rest map-side."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    survivors = dedup.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    n_tokens = text.token_count("text").cast("long")
+    return (
+        kept.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            text.detected_lang("text").alias("lang_det"),
+        )
+        .filter((F.col("lang_det") == "en") & F.col("n_tokens").between(5, 1000))
+        .select("doc_id", "n_tokens")
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                      x -> x <> '')) / 20) * 20 AS BIGINT)
+               AS token_bucket,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: token counts bucketed by 20 — the
+    standard pre-training corpus diagnostic (one map-side bucket expr +
+    one hash aggregate)."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    bucket = (F.floor(text.token_count("text") / 20) * 20).cast("long")
+    return docs.groupBy(bucket.alias("token_bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
