@@ -33,6 +33,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # absorb one-time JVM/codegen bootstrap so the first query's number
+    # measures the query, not session warmup (session startup itself is
+    # already outside the timed region)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qs = queries()
     timings: dict[str, float] = {}

@@ -135,3 +135,96 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_events.stateful_first_seen(stream, "user_id")
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     return streaming_events.run_available_now(deduped, name, output_mode="append")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH first_click AS (
+        SELECT user_id, min(ts) AS t_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT f.user_id, min(e.ts) AS t_purchase
+        FROM first_click f
+        JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > f.t_click
+         AND e.ts <= f.t_click + INTERVAL '24 hours'
+        GROUP BY f.user_id
+    )
+    SELECT count(*) AS n_clicked,
+           (SELECT count(*) FROM converted) AS n_converted
+    FROM first_click
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users whose first 'click' is followed by a
+    'purchase' within 24h. Plan shape: two filtered aggregates + one
+    range-condition join on user_id — the range predicate rides the
+    equi-join shuffle, no cross product."""
+    events = load_table(spark, sf_dir, "events")
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("t_click"))
+            & (F.col("p_ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    return first_click.agg(F.count("*").alias("n_clicked")).crossJoin(
+        converted.agg(F.count("*").alias("n_converted"))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+               time_bucket(INTERVAL '1 day', e.ts) AS active_day
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each later active day. Two hash aggregates + one
+    broadcast-able cohort join."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        events.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.date_trunc("day", F.col("ts")).alias("active_day"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_day",
+        F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+    ).agg(F.count("*").alias("n_users"))
