@@ -228,3 +228,76 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value
+        FROM events
+        ORDER BY user_id, ts, value
+    ),
+    per_user AS (
+        SELECT user_id, list(value) AS vs FROM ordered GROUP BY user_id
+    )
+    SELECT user_id,
+           list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+    FROM per_user
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user final EWMA of event values — a true recurrence, so it
+    runs as a grouped-map applyInPandas kernel; the oracle folds the
+    same recurrence with list_reduce over the identically-ordered
+    series."""
+    from nyc_opendata_etl_spark.operators.grouped import ewma_last_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_last_per_key(events, "user_id", "ts", "value", alpha=0.3)
+
+
+@register(
+    "quality_validation",
+    oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN COALESCE(l_quantity > 0, false) THEN 0 ELSE 1 END)
+                   AS f_qty_positive,
+               sum(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 1, false) THEN 0 ELSE 1 END)
+                   AS f_discount_unit_range,
+               sum(CASE WHEN COALESCE(l_shipdate IS NOT NULL, false) THEN 0 ELSE 1 END)
+                   AS f_shipdate_present,
+               sum(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), false) THEN 0 ELSE 1 END)
+                   AS f_returnflag_domain
+        FROM lineitem
+    )
+    SELECT rule, n_rows, n_failed,
+           round(1.0 - n_failed / greatest(n_rows, 1), 6) AS pass_ratio
+    FROM (
+        SELECT 'qty_positive' AS rule, n_rows, f_qty_positive AS n_failed FROM agg
+        UNION ALL
+        SELECT 'discount_unit_range', n_rows, f_discount_unit_range FROM agg
+        UNION ALL
+        SELECT 'shipdate_present', n_rows, f_shipdate_present FROM agg
+        UNION ALL
+        SELECT 'returnflag_domain', n_rows, f_returnflag_domain FROM agg
+    )
+    """,
+)
+def q_quality_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: 4 expectations over lineitem in
+    ONE scan + one global aggregate (rules fan out columnar, not as
+    N jobs)."""
+    from nyc_opendata_etl_spark.operators.quality import validate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_unit_range": F.col("l_discount").between(0, 1),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

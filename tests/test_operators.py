@@ -284,3 +284,31 @@ def test_two_phase_count_distinct(spark):
     )
     out = {r.g: r.n for r in two_phase_count_distinct(df, ["g"], "x", "n").collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_ewma_last_per_key(spark):
+    from nyc_opendata_etl_spark.operators.grouped import ewma_last_per_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "user_id long, ts long, value double",
+    )
+    out = {r.user_id: r.ewma for r in
+           ewma_last_per_key(df, "user_id", "ts", "value", alpha=0.5).collect()}
+    # fold: 10 -> 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
+    assert out[1] == 22.5
+    assert out[2] == 5.0  # single value: state = x
+
+
+def test_validate_expectations(spark):
+    from nyc_opendata_etl_spark.operators.quality import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], "id long, v double"
+    )
+    out = {r.rule: (r.n_rows, r.n_failed, r.pass_ratio) for r in validate(
+        df, {"v_positive": F.col("v") > 0, "v_present": F.col("v").isNotNull()}
+    ).collect()}
+    # NULL comparison counts as failure, not unknown-pass
+    assert out["v_positive"] == (3, 2, round(1 / 3, 6))
+    assert out["v_present"] == (3, 1, round(2 / 3, 6))
