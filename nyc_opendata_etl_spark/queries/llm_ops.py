@@ -500,3 +500,30 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(bucket.alias("token_bucket")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {md5_long_oracle_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train'
+                WHEN {md5_long_oracle_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content hash
+    of the document id — stable across runs, engines, and cluster
+    layouts (no seeded RNG, no row order dependence), which is what a
+    reproducible training pipeline needs. Pure map-side expression."""
+    from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
