@@ -99,3 +99,43 @@ def test_ampm_parser_matches_reference_port(spark, vals):
     got = [r.k for r in df.select(parse_ampm_time_key("t").alias("k")).collect()]
     want = [_ref_parse_ampm(v) for v in vals]
     assert got == want
+
+
+def _brute_jaccard_pairs(docs: list[tuple[int, str]], n: int, t: float):
+    """Reference implementation: exact n-gram Jaccard over all pairs."""
+    def shingles(s: str) -> set[str]:
+        toks = [x for x in s.strip().lower().split() if x]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(s) for i, s in docs}
+    out = set()
+    for i, si in sh.items():
+        for j, sj in sh.items():
+            if i < j and si and sj:
+                jac = len(si & sj) / len(si | sj)
+                if round(jac, 6) >= t:
+                    out.add((i, j))
+    return out
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+DOC = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=12, unique=True))
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts):
+    """The AllPairs/PPJoin prefix filter must find EXACTLY the pairs a
+    brute-force all-pairs scan finds — losslessness is the whole claim.
+    Small vocab + short docs maximize shared shingles and boundary
+    |A|·t ≤ |B| cases."""
+    from nyc_opendata_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.6).collect()
+    }
+    want = _brute_jaccard_pairs(docs, n=2, t=0.6)
+    assert got == want
