@@ -209,14 +209,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day,
-    counted on each later active day. Two hash aggregates + one
-    broadcast-able cohort join."""
+    counted on each later active day. Two hash aggregates + one join on
+    user_id. The cohort side scales with user count, so it is NOT
+    broadcast-hinted — AQE still picks broadcast when it fits, and falls
+    back to a shuffle join when the user population doesn't."""
     events = load_table(spark, sf_dir, "events")
     cohort = events.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
     )
     activity = (
-        events.join(F.broadcast(cohort), "user_id")
+        events.join(cohort, "user_id")
         .select(
             "user_id",
             "cohort_day",
