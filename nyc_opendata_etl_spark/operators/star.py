@@ -36,8 +36,12 @@ def star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim_segment = build_dim(customer, ["c_mktsegment"], "segment_key")
 
+    # no broadcast hint: customer scales with SF (it's a TPC-H-style
+    # dimension that grows with the fact tables). Catalyst broadcasts it
+    # from size stats while it's small; at 100 TB this correctly becomes
+    # a shuffle join.
     fact = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == customer["c_custkey"],
         "left",
     ).drop("c_custkey")

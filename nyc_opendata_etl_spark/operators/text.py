@@ -138,8 +138,11 @@ def tfidf_top_terms(
     n_docs = df.select(
         F.countDistinct(id_col).alias("__n_docs__")
     )
+    # doc_freq (the vocabulary) scales with the corpus — no broadcast
+    # hint; the shuffle join on term is already the partitioning term_tf
+    # has, and Catalyst still broadcasts small vocabularies from stats.
     scored = (
-        term_tf.join(F.broadcast(doc_freq), "term")
+        term_tf.join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

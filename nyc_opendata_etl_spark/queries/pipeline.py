@@ -33,7 +33,7 @@ def _synth_raw_311(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
     return (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            customer.select("c_custkey", "c_mktsegment"),
             orders["o_custkey"] == F.col("c_custkey"),
             "left",
         )

@@ -266,14 +266,15 @@ def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way inner join: fact side streams through two broadcast hash
-    joins (nation and customer are dims), one shuffle for the agg."""
+    """3-way inner join. nation (25 rows, fixed) is broadcast-hinted;
+    customer scales with SF so it carries no hint — Catalyst broadcasts
+    it from size stats while small and shuffles it at scale."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
