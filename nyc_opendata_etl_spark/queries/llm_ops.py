@@ -527,3 +527,111 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH old AS (
+        SELECT DISTINCT {md5_long_oracle_sql(_CANON)} AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new_batch AS (
+        SELECT doc_id, {md5_long_oracle_sql(_CANON)} AS h
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id FROM new_batch
+    WHERE h NOT IN (SELECT h FROM old)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch checked against the historical
+    corpus's fingerprint index (here: even doc_ids stand in for the
+    corpus, odd for the batch). One left-anti join on the content hash —
+    at 100 TB the index side is a parquet fingerprint table partitioned
+    by hash prefix, and only the (small) new batch shuffles."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    h = text.fingerprint("text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(h.alias("h")).distinct()
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", h.alias("h"))
+    return batch.join(corpus, "h", "left_anti").select("doc_id")
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{_WS}'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   [array_to_string(toks[i:i+2], ' ')
+                    FOR i IN range(1, len(toks) - 1)]
+               ELSE [] END AS shingles
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS INT) AS n_shingles,
+           round(CASE WHEN len(shingles) > 0
+                 THEN 1.0 - len(list_distinct(shingles))
+                      / CAST(len(shingles) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS repetition_ratio
+    FROM sh
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total 3-gram shingles —
+    the standard boilerplate/spam signal for corpus filtering. Pure
+    map-side expression over the shingle array."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    sh = dedup.word_shingles("text", 3)
+    n = F.size(sh)
+    ratio = F.when(
+        n > 0,
+        F.round(1.0 - F.size(F.array_distinct(sh)) / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_shingles"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround, explicit classes only.
+_PII_PATTERNS = {
+    "emails": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "phones": "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4s": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+@register(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["emails"]}'))
+                AS INT) AS emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["phones"]}'))
+                AS INT) AS phones,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["ipv4s"]}'))
+                AS INT) AS ipv4s
+    FROM documents
+    """,
+)
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-scrub scan: per-doc counts of email/phone/IPv4 matches
+    (the detection half of redaction; patterns restricted to syntax
+    shared by Java regex and RE2 so the oracle is exact)."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(name)
+            for name, pat in _PII_PATTERNS.items()
+        ],
+    )
