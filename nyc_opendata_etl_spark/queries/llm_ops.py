@@ -127,10 +127,44 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, query_vec_id=0, k=10)
 
 
-@register("similarity_ann_lsh")  # approximate by design → rows-only
+# cosine(a, b) in DuckDB double math — twin of operators/similarity.cosine
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+@register(
+    "similarity_ann_lsh",
+    # approximate in RECALL, but fully deterministic given the fixed
+    # hyperplanes — so the oracle replays the identical bucketing:
+    # bit i = (v[2i] - v[2i+1] >= 0), bucket = packed bits.
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[3] AS DOUBLE) - CAST(embedding[4] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[5] AS DOUBLE) - CAST(embedding[6] AS DOUBLE) >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[7] AS DOUBLE) - CAST(embedding[8] AS DOUBLE) >= 0 THEN 8 ELSE 0 END)
+               AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_cos_sql('b.embedding', 'q.q_vec')}, 6) AS cosine_sim
+    FROM b, q
+    WHERE b.bucket = q.q_bucket AND vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets (deterministic fixed planes:
-    coordinate pairs), exact re-rank within bucket."""
+    coordinate pairs), exact re-rank within the query's bucket. The
+    bucketing is deterministic, so the oracle replays it exactly —
+    the differential check covers the bucket math AND the re-rank."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     planes = []
     for i in range(4):
@@ -269,11 +303,45 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(emb, threshold=0.4)
 
 
-@register("similarity_ann_ivf")  # approximate by design → rows-only
+@register(
+    "similarity_ann_ivf",
+    # deterministic coarse quantizer (seed centroids, fixed tie-breaks)
+    # → the oracle replays the full IVF protocol: assign, probe, re-rank.
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_cos_sql('e.embedding', 'c.cent')} AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cent_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT cent_id FROM scored WHERE vec_id = 0
+        ORDER BY sim DESC, cent_id LIMIT 2
+    ),
+    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round({_cos_sql('a.embedding', 'q.q_vec')}, 6) AS cosine_sim
+    FROM assigned a, q
+    WHERE a.cent_id IN (SELECT cent_id FROM probes) AND a.vec_id <> 0
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: 16 deterministic coarse cells, probe the 2 nearest,
     exact re-rank within. The scale path where a broadcast index no
-    longer fits."""
+    longer fits. Fully deterministic → the oracle replays assignment,
+    probing, and re-rank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.ann_ivf_topk(emb, query_vec_id=0, n_centroids=16, n_probe=2)
 
