@@ -151,6 +151,36 @@ def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def stream_to_partitioned_sink(
+    events: DataFrame,
+    sink_path: str,
+    ts_col: str = "ts",
+    query_name: str = "sink",
+) -> None:
+    """Stream → month-partitioned warehouse parquet via ``foreachBatch``
+    + the backfill writer: each micro-batch lands with dynamic partition
+    overwrite, so a replayed batch (at-least-once delivery, restarts)
+    rewrites its months instead of duplicating rows — the idempotent
+    streaming-sink pattern that pairs with
+    :func:`~nyc_opendata_etl_spark.operators.backfill.backfill_partitioned`.
+
+    Bounded by ``Trigger.AvailableNow`` here (the backfill use); drop the
+    trigger for a continuous pipeline.
+    """
+    from nyc_opendata_etl_spark.operators.backfill import backfill_partitioned
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        backfill_partitioned(batch_df, ts_col, sink_path)
+
+    q = (
+        events.writeStream.foreachBatch(sink_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str = "backfill",

@@ -95,3 +95,36 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         stateful_first_seen(stream, "user_id"), "t_dedup", output_mode="append"
     )
     assert sorted(r.user_id for r in out.collect()) == [10, 20, 30]
+
+
+def test_stream_to_partitioned_sink_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.streaming.events import (
+        read_event_stream,
+        stream_to_partitioned_sink,
+    )
+
+    rows = [
+        (1, "2024-01-10 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-02-10 00:00:00", 20, "view", 2.0, "{}"),
+        (3, "2024-02-20 00:00:00", 30, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    df.write.parquet(src)
+
+    stream_to_partitioned_sink(read_event_stream(spark, src), sink, query_name="s1")
+    assert spark.read.parquet(sink).count() == 3
+    # replaying the same bounded stream (fresh query, same source) must
+    # REPLACE the months, not append duplicates
+    stream_to_partitioned_sink(read_event_stream(spark, src), sink, query_name="s2")
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert {r.month for r in out.select("month").distinct().collect()} == {
+        "2024-01", "2024-02",
+    }
