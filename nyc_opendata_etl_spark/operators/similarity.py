@@ -234,3 +234,44 @@ def ann_lsh_topk(
         F.round(cosine(F.col(vec_col), F.col("__q_vec__")), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH-bucket candidate
+    generation + exact cosine verify.
+
+    This is the 100 TB path :func:`cosine_neardup_pairs` documents: the
+    only pairwise step is the self-join on the bucket id (uniformly
+    distributed sign-bits — a skew-free shuffle key), so cost is
+    Σ per-bucket |b|² instead of n². Recall < 1 by construction (pairs
+    split across buckets are missed — more planes ⇒ smaller buckets ⇒
+    lower recall ⇒ cheaper); every EMITTED pair is exact-verified, so
+    precision is 1 at the threshold. Deterministic given the planes, so
+    a SQL oracle replays it exactly.
+    """
+    b = embeddings.withColumn("__bucket__", lsh_bucket(F.col(vec_col), hyperplanes))
+    lhs = b.alias("a")
+    rhs = b.alias("b")
+    sim = F.round(
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.__bucket__") == F.col("b.__bucket__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

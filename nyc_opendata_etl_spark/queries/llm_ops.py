@@ -703,3 +703,33 @@ def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, pat in _PII_PATTERNS.items()
         ],
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[3] AS DOUBLE) - CAST(embedding[4] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+               AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH buckets + exact in-bucket verify —
+    the scale path for dedup_embedding_cosine (no broadcast index, no
+    O(n²)); 2 planes here so buckets stay populated at test scale."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    planes = []
+    for i in range(2):
+        plane = [0.0] * 64
+        plane[i * 2] = 1.0
+        plane[i * 2 + 1] = -1.0
+        planes.append(plane)
+    return similarity.lsh_neardup_pairs(emb, planes, threshold=0.4)
