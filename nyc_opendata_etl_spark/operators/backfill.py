@@ -78,3 +78,30 @@ def backfill_partitioned(
         out = out.filter(F.col(ts_col) < F.lit(str(end)).cast("timestamp"))
     out = out.withColumn(partition_col, F.date_format(ts_col, "yyyy-MM"))
     out.write.mode("overwrite").partitionBy(partition_col).parquet(sink_path)
+
+
+def compact_partitions(
+    spark, sink_path: str, partition_col: str = "month"
+) -> int:
+    """Compact a partitioned parquet sink: rewrite each partition's
+    many small files (the residue of incremental micro-batch appends)
+    into one file per partition.
+
+    Small files are the classic lake-maintenance problem — at 100 TB a
+    month of 5-minute micro-batches leaves ~8k files/partition and scan
+    planning degrades. One shuffle clustered by the partition column
+    re-writes each partition from a single task; ``localCheckpoint``
+    materializes the data first so the self-overwrite is safe. Returns
+    the row count (sanity handle for the caller).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(sink_path).localCheckpoint()
+    n = df.count()
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(sink_path)
+    )
+    return n

@@ -67,3 +67,29 @@ def test_backfill_partitioned_is_idempotent_per_window(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert {r.id for r in out.collect()} == {1, 9}
     assert {r.month for r in out.collect()} == {"2024-01", "2024-02"}
+
+
+def test_compact_partitions(spark, tmp_path):
+    import glob
+
+    from nyc_opendata_etl_spark.operators.backfill import compact_partitions
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 2}-10 00:00:00", "x") for i in range(100)],
+        "id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # simulate micro-batch residue: 8 small files per month partition
+    (
+        df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .repartition(8)
+        .write.partitionBy("month")
+        .parquet(sink)
+    )
+    before = glob.glob(f"{sink}/month=*/part-*.parquet")
+    assert len(before) > 2
+
+    assert compact_partitions(spark, sink) == 100
+    after = glob.glob(f"{sink}/month=*/part-*.parquet")
+    assert len(after) == 2  # one file per month partition
+    assert spark.read.parquet(sink).count() == 100
