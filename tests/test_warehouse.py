@@ -204,3 +204,37 @@ def test_missing_location_type_column(spark):
     out = W.build_star(spark, df, parking)
     f = out["fact_311_complaints"].collect()[0]
     assert f["complaint_key"] == ref_hash("x", "y", "")
+
+
+def test_build_star_with_both_inputs_empty(spark):
+    """The reference skips loads on empty inputs (F3 guards,
+    dim_loader.py:24-26, main.py:62,102,149); our build must yield
+    empty-but-correctly-typed outputs, never fail."""
+    cols_311 = [
+        "unique_key", "created_date", "agency", "agency_name",
+        "complaint_type", "descriptor",
+    ]
+    cols_parking = [
+        "summons_number", "issue_date", "violation_time", "violation_code",
+        "plate_id", "registration_state", "plate_type", "house_number",
+        "street_name", "intersecting_street", "violation_county",
+        "violation_precinct",
+    ]
+    empty_311 = spark.createDataFrame(
+        [], ", ".join(f"{c} string" for c in cols_311)
+    )
+    empty_parking = spark.createDataFrame(
+        [], ", ".join(f"{c} string" for c in cols_parking)
+    )
+    out = W.build_star(spark, empty_311, empty_parking)
+    # generated dims stay populated; data-derived tables are empty
+    assert out["dim_date"].count() > 0
+    assert out["dim_time"].count() == 1440
+    for name in (
+        "dim_agency", "dim_vehicle", "fact_311_complaints",
+        "fact_parking_tickets", "integrated_fact_service_requests",
+    ):
+        assert out[name].count() == 0, name
+    # FK key columns exist and are typed on the empty facts
+    assert "agency_key" in out["fact_311_complaints"].columns
+    assert "vehicle_key" in out["fact_parking_tickets"].columns
