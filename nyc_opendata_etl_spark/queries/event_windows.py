@@ -303,3 +303,62 @@ def q_quality_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+@register(
+    "events_user_sequences",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS seq,
+           CAST(len(list(event_type)) AS INT) AS seq_len
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequences — the raw material of
+    sequence-model training data. collect_list has no deterministic
+    order in a distributed agg, so elements are collected as
+    (ts, event_id, type) structs and sort_array imposes the total order
+    AFTER the shuffle — one hash aggregate, deterministic output."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("seq"),
+        F.count("*").cast("int").alias("seq_len"),
+    )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM w WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts (Markov matrix) over per-user event
+    streams: one window pass + one aggregate."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
