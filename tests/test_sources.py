@@ -119,3 +119,20 @@ def test_jsonl_roundtrip_with_drift(spark, tmp_path):
     back = read_jsonl(spark, path, schema="id long, v string")
     rows = {r.id: r.v for r in back.collect()}
     assert rows == {1: "a", 2: "b", 3: None}  # missing -> NULL, extra dropped
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from nyc_opendata_etl_spark.sources.formats import read_orc, write_orc
+    from nyc_opendata_etl_spark.plans import inspect as pi
+
+    path = str(tmp_path / "orc")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+    write_orc(src, path, mode="overwrite")
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    filtered = back.filter(back["id"] > 90)
+    assert filtered.count() == 9
+    # predicate reaches the ORC scan
+    assert pi.has_pushed_filter(filtered, "id")
