@@ -22,6 +22,26 @@ from nyc_opendata_etl_spark.queries import register
 from nyc_opendata_etl_spark.sources.tables import load_table
 from nyc_opendata_etl_spark.streaming import events as streaming_events
 
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a micro-batchable copy of the events table (the raw file
+    has TIMESTAMP(NANOS), unreadable by the streaming parquet source;
+    staging ≙ the bronze layer a real pipeline would stream from).
+    Cached by mtime: re-staged only when the source is newer."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not (
+        os.path.exists(marker)
+        and os.path.getmtime(marker) > os.path.getmtime(src)
+    ):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    return stage
+
+
 _TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -102,13 +122,7 @@ def q_stream_tumbling_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode), checked against the same batch oracle — proving
     batch/stream semantic equivalence of the shared transformation.
     """
-    # Stage a micro-batchable copy (the raw file has TIMESTAMP(NANOS),
-    # unreadable by the streaming parquet source; staging ≙ the bronze
-    # layer a real pipeline would stream from).
-    stage = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream_stage", os.path.basename(sf_dir.rstrip("/"))
-    )
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    stage = _stage_events(spark, sf_dir)
 
     stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
     agg = streaming_events.tumbling_counts(stream)
@@ -126,10 +140,7 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct user exactly once — is batching-invariant, so a plain
     batch DISTINCT is a full-value oracle for a genuinely streaming
     stateful execution."""
-    stage = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream_stage", os.path.basename(sf_dir.rstrip("/"))
-    )
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    stage = _stage_events(spark, sf_dir)
 
     stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
     deduped = streaming_events.stateful_first_seen(stream, "user_id")
