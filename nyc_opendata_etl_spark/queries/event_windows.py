@@ -246,13 +246,9 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ewma",
     oracle="""
-    WITH ordered AS (
-        SELECT user_id, value
-        FROM events
-        ORDER BY user_id, ts, value
-    ),
-    per_user AS (
-        SELECT user_id, list(value) AS vs FROM ordered GROUP BY user_id
+    WITH per_user AS (
+        SELECT user_id, list(value ORDER BY ts, value) AS vs
+        FROM events GROUP BY user_id
     )
     SELECT user_id,
            list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
