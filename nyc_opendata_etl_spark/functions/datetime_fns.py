@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from nyc_opendata_etl_spark.functions.normalize import PY_WS_JAVA
+
 
 def date_key(col: Column | str) -> Column:
     """timestamp/date → int yyyyMMdd (``load_311.py:50-52``,
@@ -49,7 +51,11 @@ def parse_ampm_time_key(col: Column | str) -> Column:
     has no TimeType — SURVEY §1.2).
     """
     c = F.col(col) if isinstance(col, str) else col
-    raw = F.upper(F.regexp_replace(c.cast("string"), r"^\s+|\s+$", ""))
+    raw = F.upper(
+        F.regexp_replace(
+            c.cast("string"), f"^[{PY_WS_JAVA}]+|[{PY_WS_JAVA}]+$", ""
+        )
+    )
     marker = F.substring(raw, -1, 1)
     core = raw.substr(F.lit(1), F.length(raw) - 1)
     needs_colon = (~core.contains(":")) & F.length(core).isin(3, 4)

@@ -23,13 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long
-from nyc_opendata_etl_spark.operators.text import TOKEN_SPLIT_RE
-
-
-def canon_text(col: Column | str) -> Column:
-    """Whitespace-canonicalized lowercase text (dedup canonical form)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
+from nyc_opendata_etl_spark.operators.text import canon_text
 
 
 def exact_dedup_groups(

@@ -43,6 +43,10 @@ def salted_join(
     """
     if salt_source is None:
         raise ValueError("pass a fact-side salt_source column")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full joins would emit `buckets` copies of every unmatched
+        # dim row (the dim is replicated per salt before the join)
+        raise ValueError(f"salted_join preserves semantics only for inner/left, not {how!r}")
     f = fact.withColumn("__salt__", F.pmod(F.xxhash64(salt_source), F.lit(buckets)))
     d = dim.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -19,6 +19,20 @@ TOKEN_SPLIT_RE = f"[{PY_WS_JAVA}]+"
 BPE_ISH_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{PY_WS_JAVA}]"
 
 
+def canon_text(col: Column | str) -> Column:
+    """Whitespace-canonical lowercase text (the dedup canonical form):
+    strip the full Python whitespace set (PY_WS_JAVA — F.trim alone
+    strips only ASCII spaces, leaving e.g. a leading tab as a residual
+    leading space and an empty first shingle token), then collapse
+    interior runs to single spaces. Mirrored by the _CANON fragment in
+    queries/llm_ops.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(
+        F.lower(c), f"^[{PY_WS_JAVA}]+|[{PY_WS_JAVA}]+$", ""
+    )
+    return F.regexp_replace(stripped, TOKEN_SPLIT_RE, " ")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens (empty strings filtered)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -81,9 +95,7 @@ def stopword_hits(col: Column | str, words: list[str]) -> Column:
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5-derived 10^9-space hash of the
     whitespace-canonicalized, lowercased text (stable dedup id)."""
-    c = F.col(col) if isinstance(col, str) else col
-    canon = F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
-    return md5_long(canon)
+    return md5_long(canon_text(col))
 
 
 ROLLING_BASE = 31

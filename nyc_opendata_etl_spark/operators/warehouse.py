@@ -53,6 +53,7 @@ from nyc_opendata_etl_spark.functions.datetime_fns import (
 from nyc_opendata_etl_spark.functions.hashing import surrogate_key
 from nyc_opendata_etl_spark.functions.normalize import (
     ensure_columns,
+    normalize_string,
     normalize_headers,
     normalize_strings,
     numeric_coerce,
@@ -175,14 +176,7 @@ def build_violation_dim(df: DataFrame) -> DataFrame:
         src.groupBy("violation_code")
         .agg(F.min("violation_description").alias("violation_description"))
         .withColumn(
-            "violation_description",
-            F.lower(
-                F.regexp_replace(
-                    F.coalesce(F.col("violation_description").cast("string"), F.lit("")),
-                    r"^\s+|\s+$",
-                    "",
-                )
-            ),
+            "violation_description", normalize_string("violation_description")
         )
         .withColumn("violation_code", numeric_coerce("violation_code", "long"))
         .na.drop(subset=["violation_code"])
@@ -356,6 +350,9 @@ def normalize_parking_join_fields(raw_parking: DataFrame) -> DataFrame:
     return df
 
 
+_CACHED_INPUTS: list[DataFrame] = []
+
+
 def build_star(
     spark: SparkSession, raw_311: DataFrame, raw_parking: DataFrame
 ) -> dict[str, DataFrame]:
@@ -368,8 +365,13 @@ def build_star(
     from nyc_opendata_etl_spark.operators.dims import date_dim, time_dim
 
     raw_parking = normalize_parking_join_fields(normalize_headers(raw_parking))
+    # caches are scoped to one build: evict the previous build's pinned
+    # inputs so repeated builds in a session don't accumulate storage
+    while _CACHED_INPUTS:
+        _CACHED_INPUTS.pop().unpersist()
     raw_311.cache()
     raw_parking.cache()
+    _CACHED_INPUTS.extend([raw_311, raw_parking])
 
     agency_src = raw_311.select(
         *[

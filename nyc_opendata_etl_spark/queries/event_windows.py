@@ -27,10 +27,13 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     has TIMESTAMP(NANOS), unreadable by the streaming parquet source;
     staging ≙ the bronze layer a real pipeline would stream from).
     Cached by mtime: re-staged only when the source is newer."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
     stage = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream_stage",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{key}",
     )
     src = os.path.join(sf_dir, "events.parquet")
     marker = os.path.join(stage, "_SUCCESS")

@@ -18,7 +18,10 @@ from nyc_opendata_etl_spark.sources.tables import load_table
 # canonical text form used by dedup ops, as DuckDB SQL
 _WS = "[" + PY_WS_RE2 + "]+"
 _WS_CHARS = PY_WS_RE2
-_CANON = f"regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')"
+_CANON = (
+    f"regexp_replace(regexp_replace(lower(text),"
+    f" '^[{PY_WS_RE2}]+|[{PY_WS_RE2}]+$', '', 'g'), '{_WS}', ' ', 'g')"
+)
 
 
 @register(
@@ -608,8 +611,8 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {md5_long_oracle_sql(_CANON)} AS h
         FROM documents WHERE doc_id % 2 = 1
     )
-    SELECT doc_id FROM new_batch
-    WHERE h NOT IN (SELECT h FROM old)
+    SELECT doc_id FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
     """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

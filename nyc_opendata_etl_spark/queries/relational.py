@@ -513,13 +513,9 @@ def q_json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array explode + re-aggregate: global token frequencies."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
-            )
-        ).alias("token")
-    )
+    from nyc_opendata_etl_spark.operators.text import tokens as tok
+
+    tokens = docs.select(F.explode(tok(F.lower("text"))).alias("token"))
     return tokens.groupBy("token").agg(F.count("*").alias("n"))
 
 

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame
 def append_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> int:
-    """Append to a parquet table; returns rows written (0 → no-op)."""
+    """Append to a parquet table; returns -1 when data was written and
+    0 on the empty-input no-op (rows are NOT counted — counting would
+    cost a second job; callers needing counts should count upstream)."""
     if df.isEmpty():
         return 0
     writer = df.write.mode("append")

@@ -157,20 +157,36 @@ def stream_to_partitioned_sink(
     ts_col: str = "ts",
     query_name: str = "sink",
 ) -> None:
-    """Stream → month-partitioned warehouse parquet via ``foreachBatch``
-    + the backfill writer: each micro-batch lands with dynamic partition
-    overwrite, so a replayed batch (at-least-once delivery, restarts)
-    rewrites its months instead of duplicating rows — the idempotent
-    streaming-sink pattern that pairs with
-    :func:`~nyc_opendata_etl_spark.operators.backfill.backfill_partitioned`.
+    """Stream → (month, batch)-partitioned warehouse parquet via
+    ``foreachBatch``: idempotent AND loss-free.
 
-    Bounded by ``Trigger.AvailableNow`` here (the backfill use); drop the
-    trigger for a continuous pipeline.
+    Each micro-batch writes with dynamic partition overwrite into
+    partitions keyed by (month, batch_id), so
+
+    * a REPLAYED batch (at-least-once delivery, restart) rewrites
+      exactly its own (month, batch_id) partitions — no duplicates;
+    * a LATER batch touching the same month lands in different
+      batch_id partitions — earlier batches are never clobbered
+      (overwriting by month alone would silently drop every earlier
+      batch of the month).
+
+    Readers scan ``sink_path`` normally (month pruning still applies;
+    batch_id is an extra partition level); periodic
+    :func:`~nyc_opendata_etl_spark.operators.backfill.compact_partitions`
+    folds the per-batch files. Bounded by ``Trigger.AvailableNow`` here
+    (the backfill use); drop the trigger for a continuous pipeline.
     """
-    from nyc_opendata_etl_spark.operators.backfill import backfill_partitioned
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        backfill_partitioned(batch_df, ts_col, sink_path)
+        from pyspark.sql import functions as F
+
+        (
+            batch_df.withColumn("month", F.date_format(ts_col, "yyyy-MM"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("month", "batch_id")
+            .parquet(sink_path)
+        )
 
     q = (
         events.writeStream.foreachBatch(sink_batch)

@@ -120,14 +120,46 @@ def test_stream_to_partitioned_sink_is_idempotent(spark, tmp_path):
 
     stream_to_partitioned_sink(read_event_stream(spark, src), sink, query_name="s1")
     assert spark.read.parquet(sink).count() == 3
-    # replaying the same bounded stream (fresh query, same source) must
-    # REPLACE the months, not append duplicates
+    # replaying the same bounded stream (fresh query, same source, batch
+    # ids restart) must REPLACE its own partitions, not append duplicates
     stream_to_partitioned_sink(read_event_stream(spark, src), sink, query_name="s2")
     out = spark.read.parquet(sink)
     assert out.count() == 3
     assert {r.month for r in out.select("month").distinct().collect()} == {
         "2024-01", "2024-02",
     }
+
+
+def test_stream_sink_keeps_all_batches_of_a_month(spark, tmp_path):
+    """Regression: a month spanning several micro-batches must keep
+    EVERY batch's rows (overwriting by month alone dropped all but the
+    last batch)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.streaming.events import (
+        read_event_stream,
+        stream_to_partitioned_sink,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+
+    def mk(eid, day):
+        return spark.createDataFrame(
+            [(eid, f"2024-02-{day:02d} 00:00:00", eid, "click", 1.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # two separate files, same month -> two micro-batches with
+    # maxFilesPerTrigger=1
+    mk(1, 10).write.mode("append").parquet(src)
+    mk(2, 20).write.mode("append").parquet(src)
+    stream_to_partitioned_sink(
+        read_event_stream(spark, src, max_files_per_trigger=1), sink,
+        query_name="s3",
+    )
+    out = spark.read.parquet(sink)
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
 
 
 def test_checkpointed_available_now_is_incremental(spark, tmp_path):
