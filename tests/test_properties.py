@@ -139,3 +139,18 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts):
     }
     want = _brute_jaccard_pairs(docs, n=2, t=0.6)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=50))
+def test_canon_text_matches_python_reference(spark, texts):
+    """The dedup canonical form must equal Python's canonical one-liner
+    ``" ".join(s.lower().split())`` — str.split() strips/collapses the
+    exact whitespace set, so this pins the full-class strip fix (a plain
+    F.trim left e.g. leading tabs as a residual leading space)."""
+    from nyc_opendata_etl_spark.operators.text import canon_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.c for r in df.select(canon_text("text").alias("c")).collect()]
+    want = [" ".join(t.lower().split()) for t in texts]
+    assert got == want
