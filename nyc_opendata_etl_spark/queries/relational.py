@@ -717,24 +717,43 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 5
     WHERE levenshtein(a.p_name, b.p_name) <= 5
     """,
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching (entity-resolution primitive): name pairs
-    within edit distance 5, BLOCKED by brand — the standard blocking
-    trick that turns an O(n²) cross join into Σ per-block |b|², with
-    the block key as a skew-free shuffle key."""
+    within edit distance 5 under multi-key blocking (brand + first name
+    token) — the standard trick that turns an O(n²) cross join into
+    Σ per-block |b|² with a skew-free shuffle key; a lossless
+    length-difference prune then guards the O(mn) levenshtein kernel.
+    Pairs split across blocks are excluded by design (blocking trades
+    recall for tractability; the oracle mirrors the same blocks)."""
     part = load_table(spark, sf_dir, "part")
     a = part.alias("a")
     b = part.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # lossless prune: edit distance >= |len(a)-len(b)|, so pairs whose
+    # lengths differ by more than the threshold never reach the O(mn)
+    # levenshtein kernel
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (
+                F.split(F.col("a.p_name"), " ")[0]
+                == F.split(F.col("b.p_name"), " ")[0]
+            )
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 5
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("key_a"),
