@@ -284,13 +284,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels, edges["dst"] == labels["id"]
-        ).select(F.col("src").alias("id"), "label")
-        new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+
+    def one_round(lbl: DataFrame) -> DataFrame:
+        prop = edges.join(lbl, edges["dst"] == lbl["id"]).select(
+            F.col("src").alias("id"), "label"
+        )
+        return lbl.union(prop).groupBy("id").agg(F.min("label").alias("label"))
+
+    # two propagation rounds per materialization + convergence check:
+    # near-dup components are shallow (mostly cliques), so most runs
+    # finish in one batch and the check/checkpoint job count halves
+    # versus per-round checking. The extra round on an already-converged
+    # labeling is a no-op (min of equals), so correctness is unaffected.
+    for _ in range(0, max_iter, 2):
+        new_labels = one_round(one_round(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
