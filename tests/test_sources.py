@@ -136,3 +136,23 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert filtered.count() == 9
     # predicate reaches the ORC scan
     assert pi.has_pushed_filter(filtered, "id")
+
+
+def test_socrata_page_partition_math():
+    """Page layout: full pages plus a truncated last page; never a zero-
+    or negative-size page (the live API charges per request)."""
+    from pyspark.sql.types import StructType
+
+    from nyc_opendata_etl_spark.sources.socrata import SocrataReader
+
+    r = SocrataReader(StructType([]), {"limit": "25", "page_size": "10"})
+    pages = [(p.offset, p.limit) for p in r.partitions()]
+    assert pages == [(0, 10), (10, 10), (20, 5)]
+
+    # exact multiple: no empty trailing page
+    r = SocrataReader(StructType([]), {"limit": "20", "page_size": "10"})
+    assert [(p.offset, p.limit) for p in r.partitions()] == [(0, 10), (10, 10)]
+
+    # limit smaller than one page
+    r = SocrataReader(StructType([]), {"limit": "3", "page_size": "10"})
+    assert [(p.offset, p.limit) for p in r.partitions()] == [(0, 3)]
