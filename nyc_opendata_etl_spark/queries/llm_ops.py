@@ -736,3 +736,62 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         plane[i * 2 + 1] = -1.0
         planes.append(plane)
     return similarity.lsh_neardup_pairs(emb, planes, threshold=0.4)
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    model AS (
+        SELECT term, count(*) AS c FROM tok GROUP BY term
+    ),
+    totals AS (
+        SELECT sum(c) AS n_total, count(*) AS vocab FROM model
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln((m.c + 1) / CAST(tt.n_total + tt.vocab AS DOUBLE)), 9)
+                    AS DECIMAL(28,12)) AS lp
+        FROM tok t JOIN model m USING (term) CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_scored
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document (mean token
+    log-probability with add-one smoothing) — the classic cheap quality
+    signal for corpus filtering.
+
+    Determinism note: a distributed float sum has partition-dependent
+    order, so each token's logprob is rounded to 9 decimals and summed
+    as DECIMAL(28,12) — exact, order-independent — then the mean is
+    rounded to 6. Both engines fold identically, so the oracle is a
+    full value match despite float math in the middle.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    model = tok.groupBy("term").agg(F.count("*").alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("vocab")
+    )
+    lp = F.round(
+        F.log((F.col("c") + 1) / (F.col("n_total") + F.col("vocab")).cast("double")),
+        9,
+    ).cast("decimal(28,12)")
+    scored = (
+        tok.join(model, "term")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("mean_logprob"),
+        F.count("*").alias("n_scored"),
+    )
