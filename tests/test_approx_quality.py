@@ -60,3 +60,28 @@ def test_hll_error_within_declared_rsd(spark, qs):
     )
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.02, (k, approx[k], v)
+
+
+def test_minhash_estimates_jaccard(spark, qs):
+    """MinHash(16) signature-agreement fraction must estimate the true
+    Jaccard of the ground-truth pairs: measured MAE 0.039 / max error
+    0.164 at sf0.01 (theory: stderr ~ sqrt(s(1-s)/16) ~ 0.1 at s=0.8);
+    pinned at MAE <= 0.08, max <= 0.25."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.dedup import minhash_signatures
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    sig = {r.id: r for r in minhash_signatures(docs).collect()}
+    errs = []
+    for (ia, ib), jac in exact.items():
+        agree = sum(1 for i in range(16) if sig[ia][f"m{i}"] == sig[ib][f"m{i}"]) / 16
+        errs.append(abs(jac - agree))
+    assert errs
+    assert sum(errs) / len(errs) <= 0.08
+    assert max(errs) <= 0.25
