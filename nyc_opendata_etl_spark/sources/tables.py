@@ -32,7 +32,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def spread(df: DataFrame) -> DataFrame:
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("134217728", "134217728b", "128m")."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def _estimate_splits(spark: SparkSession, path: str) -> int:
+    """Estimate how many input splits a parquet path will yield.
+
+    Pure filesystem metadata (``os.stat``), so query *construction* stays
+    lazy — no RDD materialization just to count partitions. Mirrors
+    Spark's own file-split math (total bytes / maxPartitionBytes, ignoring
+    openCost, which only under-estimates — the safe direction here).
+    """
+    try:
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        max_bytes = 128 << 20
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    return max(1, -(-total // max_bytes))
+
+
+def spread(df: DataFrame, *, est_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a narrow scan up to cluster parallelism.
 
     For CPU-heavy per-row operators (shingling, hashing, vector math) a
@@ -40,11 +79,24 @@ def spread(df: DataFrame) -> DataFrame:
     serializes the whole pipeline. At real scale (100 TB) the scan
     already yields thousands of splits and this is a no-op — the
     repartition only fires when the source under-splits.
+
+    ``est_partitions`` lets the caller supply a metadata-only estimate
+    (file sizes); without it we fall back to ``df.rdd.getNumPartitions()``,
+    which materializes the read plan and should be avoided on hot paths.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = est_partitions if est_partitions is not None else df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
+
+
+# events.ts is written as parquet TIMESTAMP(NANOS,false), which Spark 4
+# refuses to read unless this legacy conf maps it to a raw long. It is a
+# runtime SQL conf, so setting it here makes the read work under ANY
+# session — including a vanilla ``SparkSession.builder.getOrCreate()``
+# like the correctness driver's — not just our own session.py factory.
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def load_table(
@@ -52,11 +104,16 @@ def load_table(
 ) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        try:
+            spark.conf.set(_NANOS_CONF, "true")
+        except Exception:
+            pass  # conf removed in a future Spark → rely on native NANOS read
+    df = spark.read.parquet(path)
     if spread_input:
-        df = spread(df)
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    # raw long (spark.sql.legacy.parquet.nanosAsLong, set in session.py).
+        df = spread(df, est_partitions=_estimate_splits(spark, path))
+    # With nanosAsLong the ts column arrives as a raw long of nanoseconds.
     # Convert to a microsecond TimestampType — integer division keeps
     # full precision (ns values ~1.7e18 exceed double's 2^53 mantissa),
     # and truncation matches how DuckDB/Arrow narrow NANOS to micros.
