@@ -66,10 +66,10 @@ def backfill_partitioned(
 ) -> None:
     """One-job backfill into a month-partitioned parquet sink.
 
-    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
-    session.py), overwrite mode replaces ONLY the months present in the
-    input window — re-running a window is idempotent and touches
-    nothing else.
+    Dynamic partition overwrite is pinned at the WRITER level (not
+    session conf), so overwrite replaces ONLY the months present in the
+    input window on any session — re-running a window is idempotent and
+    touches nothing else.
     """
     out = df
     if start is not None:
@@ -77,7 +77,12 @@ def backfill_partitioned(
     if end is not None:
         out = out.filter(F.col(ts_col) < F.lit(str(end)).cast("timestamp"))
     out = out.withColumn(partition_col, F.date_format(ts_col, "yyyy-MM"))
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(sink_path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(sink_path)
+    )
 
 
 def compact_partitions(
@@ -90,18 +95,34 @@ def compact_partitions(
     Small files are the classic lake-maintenance problem — at 100 TB a
     month of 5-minute micro-batches leaves ~8k files/partition and scan
     planning degrades. One shuffle clustered by the partition column
-    re-writes each partition from a single task; ``localCheckpoint``
-    materializes the data first so the self-overwrite is safe. Returns
-    the row count (sanity handle for the caller).
+    re-writes each partition from a single task.
+
+    Crash-safe by construction: the compacted copy is written to a temp
+    sibling path first and only swapped in after the full rewrite
+    succeeded, so a mid-write failure leaves the original sink intact
+    (no read-then-self-overwrite window where the data exists only in
+    executor memory). The swap is a local-FS rename here; on HDFS/object
+    stores the same protocol goes through the FileSystem rename/commit
+    API. Returns the row count (sanity handle for the caller).
     """
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(sink_path).localCheckpoint()
+    df = spark.read.parquet(sink_path)
     n = df.count()
+    tmp = sink_path.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
         df.repartition(F.col(partition_col))
         .write.mode("overwrite")
         .partitionBy(partition_col)
-        .parquet(sink_path)
+        .parquet(tmp)
     )
+    old = sink_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(sink_path, old)
+    os.rename(tmp, sink_path)
+    shutil.rmtree(old)
     return n

@@ -296,6 +296,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # finish in one batch and the check/checkpoint job count halves
     # versus per-round checking. The extra round on an already-converged
     # labeling is a no-op (min of equals), so correctness is unaffected.
+    changed = 0
     for _ in range(0, max_iter, 2):
         new_labels = one_round(one_round(labels)).localCheckpoint()
         changed = (
@@ -308,4 +309,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > max_iter would silently come out
+        # SPLIT (wrong clusters, not an error) — make that loud instead.
+        # The early-exit above makes a generous max_iter nearly free on
+        # converged data, so hitting this means a pathological chain.
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge within "
+            f"{max_iter} rounds; raise max_iter (components deeper than "
+            f"max_iter hops would otherwise be silently split)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -99,56 +99,60 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
-    cosine ≥ threshold) — the brute-force baseline.
+    cosine ≥ threshold) — the distributed brute-force baseline.
 
-    Shape: the full (id, vector) index is broadcast once and each
-    partition scores its rows against it with one vectorized float64
-    numpy matmul (Arrow batches via mapInPandas) — no pairwise shuffle,
-    no O(n²) row materialization; only qualifying pairs are emitted.
-    This is the classic broadcast-index design: exact, and fine as long
-    as the index side fits in executor memory (~N·d·8 bytes). Beyond
-    that, the scale path is candidate generation via LSH banding
-    (``ann_lsh_topk`` buckets / MinHash-style) followed by this same
-    exact verify on the candidate subset.
+    Shape: **blocked all-pairs**, fully distributed — nothing is ever
+    collected to the driver. Rows hash into ``n_blocks`` blocks; each row
+    is replicated to every unordered block *pair* it participates in
+    (replication factor = n_blocks), and each (i, j) group computes one
+    float64 numpy matmul over its ≤ 2·n/B rows via ``applyInPandas``.
+    Same-block pairs are emitted only by the diagonal group (i == i) and
+    cross-block pairs only off-diagonal, so every unordered row pair is
+    scored exactly once. Per-task memory is (2n/B)·d·8 bytes — at scale
+    you raise ``n_blocks`` so a block pair fits an executor; total work
+    stays the inherent O(n²) flops of *exact* all-pairs, but spread over
+    B·(B+1)/2 independent tasks with a uniform hash key (no skew, no
+    driver bottleneck). The sub-quadratic path is :func:`lsh_neardup_pairs`.
 
     Math matches the DuckDB oracle form dot/(|a|·|b|) in float64, so
-    values agree to rounding.
+    values agree to rounding; blocking never changes the result set.
     """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = max(1, int(n_blocks))
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("__blk__")
+    )
+    replicated = (
+        b.withColumn("__other__", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("__pi__", F.least("__blk__", "__other__"))
+        .withColumn("__pj__", F.greatest("__blk__", "__other__"))
+        .select(id_col, vec_col, "__blk__", "__pi__", "__pj__")
+    )
 
-    def score(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            if batch.empty:
-                continue
-            a_ids = batch[id_col].to_numpy()
-            a_mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            sims = np.round(sims, round_digits)
-            # keep ordered pairs only: a.id < b.id
-            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bj],
-                    "cosine_sim": sims[ai, bj],
-                }
-            )
+    def score_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy()
+        blks = pdf["__blk__"].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = np.round(sims, round_digits)
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        if i != j:
+            # cross-block group: same-block pairs belong to the diagonal
+            keep &= blks[:, None] != blks[None, :]
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cosine_sim": sims[ai, bj]}
+        )
 
     out_schema = "id_a long, id_b long, cosine_sim double"
-    return embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return replicated.groupBy("__pi__", "__pj__").applyInPandas(score_pair, out_schema)
 
 
 def ann_ivf_topk(

@@ -315,11 +315,19 @@ def q_quality_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard cap on per-user sequence length: a skewed user (bot traffic) at
+# 100× would otherwise become one multi-GB row inside the aggregate
+# buffer. seq keeps the FIRST K events in total (ts, event_id) order;
+# seq_len stays the true count, so truncation is visible (seq_len > K).
+USER_SEQ_MAX_LEN = 1000
+
+
 @register(
     "events_user_sequences",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS seq,
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {USER_SEQ_MAX_LEN}) AS seq,
            CAST(len(list(event_type)) AS INT) AS seq_len
     FROM events
     GROUP BY user_id
@@ -330,14 +338,21 @@ def q_events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence-model training data. collect_list has no deterministic
     order in a distributed agg, so elements are collected as
     (ts, event_id, type) structs and sort_array imposes the total order
-    AFTER the shuffle — one hash aggregate, deterministic output."""
+    AFTER the shuffle — one hash aggregate, deterministic output.
+    Sequences are capped at USER_SEQ_MAX_LEN (skew guard; both sides
+    truncate the same deterministic prefix, so the oracle still
+    matches)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
             ),
-            lambda s: s["event_type"],
+            1,
+            USER_SEQ_MAX_LEN,
         ).alias("seq"),
         F.count("*").cast("int").alias("seq_len"),
     )

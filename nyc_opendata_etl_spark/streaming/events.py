@@ -184,6 +184,11 @@ def stream_to_partitioned_sink(
             batch_df.withColumn("month", F.date_format(ts_col, "yyyy-MM"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            # writer-level, NOT session conf: without dynamic mode an
+            # overwrite would truncate the whole sink path each batch,
+            # deleting every prior batch. Pinning it here makes the
+            # loss-free guarantee hold on any session.
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("month", "batch_id")
             .parquet(sink_path)
         )

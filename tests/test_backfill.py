@@ -93,3 +93,54 @@ def test_compact_partitions(spark, tmp_path):
     after = glob.glob(f"{sink}/month=*/part-*.parquet")
     assert len(after) == 2  # one file per month partition
     assert spark.read.parquet(sink).count() == 100
+
+def test_backfill_partitioned_idempotent_on_static_mode_session(spark, tmp_path):
+    """The per-window replace guarantee must not depend on the session
+    conf partitionOverwriteMode=dynamic (set in session.py): the writer
+    pins dynamic mode itself, so even a session configured STATIC — like
+    any vanilla getOrCreate() — replaces only the window's months."""
+    sink = str(tmp_path / "sink_static")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00", "a"),
+            (2, "2024-02-10 00:00:00", "b"),
+        ],
+        "id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        backfill_partitioned(df, "ts", sink)
+        feb = spark.createDataFrame(
+            [(9, "2024-02-11 00:00:00", "B!")], "id long, ts string, v string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        backfill_partitioned(
+            feb, "ts", sink,
+            start=datetime.date(2024, 2, 1), end=datetime.date(2024, 3, 1),
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(sink)
+    # static mode would have truncated January away; dynamic-at-writer keeps it
+    assert {r.id for r in out.collect()} == {1, 9}
+
+
+def test_compact_partitions_leaves_no_temp_dirs(spark, tmp_path):
+    import glob
+
+    from nyc_opendata_etl_spark.operators.backfill import compact_partitions
+
+    sink = str(tmp_path / "sink_tmpcheck")
+    df = spark.createDataFrame(
+        [(i, "2024-01-10 00:00:00", "x") for i in range(10)],
+        "id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (
+        df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .repartition(4)
+        .write.partitionBy("month")
+        .parquet(sink)
+    )
+    assert compact_partitions(spark, sink) == 10
+    assert spark.read.parquet(sink).count() == 10
+    assert glob.glob(f"{sink}__compact_*") == []

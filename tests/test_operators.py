@@ -264,6 +264,21 @@ def test_duplicate_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    # a 10-hop chain cannot converge in 2 rounds of propagation; the op
+    # must refuse rather than silently return split clusters
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iter=2)
+    # ...and with enough rounds the same chain is one cluster
+    out = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
+    assert set(out.values()) == {0}
+
+
 def test_salted_join_matches_plain(spark):
     from nyc_opendata_etl_spark.operators.skew import salted_join
 
