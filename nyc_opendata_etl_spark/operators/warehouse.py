@@ -299,15 +299,23 @@ def clean_311(raw: DataFrame) -> DataFrame:
     return project_target(df, CLEAN_311_TARGET)
 
 
-def clean_parking(raw: DataFrame) -> DataFrame:
+def clean_parking(raw: DataFrame, *, join_fields_normalized: bool = False) -> DataFrame:
     """load_parking.py:70-139: header-normalize, parse issue_date →
     date_key, AM/PM violation_time → time_key, normalize + dropna the
     5 location cols, inline location_key hash, coerce violation_code,
-    re-add missing description."""
+    re-add missing description.
+
+    ``join_fields_normalized=True`` (the build_star path) promises the
+    caller already ran :func:`normalize_parking_join_fields`, which
+    normalizes the location columns and coerces violation_code;
+    re-running both would be a wasted regex/cast pass over every row
+    (normalize is idempotent, so this is purely an execution-cost
+    question, not a semantics one)."""
     df = normalize_headers(raw)
     if "violation_code" not in df.columns and "violation" in df.columns:
         df = df.withColumnRenamed("violation", "violation_code")
 
+    loc_present_in_input = [c for c in PARKING_LOCATION_NK if c in df.columns]
     df = ensure_columns(
         df,
         {"issue_date": "string", "violation_time": "string",
@@ -320,11 +328,26 @@ def clean_parking(raw: DataFrame) -> DataFrame:
             "time_key": parse_ampm_time_key("violation_time"),
         }
     )
-    df = normalize_strings(df, PARKING_LOCATION_NK)
+    if not join_fields_normalized:
+        df = normalize_strings(df, PARKING_LOCATION_NK)
+    else:
+        # columns ensure_columns just added as NULL were never seen by
+        # normalize_parking_join_fields — they still need the NULL→""
+        # mapping or na.drop below would wrongly drop every row
+        df = normalize_strings(
+            df, [c for c in PARKING_LOCATION_NK if c not in loc_present_in_input]
+        )
     df = df.na.drop(subset=[c for c in PARKING_LOCATION_NK if c in df.columns])
     df = df.withColumn("location_key", surrogate_key(*PARKING_LOCATION_NK))
     df = ensure_columns(df, {"violation_code": "string"})
-    df = df.withColumn("violation_code", numeric_coerce("violation_code", "long"))
+    # skip the coerce only when the upstream pass really did it (it may
+    # have missed a column that only exists post-rename here)
+    from pyspark.sql.types import LongType
+
+    if not join_fields_normalized or not isinstance(
+        df.schema["violation_code"].dataType, LongType
+    ):
+        df = df.withColumn("violation_code", numeric_coerce("violation_code", "long"))
     df = ensure_columns(df, {"violation_description": "string"})
     return df
 
@@ -408,7 +431,7 @@ def build_star(
     fact_311 = project_target(cleaned, FACT_311_COLS)
 
     # ── parking fact ─────────────────────────────────────────────────
-    cleaned_p = clean_parking(raw_parking)
+    cleaned_p = clean_parking(raw_parking, join_fields_normalized=True)
     cleaned_p = cleaned_p.withColumnsRenamed(
         {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
     )
