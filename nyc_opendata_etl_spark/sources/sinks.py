@@ -57,6 +57,14 @@ def append_bigquery(df: DataFrame, table_id: str) -> None:
         ) from exc
 
 
+def append_bigquery_table(df: DataFrame, settings, logical_table: str) -> None:
+    """Settings-driven append: logical table key → configured
+    ``project.dataset.table`` id, exactly like the reference's loaders
+    composing ``table_id`` from config (``dim_loader.py:15-21``,
+    ``load_311.py:113-126``)."""
+    append_bigquery(df, settings.bq_table_id(logical_table))
+
+
 def write_warehouse(
     tables: dict[str, DataFrame], base_path: str, partition_overrides: dict[str, list[str]] | None = None
 ) -> None:

@@ -46,9 +46,31 @@ LATEST_FY = max(PARKING_DATASETS)
 EARLIEST_FY = min(PARKING_DATASETS)
 
 
+_IDENT_RE = None  # compiled lazily
+
+
+def _soql_quote(value: str) -> str:
+    """Single-quote a SoQL string literal, doubling embedded quotes.
+
+    The reference interpolates raw strings into ``$where``
+    (load_311.py:13) — a quote in the value breaks the query (SoQL
+    injection). A connector need not reproduce that flaw."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def soql_window(column: str, start: str, end: str) -> str:
-    """Half-open time-window predicate in SoQL (load_311.py:13)."""
-    return f"{column} >= '{start}' AND {column} < '{end}'"
+    """Half-open time-window predicate in SoQL (load_311.py:13).
+
+    ``column`` must be a plain field identifier; start/end are quoted as
+    SoQL string literals (embedded quotes escaped)."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not _IDENT_RE.match(column):
+        raise ValueError(f"invalid SoQL column identifier: {column!r}")
+    return f"{column} >= {_soql_quote(start)} AND {column} < {_soql_quote(end)}"
 
 
 def fiscal_year_dataset(start: str) -> str | None:
@@ -74,7 +96,13 @@ class SocrataReader(DataSourceReader):
         self.domain = options.get("domain", DEFAULT_DOMAIN)
         self.dataset = options.get("dataset", DATASET_311)
         self.where = options.get("where")
+        # explicit option wins; else the config plumbing (NYC_API_TOKEN
+        # env var / .env) supplies it, mirroring config/env.py:1-7
         self.token = options.get("app_token")
+        if not self.token:
+            from nyc_opendata_etl_spark.config import api_token
+
+            self.token = api_token()
         self.local_path = options.get("local_path")
         self.total_limit = int(options.get("limit", 1_000_000))
         self.page_size = int(options.get("page_size", 50_000))
