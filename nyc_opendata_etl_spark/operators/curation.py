@@ -1,0 +1,178 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+decontamination, sequence packing, stratified sampling, frequent-n-gram
+mining, and domain-mix accounting.
+
+All deterministic (md5-ordered sampling, hash-sharded packing), so each
+has an exact DuckDB oracle in ``queries/llm_ops.py``. Scale shapes:
+
+* decontamination — shingle join against a (small) eval set: the eval
+  side broadcasts; the train side never shuffles its full text, only
+  (doc_id, shingle) pairs that survive the broadcast semi-join.
+* packing — a global greedy pack is a single total order (one-partition
+  window = non-starter at 100 TB); packing is therefore SHARDED: each
+  hash shard packs independently in parallel, pack ids are
+  (shard, local_pack). Training-batch assembly only needs *some*
+  deterministic grouping under a token budget, not a globally minimal
+  one — the standard distributed concession.
+* stratified sampling — row_number per stratum over an md5 order: one
+  shuffle on the stratum key; the md5 makes it a reproducible
+  pseudo-random draw (no RNG state, same result on any cluster).
+* n-gram mining — explode + count + top-k: partial aggregation
+  map-side, TakeOrderedAndProject for the k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.hashing import md5_long
+from nyc_opendata_etl_spark.operators.dedup import word_shingles
+from nyc_opendata_etl_spark.operators.text import token_count
+
+
+def shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of the canonical text, as an array column
+    (:func:`~nyc_opendata_etl_spark.operators.dedup.word_shingles`,
+    optionally deduplicated per document)."""
+    sh = word_shingles(col, n)
+    return F.array_distinct(sh) if distinct else sh
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every train doc, count distinct
+    word-``n``-gram shingles it shares with ANY eval doc, and how many
+    eval docs it hits. Docs with hits are contamination candidates.
+
+    Eval sets are small (benchmarks), so the eval shingle side is
+    broadcast — the train side's shingle explosion is filtered by the
+    join before any shuffle. Output: (doc_id, n_shared_shingles,
+    n_eval_docs_hit), contaminated docs only.
+    """
+    t = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing under a token budget, sharded for
+    parallelism.
+
+    Within a shard (``md5(doc_id) % n_shards``), docs are taken in
+    doc_id order and a doc starts a new pack when the running token
+    total before it has crossed a multiple of the budget — i.e.
+    ``local_pack = floor(exclusive_cumsum / budget)``. One window per
+    shard (parallel across shards), no global order anywhere.
+    Output: (doc_id, shard, n_tokens, pack_id) with pack_id unique
+    across shards (shard * 2^32 + local_pack).
+    """
+    with_tokens = docs.select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_pack = F.floor(cum_before / token_budget)
+    return with_tokens.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("shard").cast("long") * F.lit(1 << 32) + local_pack).alias("pack_id"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact k-per-stratum deterministic sample: rank by md5(id) within
+    each stratum and keep the first k. Reproducible on any cluster (no
+    RNG), one shuffle on the stratum key."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.select(stratum_col, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(stratum_col, id_col, F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams (every occurrence counts,
+    not per-doc distinct). Partial-aggregates map-side; the final top-k
+    is a TakeOrderedAndProject, so only k rows reach the driver side of
+    the sort."""
+    grams = docs.select(
+        F.explode(shingles(text_col, n, distinct=False)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def domain_mix(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition accounting per domain cell: doc count, token
+    mass, and each cell's fraction of all docs/tokens — the table a
+    data-mixing policy consumes. One aggregate + a broadcast of the
+    1-row global totals (scalar subquery shape, no second scan of the
+    corpus)."""
+    per_cell = docs.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    totals = per_cell.agg(
+        F.sum("n_docs").alias("__td__"), F.sum("n_tokens").alias("__tt__")
+    )
+    return per_cell.crossJoin(F.broadcast(totals)).select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("__td__"), 6).alias("frac_docs"),
+        F.round(F.col("n_tokens") / F.col("__tt__"), 6).alias("frac_tokens"),
+    )

@@ -152,6 +152,39 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts < c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click←view attribution within 30
+    minutes) executed by the streaming engine with watermarked,
+    time-bounded join state, drained via Trigger.AvailableNow and
+    checked against the equivalent batch SQL join. Single-batch replay:
+    the staged files carry no time order, so multi-batch replay would
+    let the watermark race ahead of later files and (correctly, per
+    streaming semantics) drop late rows — the oracle checks BATCH
+    equivalence, which holds exactly for in-watermark data."""
+    stage = _stage_events(spark, sf_dir)
+
+    clicks = streaming_events.read_event_stream(spark, stage).filter(
+        F.col("event_type") == "click"
+    )
+    views = streaming_events.read_event_stream(spark, stage).filter(
+        F.col("event_type") == "view"
+    )
+    joined = streaming_events.interval_join_clicks_views(clicks, views)
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    return streaming_events.run_available_now(joined, name, output_mode="append")
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH first_click AS (

@@ -795,3 +795,148 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("mean_logprob"),
         F.count("*").alias("n_scored"),
     )
+
+
+# ── corpus curation (operators/curation.py) ─────────────────────────────
+
+_SHINGLE3_SQL = f"""
+        SELECT doc_id AS id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE3_SQL}),
+    tr AS (SELECT * FROM sh WHERE id % 50 <> 0),
+    ev AS (SELECT * FROM sh WHERE id % 50 = 0)
+    SELECT tr.id AS doc_id,
+           count(DISTINCT tr.shingle) AS n_shared_shingles,
+           count(DISTINCT ev.id) AS n_eval_docs_hit
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY 1
+    """,
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any 3-gram shingle
+    with the (stand-in) eval set doc_id % 50 == 0. Eval side broadcasts;
+    the train shingle fan-out dies at the broadcast join, so nothing
+    quadratic ever shuffles."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.decontaminate(train, eval_set)
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+               CAST(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(shard AS BIGINT) * 4294967296
+           + CAST(floor(COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 256.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded greedy sequence packing under a 256-token budget — the
+    training-batch assembly step. Hash shards pack independently (one
+    window per shard, parallel), so no global total order exists
+    anywhere in the plan."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.pack_sequences(docs)
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+        FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-per-language deterministic sample (md5 order = seedless
+    reproducible pseudo-randomness; one shuffle on the stratum key)."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.stratified_sample(docs, "lang", k=20)
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest([
+                   array_to_string(toks[i:i+1], ' ')
+                   FOR i IN range(1, len(toks))
+               ]) AS ngram
+        FROM (SELECT string_split({_CANON}, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    )
+    SELECT ngram, count(*) AS n_occurrences
+    FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 10
+    """,
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent bigrams (cross-document repetition
+    mining). Map-side partial counts; the limit plans as
+    TakeOrderedAndProject so only k rows cross the final exchange."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.ngram_topk(docs, n=2, k=10)
+
+
+@register(
+    "corpus_domain_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE), 6)
+               AS frac_docs,
+           round(n_tokens / CAST((SELECT sum(n_tokens) FROM c) AS DOUBLE), 6)
+               AS frac_tokens
+    FROM c
+    """,
+)
+def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix accounting per (lang, source): doc/token mass and each
+    cell's corpus fraction — the input table of a data-mixing policy."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.domain_mix(docs)

@@ -151,6 +151,41 @@ def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def interval_join_clicks_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    views in the ``lookback`` window strictly before it.
+
+    The canonical attribution join. Both sides carry watermarks and the
+    join predicate bounds event time on both sides, so Spark can size
+    the join state: a buffered view is droppable once the click-side
+    watermark passes ``view_ts + lookback`` — state is O(rate ·
+    (lookback + watermark)) per user shard, not unbounded. Works
+    identically on batch DataFrames (same function, batch mode), which
+    is what the differential oracle checks.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("__v_user__"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        (c["user_id"] == v["__v_user__"])
+        & (v["view_ts"] < c["click_ts"])
+        & (v["view_ts"] >= c["click_ts"] - F.expr(f"INTERVAL {lookback}")),
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+
+
 def stream_to_partitioned_sink(
     events: DataFrame,
     sink_path: str,
