@@ -64,3 +64,20 @@ def test_exact_dedup_is_single_shuffle(spark):
     # one hash-aggregate shuffle on the content hash; the spread()
     # round-robin repartition of the under-split local file adds one.
     assert pi.shuffle_count(df) <= 2
+
+
+def test_q3_broadcasts_dims_and_takes_ordered(spark):
+    df = queries()["q3_shipping_priority"](spark, SF)
+    assert pi.uses_broadcast_join(df)
+    assert pi.is_take_ordered(df)
+    assert pi.has_pushed_filter(df, "l_shipdate")
+    assert pi.has_pushed_filter(df, "o_orderdate")
+    assert pi.has_pushed_filter(df, "c_mktsegment")
+
+
+def test_q5_six_way_join_broadcasts_every_dim(spark):
+    df = queries()["q5_local_supplier_volume"](spark, SF)
+    assert pi.uses_broadcast_join(df)
+    # only lineitem x orders may shuffle; every dim side broadcasts
+    assert not pi.uses_sort_merge_join(df)
+    assert pi.has_pushed_filter(df, "o_orderdate")
