@@ -1,0 +1,114 @@
+"""Slowly-changing-dimension (Type 2) merge.
+
+The reference maintains Kimball dimensions but only ever *appends*
+(`etl/core/dim_loader.py:23-30` — WRITE_APPEND, no update path), so a
+changed natural key silently mints a second surrogate row with no
+history semantics. A warehouse user's next ask is the real thing:
+SCD Type 2 — close the out-of-date version (``effective_to``,
+``is_current = false``) and open a new one, keeping full history.
+
+Shape at scale: one shuffle. The current slice of the dimension and the
+update batch full-outer-merge on the natural key (the same plan Delta
+Lake's MERGE lowers to when the source side can't prune files); each
+joined row then *explodes* into its 0/1/2 output versions via an inline
+struct array, so there is no second pass over the dimension and no
+union-of-three-joins recompute. History rows never enter the join at
+all — the ``is_current`` filter is pushed to the scan and they pass
+through untouched.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_merge"]
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    natural_key: list[str],
+    tracked: list[str],
+    eff_date_col: str = "eff_date",
+) -> DataFrame:
+    """Merge an update batch into an SCD2 dimension table.
+
+    ``dim`` carries ``natural_key + tracked + effective_from,
+    effective_to, is_current``; ``updates`` carries ``natural_key +
+    tracked + eff_date_col``. Per natural key:
+
+    - attributes changed  → old version closed at the update's effective
+      date, new version opened (2 output rows);
+    - no-op update / no update → row passes through unchanged;
+    - key absent from ``dim`` → fresh insert, open-ended.
+
+    Comparison is null-safe (``IS DISTINCT FROM`` semantics) so a NULL
+    attribute value participates in change detection like any other.
+    """
+    out_cols = [*natural_key, *tracked, "effective_from", "effective_to", "is_current"]
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current")).select(*out_cols)
+
+    u = updates.select(
+        *[F.col(c).alias(f"u_{c}") for c in (*natural_key, *tracked)],
+        F.col(eff_date_col).alias("u_eff"),
+    )
+    on = reduce(
+        Column.__and__, [cur[k] == u[f"u_{k}"] for k in natural_key]
+    )
+    j = cur.join(u, on, "full_outer")
+
+    has_dim = F.col(natural_key[0]).isNotNull()
+    has_upd = F.col(f"u_{natural_key[0]}").isNotNull()
+    changed = reduce(
+        Column.__or__,
+        [~F.col(t).eqNullSafe(F.col(f"u_{t}")) for t in tracked],
+    )
+
+    def ver(keys: list[Column], attrs: list[Column], eff_from: Column,
+            eff_to: Column, is_cur: Column) -> Column:
+        fields = (
+            [k.alias(n) for k, n in zip(keys, natural_key)]
+            + [a.alias(n) for a, n in zip(attrs, tracked)]
+            + [
+                eff_from.alias("effective_from"),
+                eff_to.alias("effective_to"),
+                is_cur.alias("is_current"),
+            ]
+        )
+        return F.struct(*fields)
+
+    dim_keys = [F.col(k) for k in natural_key]
+    upd_keys = [F.col(f"u_{k}") for k in natural_key]
+    as_is = ver(
+        dim_keys,
+        [F.col(t) for t in tracked],
+        F.col("effective_from"),
+        F.col("effective_to"),
+        F.col("is_current"),
+    )
+    closed = ver(
+        dim_keys,
+        [F.col(t) for t in tracked],
+        F.col("effective_from"),
+        F.col("u_eff"),
+        F.lit(False),
+    )
+    opened = ver(
+        upd_keys,
+        [F.col(f"u_{t}") for t in tracked],
+        F.col("u_eff"),
+        F.lit(None).cast("date"),
+        F.lit(True),
+    )
+
+    versions = (
+        F.when(has_dim & has_upd & changed, F.array(closed, opened))
+        .when(has_dim, F.array(as_is))  # no update, or a no-op update
+        .otherwise(F.array(opened))  # fresh insert
+    )
+    merged = j.select(F.explode(versions).alias("v")).select("v.*")
+    return merged.unionByName(hist)

@@ -165,3 +165,119 @@ def q_pipeline_parking_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_311_stub(spark: SparkSession) -> DataFrame:
     return _empty(spark, _EMPTY_311_COLS)
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2 dimension merge (warehouse surface the reference lacks:
+# its dim loaders only append — etl/core/dim_loader.py:23-30)
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               DATE '2024-01-01' AS effective_from,
+               CAST(NULL AS DATE) AS effective_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    hist AS (
+        SELECT c_custkey, 'RETIRED' AS c_mktsegment, c_nationkey,
+               DATE '2023-01-01' AS effective_from,
+               DATE '2024-01-01' AS effective_to,
+               FALSE AS is_current
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    upd AS (
+        SELECT c_custkey, concat('NEW_', c_mktsegment) AS c_mktsegment,
+               c_nationkey, DATE '2025-06-01' AS eff_date
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_nationkey, DATE '2025-06-01'
+        FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'FRESH', c_nationkey, DATE '2025-06-01'
+        FROM customer WHERE c_custkey % 13 = 0
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+               c.effective_from, u.eff_date AS effective_to,
+               FALSE AS is_current
+        FROM cur c JOIN upd u USING (c_custkey)
+        WHERE c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+           OR c.c_nationkey IS DISTINCT FROM u.c_nationkey
+    ),
+    opened AS (
+        SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
+               u.eff_date AS effective_from,
+               CAST(NULL AS DATE) AS effective_to,
+               TRUE AS is_current
+        FROM upd u LEFT JOIN cur c USING (c_custkey)
+        WHERE c.c_custkey IS NULL
+           OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+           OR c.c_nationkey IS DISTINCT FROM u.c_nationkey
+    ),
+    as_is AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+               c.effective_from, c.effective_to, c.is_current
+        FROM cur c LEFT JOIN upd u USING (c_custkey)
+        WHERE u.c_custkey IS NULL
+           OR (c.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+               AND c.c_nationkey IS NOT DISTINCT FROM u.c_nationkey)
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM opened
+    UNION ALL SELECT * FROM as_is UNION ALL SELECT * FROM hist
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge over a synthesized customer dimension: one update batch
+    with changed rows (custkey%7), no-op updates (%11), fresh inserts
+    (%13, offset keys), against a dim seeded with history rows (%5).
+    Exercises close/open/pass-through/insert in a single merge plan."""
+    from nyc_opendata_etl_spark.operators.scd import scd2_merge
+
+    customer = load_table(spark, sf_dir, "customer")
+    d_hist = F.to_date(F.lit("2023-01-01"))
+    d_cur = F.to_date(F.lit("2024-01-01"))
+    d_eff = F.to_date(F.lit("2025-06-01"))
+    null_date = F.lit(None).cast("date")
+
+    cur = customer.select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        d_cur.alias("effective_from"),
+        null_date.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("RETIRED").alias("c_mktsegment"),
+        "c_nationkey",
+        d_hist.alias("effective_from"),
+        d_cur.alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = cur.unionByName(hist)
+
+    upd_changed = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW_"), "c_mktsegment").alias("c_mktsegment"),
+        "c_nationkey",
+        d_eff.alias("eff_date"),
+    )
+    upd_noop = customer.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select("c_custkey", "c_mktsegment", "c_nationkey", d_eff.alias("eff_date"))
+    upd_insert = customer.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        "c_nationkey",
+        d_eff.alias("eff_date"),
+    )
+    updates = upd_changed.unionByName(upd_noop).unionByName(upd_insert)
+
+    return scd2_merge(
+        dim, updates,
+        natural_key=["c_custkey"],
+        tracked=["c_mktsegment", "c_nationkey"],
+    )

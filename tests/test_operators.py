@@ -327,3 +327,38 @@ def test_validate_expectations(spark):
     # NULL comparison counts as failure, not unknown-pass
     assert out["v_positive"] == (3, 2, round(1 / 3, 6))
     assert out["v_present"] == (3, 1, round(2 / 3, 6))
+
+
+def test_scd2_merge_paths(spark):
+    """All four merge paths plus null-safe change detection."""
+    import datetime as dt
+    from nyc_opendata_etl_spark.operators.scd import scd2_merge
+
+    d0, d1, eff = dt.date(2023, 1, 1), dt.date(2024, 1, 1), dt.date(2025, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "a", d1, None, True),     # changed by update
+            (2, "b", d1, None, True),     # no-op update
+            (3, "c", d1, None, True),     # no update at all
+            (4, None, d1, None, True),    # NULL -> value change (null-safe)
+            (1, "a0", d0, d1, False),     # history row: must pass through
+        ],
+        "k long, attr string, effective_from date, effective_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", eff), (2, "b", eff), (4, "d", eff), (9, "z", eff)],
+        "k long, attr string, eff_date date",
+    )
+    out = scd2_merge(dim, updates, ["k"], ["attr"])
+    rows = {(r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "a", d1, eff, False),      # closed
+        (1, "a2", eff, None, True),    # opened
+        (2, "b", d1, None, True),      # no-op passes through
+        (3, "c", d1, None, True),      # untouched
+        (4, None, d1, eff, False),     # null attr closed (IS DISTINCT FROM)
+        (4, "d", eff, None, True),
+        (9, "z", eff, None, True),     # fresh insert
+        (1, "a0", d0, d1, False),      # history untouched
+    }
