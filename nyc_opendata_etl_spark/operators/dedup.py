@@ -296,19 +296,26 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # finish in one batch and the check/checkpoint job count halves
     # versus per-round checking. The extra round on an already-converged
     # labeling is a no-op (min of equals), so correctness is unaffected.
-    changed = 0
+    #
+    # Convergence is detected by comparing sum(label) across batches:
+    # every label is monotonically non-increasing (min over self +
+    # neighbors), so an unchanged total proves no label moved — one
+    # cheap hash aggregate per batch instead of a self-join. DECIMAL(38)
+    # keeps the sum exact for arbitrary 64-bit ids at any row count.
+    def label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
+    changed = 1
     for _ in range(0, max_iter, 2):
-        new_labels = one_round(one_round(labels)).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = one_round(one_round(labels)).localCheckpoint()
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            changed = 0
             break
+        prev_sum = cur_sum
     if changed != 0:
         # A component with diameter > max_iter would silently come out
         # SPLIT (wrong clusters, not an error) — make that loud instead.

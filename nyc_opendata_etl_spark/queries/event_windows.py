@@ -130,7 +130,9 @@ def q_stream_tumbling_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
     agg = streaming_events.tumbling_counts(stream)
     name = f"backfill_{uuid.uuid4().hex[:8]}"
-    return streaming_events.run_available_now(agg, name, output_mode="complete")
+    return streaming_events.run_available_now(
+        agg, name, output_mode="complete", state_partitions=8
+    )
 
 
 @register(
@@ -148,7 +150,9 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
     deduped = streaming_events.stateful_first_seen(stream, "user_id")
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    return streaming_events.run_available_now(deduped, name, output_mode="append")
+    return streaming_events.run_available_now(
+        deduped, name, output_mode="append", state_partitions=8
+    )
 
 
 @register(
@@ -181,7 +185,12 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = streaming_events.interval_join_clicks_views(clicks, views)
     name = f"ij_{uuid.uuid4().hex[:8]}"
-    return streaming_events.run_available_now(joined, name, output_mode="append")
+    # 8 state shards: a stream-stream join commits 4 state stores per
+    # shard per batch, so the shard count is sized to this replay's key
+    # cardinality rather than inherited from the batch shuffle default.
+    return streaming_events.run_available_now(
+        joined, name, output_mode="append", state_partitions=8
+    )
 
 
 @register(

@@ -241,6 +241,7 @@ def run_available_now(
     stream_df: DataFrame,
     query_name: str = "backfill",
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream as a bounded backfill (Trigger.AvailableNow) into
     an in-memory sink and return the sink as a batch DataFrame — the
@@ -251,13 +252,30 @@ def run_available_now(
     equal the batch answer; "append" for row streams / watermark-evicted
     output (then windows newer than the final watermark are withheld,
     by design).
+
+    ``state_partitions``: number of state-store shards for this stream.
+    Unlike batch shuffles (AQE re-sizes those at runtime), a streaming
+    query's state partition count is frozen into the checkpoint at
+    creation and every micro-batch pays a per-shard commit (a
+    stream-stream join maintains 4 state stores per shard) — so sizing
+    it to the stream's key cardinality/throughput is a deliberate
+    deployment decision, not a tunable afterthought. None = inherit the
+    session's ``spark.sql.shuffle.partitions``.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
