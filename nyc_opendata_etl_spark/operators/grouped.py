@@ -26,23 +26,47 @@ def ewma_last_per_key(
     """Final exponentially-weighted moving average per key.
 
     EWMA is a recurrence (state_t = α·x_t + (1-α)·state_{t-1}) — not
-    expressible with SQL window frames, the textbook applyInPandas case.
-    The recurrence is evaluated with an explicit float64 loop (NOT
-    pandas ``ewm``, whose default adjusted weights are a different
-    formula) so the DuckDB oracle's ``list_reduce`` fold matches
-    bit-for-bit: both are the same left fold in timestamp order with a
-    deterministic ``(order_col, value)`` sort."""
+    expressible with SQL window frames, so it runs as a vectorized
+    Python kernel. Shape: ONE hash shuffle on the key (same exchange a
+    groupBy would cost), a Spark-side (spillable) sort within
+    partitions, then a single ``mapInPandas`` pass per partition whose
+    pandas *grouped* ``ewm(adjust=False)`` kernel evaluates every
+    group's fold in one Cython sweep — no per-group Python dispatch,
+    which dominates wall time when keys are many and groups small.
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([order_col, value_col])
-        state = None
-        for x in pdf[value_col].astype("float64"):
-            state = x if state is None else alpha * x + (1.0 - alpha) * state
-        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "ewma": [state]})
+    ``ewm(adjust=False)`` computes ``(1-α)·state + α·x`` per step with
+    ``state₀ = x₀`` — the identical IEEE operation sequence as an
+    explicit left fold, so the DuckDB oracle's ``list_reduce`` over the
+    identically-ordered series matches bit-for-bit (pinned by
+    tests/test_operators.py and the driver's differential gate)."""
+    key_type = df.schema[key_col].dataType.simpleString()
 
-    out_schema = f"{key_col} long, ewma double"
+    def kernel(batches) -> "pd.DataFrame":
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        ew = (
+            pdf.groupby(key_col, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .droplevel(0)
+            .sort_index()
+        )
+        last_of_group = (pdf[key_col] != pdf[key_col].shift(-1)).values
+        yield pd.DataFrame(
+            {
+                key_col: pdf.loc[last_of_group, key_col].values,
+                "ewma": ew[last_of_group].values,
+            }
+        )
+
+    out_schema = f"{key_col} {key_type}, ewma double"
     return (
         df.select(key_col, order_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(kernel, out_schema)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, order_col, value_col)
+        .mapInPandas(kernel, out_schema)
     )
