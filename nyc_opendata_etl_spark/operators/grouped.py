@@ -1,12 +1,15 @@
-"""Grouped-map operators (applyInPandas) for per-key computations that
-relational windows genuinely cannot express.
+"""Grouped per-key computations that relational windows genuinely
+cannot express, run as vectorized Pandas kernels.
 
 Everything window-expressible (ranks, lags, moving sums) stays native —
-see queries/relational.py. applyInPandas is reserved for true
-recurrences: each group's rows stream to one Arrow batch, a vectorized
-pandas/numpy kernel runs, and results come back columnar. At scale the
-shuffle is one hash partitioning by key (same as any groupBy) and the
-kernel cost is C-speed per group.
+see queries/relational.py. The Python path is reserved for true
+recurrences, and is shaped as key-partitioned ``mapInPandas`` (one
+kernel call per *partition*, vectorized across its groups) rather than
+per-group ``applyInPandas`` dispatch — with many small groups the
+per-group Python/pandas call overhead dominates the actual fold by
+orders of magnitude. At scale the shuffle is one hash partitioning by
+key (same exchange a groupBy costs) and the sort is Spark-side, so it
+spills instead of OOMing the Python worker.
 """
 
 from __future__ import annotations

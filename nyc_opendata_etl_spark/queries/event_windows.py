@@ -302,7 +302,7 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user final EWMA of event values — a true recurrence, so it
-    runs as a grouped-map applyInPandas kernel; the oracle folds the
+    runs as a key-partitioned vectorized Pandas kernel; the oracle folds the
     same recurrence with list_reduce over the identically-ordered
     series."""
     from nyc_opendata_etl_spark.operators.grouped import ewma_last_per_key
@@ -428,4 +428,61 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_type").isNotNull())
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_idx
+        FROM marks
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-minute inactivity cut): the
+    lag-mark-cumsum idiom — two window passes over ONE partitioning (a
+    single shuffle on user_id; Catalyst collapses both windows into one
+    sort) followed by the session aggregate. The batch twin of the
+    streaming session_windows query, with an exact value oracle instead
+    of a watermark-dependent one."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .select(
+            "user_id", "ts", F.sum("new_s").over(wc).alias("session_idx")
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
     )
