@@ -1,0 +1,79 @@
+"""Z-order layout: file-level min/max stats must prune on EVERY
+clustered column, not just a lead sort column."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.sources.layout import write_zordered
+
+
+def _files_overlapping(path: str, col: str, lo: float, hi: float):
+    """(n_overlapping, n_total) parquet files whose [min,max] for col
+    intersects [lo, hi], judged from footer stats alone."""
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(
+                [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            ).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmax >= lo and fmin <= hi:
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    n = 200_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 10_000).alias("x"),
+        (F.hash(F.col("id") + 1_000_000_007) % 10_000).alias("y"),
+    )
+    plain = str(tmp_path / "xsorted")
+    zpath = str(tmp_path / "zordered")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(plain)
+    )
+    write_zordered(df, ["x", "y"], zpath, bits=10, num_files=16)
+
+    # narrow band (~1% of the domain), placed inside a quadrant — a band
+    # straddling the domain median would touch every curve-boundary file
+    # by construction, which is the known z-order worst case, not a bug
+    lo, hi = 1000, 1200
+    hit_plain, n_plain = _files_overlapping(plain, "y", lo, hi)
+    hit_z, n_z = _files_overlapping(zpath, "y", lo, hi)
+    # x-sorted layout cannot prune on y: every file spans the y domain
+    assert hit_plain == n_plain
+    # z-order bounds y per file: most files must be skippable
+    assert hit_z <= n_z // 3, (hit_z, n_z)
+
+    # and x pruning survives (z-order trades, not destroys, x locality)
+    hit_zx, _ = _files_overlapping(zpath, "x", lo, hi)
+    assert hit_zx <= n_z // 2, (hit_zx, n_z)
+
+
+def test_zorder_rejects_strings(spark, tmp_path):
+    df = spark.range(10).select(F.col("id"), F.lit("s").alias("s"))
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        write_zordered(df, ["s"], str(tmp_path / "x"))
+
+
+def test_zorder_roundtrip_content(spark, tmp_path):
+    """Layout must never change table content."""
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("a"), (F.col("id") % 13).alias("b")
+    )
+    p = str(tmp_path / "z")
+    write_zordered(df, ["a", "b"], p, bits=6, num_files=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 5_000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
