@@ -416,6 +416,15 @@ def build_star(
         "dim_violation": build_violation_dim(raw_parking),
         "dim_parking_location": build_parking_location_dim(raw_parking),
     }
+    # Dims are cached too: assign_keys must probe dim emptiness (the
+    # reference's F3 guard decides the output schema, so it is a real
+    # runtime branch), and each dim also feeds both the key-stamp join
+    # and the returned dim table. Without the cache the probe and every
+    # consumer re-run the dim's distinct over the full raw input; with
+    # it the probe materializes a dim-sized (tiny) table once.
+    for d in dims.values():
+        d.cache()
+    _CACHED_INPUTS.extend(dims.values())
 
     # ── 311 fact ──────────────────────────────────────────────────────
     cleaned = clean_311(raw_311)
