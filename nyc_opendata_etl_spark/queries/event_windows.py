@@ -156,6 +156,30 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup with watermark-TTL state
+    (dropDuplicatesWithinWatermark): first row per (user_id,
+    event_type), state expiring behind the watermark. Projected to the
+    key columns the emitted set is batching-invariant within the
+    watermark, so batch DISTINCT is the exact oracle for a replay whose
+    data span fits the watermark (single-batch here, as in
+    stream_interval_join)."""
+    stage = _stage_events(spark, sf_dir)
+
+    stream = streaming_events.read_event_stream(spark, stage)
+    deduped = streaming_events.watermarked_dedup(
+        stream, ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    name = f"wmd_{uuid.uuid4().hex[:8]}"
+    return streaming_events.run_available_now(
+        deduped, name, output_mode="append", state_partitions=8
+    )
+
+
+@register(
     "stream_interval_join",
     oracle="""
     SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,

@@ -118,6 +118,21 @@ def session_windows(
     )
 
 
+def watermarked_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Native bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    expires each key's state once the watermark passes it — the
+    engine-managed TTL twin of :func:`stateful_first_seen` (which keeps
+    keys forever, the unbounded-state trade). At scale this is the one
+    to reach for on high-cardinality keys: state is O(keys per
+    watermark window), not O(all keys ever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Custom stateful streaming operator: emit each key the first time
     it is ever seen across the whole stream (keyed dedup with unbounded
