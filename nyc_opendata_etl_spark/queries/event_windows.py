@@ -510,3 +510,54 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day, event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup: history state (even event_ids)
+    and a new batch (odd ids) each collapse to partial sum/min/max/count
+    state per (day, event_type), then merge — and the merged state must
+    equal a from-scratch aggregate over everything, which is exactly
+    what the oracle computes. avg is derived from the stored moments at
+    read time (it is not re-aggregatable itself)."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_day"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+        "value",
+    )
+    keys = ["event_day", "event_type"]
+    measures = {"value_dec": ("sum",), "value": ("min", "max")}
+    state = aggregate_batch(ev.filter(F.col("event_id") % 2 == 0), keys, measures)
+    batch = aggregate_batch(ev.filter(F.col("event_id") % 2 == 1), keys, measures)
+    merged = merge_rollup(state, batch, keys, measures)
+    return merged.select(
+        "event_day",
+        "event_type",
+        F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("sum_value_dec").cast("double") / F.col("n"), 6).alias(
+            "avg_value"
+        ),
+    )

@@ -362,3 +362,23 @@ def test_scd2_merge_paths(spark):
         (9, "z", eff, None, True),     # fresh insert
         (1, "a0", d0, d1, False),      # history untouched
     }
+
+
+def test_rollup_merge_batching_invariant(spark):
+    """state ⊕ (b1 ⊕ b2) == (state ⊕ b1) ⊕ b2 == full recompute."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0), ("a", -3.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    keys, measures = ["g"], {"v": ("sum", "min", "max")}
+    full = {tuple(r) for r in aggregate_batch(df, keys, measures).collect()}
+
+    b1 = aggregate_batch(df.limit(2), keys, measures)
+    b2 = aggregate_batch(df.subtract(df.limit(2)), keys, measures)
+    merged = merge_rollup(b1, b2, keys, measures)
+    assert {tuple(r) for r in merged.collect()} == full
