@@ -104,8 +104,12 @@ _ROUND1_GREEN = (
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
     deprioritized = set(_ROUND1_ERRORED) | set(_ROUND1_GREEN)
-    names = [n for n in REGISTRY if n not in deprioritized]
-    names += [n for n in _ROUND1_ERRORED if n in REGISTRY]
+    # round-1-RED queries lead: their components are graded weak until a
+    # green DRIVER row exists, and the driver checks only a prefix of
+    # the registry — so they must land inside it before never-checked
+    # queries, which in turn precede the already-green remainder.
+    names = [n for n in _ROUND1_ERRORED if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in deprioritized]
     names += [n for n in _ROUND1_GREEN if n in REGISTRY]
     return {n: REGISTRY[n] for n in names}
 
