@@ -863,3 +863,35 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures — the inverse
+    of pivot_orderstatus. Native ``DataFrame.unpivot`` lowers to a
+    generator Expand node: one scan, rows×3 output, no shuffle at all
+    (the oracle's UNION ALL mirror would scan three times)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    renamed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+    return renamed.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "price", "discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
