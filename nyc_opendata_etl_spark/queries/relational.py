@@ -895,3 +895,60 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice)
+    FROM orders
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts and min/max
+    in long format — the health check a pipeline runs before trusting a
+    new drop. ONE scan + one Expand (Spark rewrites the multi-column
+    count-distinct into grouping-set form); the oracle's UNION ALL
+    mirror scans once per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    profiled = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in ("o_orderkey", "o_custkey", "o_totalprice")
+            for e in (
+                F.count(c).alias(f"cnt_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            )
+        ],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_val"),
+                F.col(f"max_{c}").alias("max_val"),
+            )
+            for c in ("o_orderkey", "o_custkey", "o_totalprice")
+        ]
+    )
+    return profiled.select(F.explode(per_col).alias("p")).select("p.*")
