@@ -952,3 +952,46 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return profiled.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "array_hof_pipeline",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber) AS qs
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qs) AS n_lines,
+           CAST(COALESCE(list_sum(list_filter(list_transform(qs, q -> q * 2),
+                                              q -> q > 40)), 0) AS BIGINT)
+               AS doubled_big_sum
+    FROM per_order
+    """,
+)
+def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a pipeline: per-order quantity
+    list (deterministic line order) → transform (×2) → filter (>40) →
+    aggregate (sum). All four run as codegen lambda expressions over the
+    grouped array — no explode/re-group round trip, no Python. Integer
+    quantities keep the fold exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+            )
+        ).alias("pairs")
+    )
+    qs = F.transform(F.col("pairs"), lambda p: p["q"])
+    doubled_big = F.filter(
+        F.transform(qs, lambda q: q * 2), lambda q: q > 40
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("pairs").cast("long").alias("n_lines"),
+        F.aggregate(
+            doubled_big, F.lit(0).cast("long"), lambda acc, q: acc + q
+        ).alias("doubled_big_sum"),
+    )
