@@ -81,3 +81,42 @@ def test_q5_six_way_join_broadcasts_every_dim(spark):
     # only lineitem x orders may shuffle; every dim side broadcasts
     assert not pi.uses_sort_merge_join(df)
     assert pi.has_pushed_filter(df, "o_orderdate")
+
+
+def _exact(df, node):
+    """Count via the numbered detail header — one line per operator."""
+    import re as _re
+    return len(_re.findall(r"\(\d+\) " + node + r"\b", pi.formatted_plan(df)))
+
+
+def test_sessionize_single_exchange_single_sort(spark):
+    """Both window passes share one (user_id) partitioning+ordering:
+    one shuffle, one sort, two Window nodes stacked on it."""
+    df = queries()["events_sessionize"](spark, SF)
+    assert pi.shuffle_count(df) == 1
+    assert _exact(df, "Sort") == 1
+    assert _exact(df, "Window") == 2
+
+
+def test_unpivot_is_shuffle_free_single_scan(spark):
+    df = queries()["unpivot_measures"](spark, SF)
+    assert pi.shuffle_count(df) == 0
+    assert _exact(df, "Scan parquet") == 1
+    assert _exact(df, "Expand") == 1
+
+
+def test_scd2_merge_single_join(spark):
+    """One full-outer merge join over the current slice, versions fan
+    out via Generate (explode), history bypasses the join entirely."""
+    df = queries()["scd2_merge"](spark, SF)
+    assert _exact(df, "SortMergeJoin") == 1
+    assert _exact(df, "Generate") == 1
+    assert not pi.uses_broadcast_join(df)  # full-outer can't broadcast
+
+
+def test_array_hof_no_explode_regroup(spark):
+    """The HOF pipeline must stay in the grouped array: the groupBy
+    exchange only, and no Generate (explode) in the plan."""
+    df = queries()["array_hof_pipeline"](spark, SF)
+    assert pi.shuffle_count(df) <= 2  # spread() + groupBy
+    assert _exact(df, "Generate") == 0
