@@ -666,23 +666,36 @@ def q_map_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           CAST(round(percent_rank() OVER w
+                      * (count(*) OVER p - 1), 0) AS BIGINT) AS pr_units,
+           CAST(round(cume_dist() OVER w
+                      * count(*) OVER p, 0) AS BIGINT) AS cume_units
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     """,
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)
-    with a deterministic total order."""
+    with a deterministic total order. The fractional outputs are scaled
+    back to exact integer rank units (× n−1 / × n) for the comparison:
+    at any fixed decimal rounding there exist partition sizes where the
+    double lands exactly on a rounding tie and Spark (half-up) and
+    DuckDB (half-even) legitimately disagree — scaling to near-integers
+    makes the round tie-free at every scale factor (caught at sf0.1:
+    percent_rank 410/6400 = 0.0640625)."""
     customer = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    p = Window.partitionBy("c_nationkey")
+    n = F.count("*").over(p)
     return customer.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w) * (n - 1), 0)
+        .cast("long")
+        .alias("pr_units"),
+        F.round(F.cume_dist().over(w) * n, 0).cast("long").alias("cume_units"),
     )
 
 
