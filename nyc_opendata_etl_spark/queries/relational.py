@@ -1008,3 +1008,50 @@ def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             doubled_big, F.lit(0).cast("long"), lambda acc, q: acc + q
         ).alias("doubled_big_sum"),
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber,
+               date_diff('day', DATE '1970-01-01', l_shipdate) AS d
+        FROM lineitem
+    ),
+    iv AS (
+        SELECT o_orderkey AS interval_id,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+               date_diff('day', DATE '1970-01-01', o_orderdate) + 7 AS hi
+        FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT p.l_orderkey, p.l_linenumber, i.interval_id
+    FROM pts p JOIN iv i ON p.d >= i.lo AND p.d < i.hi
+    """,
+)
+def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large point-in-interval join without a nested loop: both
+    sides map onto a 7-day bucket grid and hash-equi-join on the bucket
+    id (operators/interval.py). The oracle runs the direct theta join —
+    same pairs, different plan; DuckDB can afford it at oracle scale,
+    a 100 TB cluster cannot."""
+    from nyc_opendata_etl_spark.operators.interval import (
+        bucketed_point_in_interval_join,
+    )
+
+    epoch = F.lit("1970-01-01").cast("date")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("d"),
+    )
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("lo"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 7).cast("long").alias("hi"),
+        )
+    )
+    joined = bucketed_point_in_interval_join(li, iv, "d", "lo", "hi", bucket_size=7)
+    return joined.select("l_orderkey", "l_linenumber", "interval_id")

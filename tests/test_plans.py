@@ -120,3 +120,12 @@ def test_array_hof_no_explode_regroup(spark):
     df = queries()["array_hof_pipeline"](spark, SF)
     assert pi.shuffle_count(df) <= 2  # spread() + groupBy
     assert _exact(df, "Generate") == 0
+
+
+def test_interval_join_never_nested_loop(spark):
+    """The bucketized interval join must be an equi hash join Catalyst
+    can shuffle or broadcast — never BroadcastNestedLoopJoin/cartesian."""
+    df = queries()["join_interval_bucketed"](spark, SF)
+    assert _exact(df, "BroadcastNestedLoopJoin") == 0
+    assert _exact(df, "CartesianProduct") == 0
+    assert pi.uses_broadcast_join(df) or pi.uses_sort_merge_join(df)
