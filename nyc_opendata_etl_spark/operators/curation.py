@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long
 from nyc_opendata_etl_spark.operators.dedup import word_shingles
-from nyc_opendata_etl_spark.operators.text import token_count
+from nyc_opendata_etl_spark.operators.text import token_count, tokens
 
 
 def shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
@@ -108,6 +108,59 @@ def pack_sequences(
         "shard",
         "n_tokens",
         (F.col("shard").cast("long") * F.lit(1 << 32) + local_pack).alias("pack_id"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows (the
+    context-window chunking step of a training/RAG pipeline).
+
+    With stride ``s = chunk_tokens - overlap``, chunk ``i`` covers
+    whitespace tokens ``[i*s, i*s + chunk_tokens)``; a doc of ``n``
+    tokens yields ``1`` chunk if ``n <= chunk_tokens`` else
+    ``ceil((n - chunk_tokens) / s) + 1`` — the last chunk is the first
+    whose window reaches the end of the doc and may be short. Docs with
+    no tokens yield no chunks.
+
+    Scale shape: a narrow projection + ``explode`` — no shuffle, runs
+    inside the scan stage, output ~``n/s`` rows per doc. The token
+    arrays never leave the executor; only the joined chunk text is
+    emitted. Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    base = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks__"))
+        .withColumn("__n__", F.size("__toks__"))
+        .where(F.col("__n__") > 0)
+    )
+    n_chunks = F.when(F.col("__n__") <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((F.col("__n__") - chunk_tokens + stride - 1) / stride) + 1
+    )
+    exploded = base.select(
+        id_col,
+        "__toks__",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(
+        "__toks__", F.col("chunk_id").cast("int") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -868,6 +868,44 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_chunk_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_WS}'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    ch AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                    ELSE (n - 64 + 55) // 56 + 1 END))
+                   AS chunk_id
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+               AS chunk_text
+    FROM ch
+    """,
+)
+def q_corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (64-token windows, 8-token
+    overlap → stride 56) — the context-window splitting step of a
+    training/RAG pipeline. Pure projection + explode: no shuffle, the
+    token arrays never leave the scan stage."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+@register(
     "corpus_sample_stratified",
     oracle=f"""
     SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (

@@ -89,3 +89,46 @@ def test_domain_mix_fractions_sum_to_one(spark):
     cell = {(r.lang, r.source): r for r in out}
     assert cell[("fr", "s1")].n_tokens == 3
     assert cell[("en", "s1")].frac_docs == round(1 / 3, 6)
+
+
+def test_chunk_documents_window_math(spark):
+    # chunk=4, overlap=1 -> stride 3; 10 tokens -> chunks at 0,3,6 cover
+    # [0,4) [3,7) [6,10): ceil((10-4)/3)+1 = 3 chunks, last ends exactly at n.
+    docs = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en")])
+    out = (
+        curation.chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [(r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in out] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_documents_short_tail_and_empty(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c", "en"),        # n < chunk -> single short chunk
+            (2, "a b c d e", "en"),    # n=5, chunk=4, stride 3 -> 2nd chunk is 2 tokens
+            (3, "   \t ", "en"),       # whitespace only -> no chunks
+            (4, "", "en"),             # empty -> no chunks
+        ],
+    )
+    out = curation.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens, r.chunk_text))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc == {
+        1: [(0, 3, "a b c")],
+        2: [(0, 4, "a b c d"), (1, 2, "d e")],
+    }
+    # every token index is covered by at least one chunk (no gaps at tails)
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=4, overlap=4)
