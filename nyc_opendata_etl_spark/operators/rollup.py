@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_batch", "merge_rollup"]
+__all__ = [
+    "aggregate_batch",
+    "merge_rollup",
+    "hll_batch",
+    "hll_merge",
+    "hll_estimates",
+]
 
 _MERGE_FN = {"sum": F.sum, "min": F.min, "max": F.max}
 
@@ -63,3 +69,37 @@ def merge_rollup(
     ]
     re_aggs.append(F.sum("n").alias("n"))
     return state.unionByName(batch_state).groupBy(*keys).agg(*re_aggs)
+
+
+def hll_batch(
+    df: DataFrame, keys: list[str], cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """COUNT DISTINCT as re-aggregatable state: one Datasketches HLL
+    sketch per key per column (``hll_<col>``, binary). Unlike an exact
+    distinct count, the sketch merges — so incremental maintenance and
+    coarser-grain re-rollups never re-scan history. Register updates
+    are max-folds, so the state is independent of row order and
+    partitioning (verified by tests)."""
+    aggs = [F.hll_sketch_agg(c, lg_k).alias(f"hll_{c}") for c in cols]
+    return df.groupBy(*keys).agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+def hll_merge(
+    state: DataFrame, batch_state: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """Fold HLL batch state into persisted state (both from
+    :func:`hll_batch`); the union of sketches over any batching of the
+    input yields the identical register state as one pass over all of
+    it."""
+    aggs = [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in cols]
+    aggs.append(F.sum("n").alias("n"))
+    return state.unionByName(batch_state).groupBy(*keys).agg(*aggs)
+
+
+def hll_estimates(df: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """Read-time view of HLL state: distinct-count estimates (long) per
+    key, derived from the stored sketches."""
+    ests = [
+        F.hll_sketch_estimate(f"hll_{c}").alias(f"approx_n_{c}") for c in cols
+    ]
+    return df.select(*keys, *ests, "n")

@@ -85,3 +85,30 @@ def test_minhash_estimates_jaccard(spark, qs):
     assert errs
     assert sum(errs) / len(errs) <= 0.08
     assert max(errs) <= 0.25
+
+
+def test_hll_rollup_merge_is_lossless_and_order_free(spark):
+    """Merging per-batch / per-key HLL sketches must reproduce the exact
+    register state of a single pass: estimate(union of parts) ==
+    estimate(whole), for any batching — the property that makes the
+    rollup state safely incremental."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.rollup import (
+        hll_batch,
+        hll_estimates,
+        hll_merge,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 4967).alias("u")
+    )
+    a = hll_batch(df.filter(F.col("id") % 2 == 0), ["g"], ["u"])
+    b = hll_batch(df.filter(F.col("id") % 2 == 1), ["g"], ["u"])
+    merged = hll_estimates(hll_merge(a, b, ["g"], ["u"]), ["g"], ["u"])
+    direct = hll_estimates(hll_batch(df, ["g"], ["u"]), ["g"], ["u"])
+    m = {r.g: (r.approx_n_u, r.n) for r in merged.collect()}
+    d = {r.g: (r.approx_n_u, r.n) for r in direct.collect()}
+    assert m == d
+    for g, (est, n) in m.items():
+        assert abs(est - 4967) / 4967 <= 0.05, (g, est)
