@@ -129,3 +129,39 @@ def test_interval_join_never_nested_loop(spark):
     assert _exact(df, "BroadcastNestedLoopJoin") == 0
     assert _exact(df, "CartesianProduct") == 0
     assert pi.uses_broadcast_join(df) or pi.uses_sort_merge_join(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """When a selective dim filter exists but the dim cannot broadcast,
+    Spark's runtime bloom-filter injection must pre-filter the fact
+    side's shuffle input (the 100 TB shape: a semi-join reduction
+    without reading the fact twice). Pinned with the application-side
+    size gate lowered — at real scale the default 10 GB gate passes on
+    its own."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
