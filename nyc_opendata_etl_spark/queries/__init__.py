@@ -115,6 +115,7 @@ _DEFER_R2 = (
     "events_user_sequences",   # collect_list family; capped variant tested
     "window_sliding",          # window family: tumbling+session in prefix
     "agg_distinct_twophase",   # distinct family: agg_count_distinct green r1
+    "graph_pagerank_trade",    # new this round; locally oracle-verified
 )
 
 

@@ -1055,3 +1055,86 @@ def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = bucketed_point_in_interval_join(li, iv, "d", "lo", "hi", bucket_size=7)
     return joined.select("l_orderkey", "l_linenumber", "interval_id")
+
+
+# --------------------------------------------------------------------------
+# Iterative graph centrality (exact fixed-point PageRank)
+# --------------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 3, n_nodes: int = 25) -> str:
+    """DuckDB replay of operators/graph.pagerank_int: identical integer
+    recurrence (floor-div fixed-point), one chained CTE per iteration."""
+    from nyc_opendata_etl_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+    )
+
+    init = SCALE // n_nodes
+    base = init * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ctes = [
+        """nodes AS (SELECT n_nationkey AS node_id, n_name FROM nation),
+        edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS weight
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        ew AS (SELECT e.*, sum(weight) OVER (PARTITION BY src) AS w_out
+               FROM edges e)""",
+        f"r0 AS (SELECT node_id, CAST({init} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT n.node_id,
+                   CAST({base} + ({DAMP_NUM} * COALESCE(c.s, 0)) // {DAMP_DEN}
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT ew.dst, sum((p.r * ew.weight) // ew.w_out) AS s
+                FROM ew JOIN r{k - 1} p ON p.node_id = ew.src
+                GROUP BY ew.dst
+            ) c ON c.dst = n.node_id
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT n.n_name, r{iterations}.r AS rank_scaled
+        FROM r{iterations} JOIN nodes n ON n.node_id = r{iterations}.node_id
+        """
+    )
+
+
+@register("graph_pagerank_trade", oracle=_pagerank_oracle())
+def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation → supplier-nation
+    trade graph (edge weight = lineitem count), 3 synchronous
+    iterations in exact SCALE-unit integer arithmetic — every floor-div
+    and long-sum is order/partitioning-independent, so the DuckDB
+    oracle replays the recurrence to the last fixed-point unit. The
+    heavy stage (edge aggregation: the 4-way star join) runs once and
+    is checkpointed; each iteration broadcasts only the |V|-row rank
+    relation."""
+    from nyc_opendata_etl_spark.operators.graph import pagerank_int
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node_id"), "n_name"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank_int(nation.select("node_id"), edges, iterations=3)
+    return ranks.join(F.broadcast(nation), "node_id").select(
+        "n_name", "rank_scaled"
+    )

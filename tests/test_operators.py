@@ -382,3 +382,43 @@ def test_rollup_merge_batching_invariant(spark):
     b2 = aggregate_batch(df.subtract(df.limit(2)), keys, measures)
     merged = merge_rollup(b1, b2, keys, measures)
     assert {tuple(r) for r in merged.collect()} == full
+
+
+def test_pagerank_int_matches_pure_python_recurrence(spark):
+    """pagerank_int's fixed-point recurrence vs an independent pure-
+    Python replica on a small asymmetric weighted graph — and the
+    result must be partitioning-independent (exact integer math)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+        pagerank_int,
+    )
+
+    node_ids = [0, 1, 2, 3]
+    edge_rows = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 0, 1)]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "node_id long")
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, weight long")
+
+    k = 3
+    got = {
+        r.node_id: r.rank_scaled
+        for r in pagerank_int(nodes, edges.repartition(7), iterations=k).collect()
+    }
+
+    init = SCALE // len(node_ids)
+    base = init * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    w_out = {}
+    for s, _d, w in edge_rows:
+        w_out[s] = w_out.get(s, 0) + w
+    r = {i: init for i in node_ids}
+    for _ in range(k):
+        s_in = {i: 0 for i in node_ids}
+        for s, d, w in edge_rows:
+            s_in[d] += r[s] * w // w_out[s]
+        r = {i: base + DAMP_NUM * s_in[i] // DAMP_DEN for i in node_ids}
+    assert got == r
+    # node 3 has no in-edges -> pure teleport base
+    assert got[3] == base
