@@ -116,6 +116,8 @@ _DEFER_R2 = (
     "window_sliding",          # window family: tumbling+session in prefix
     "agg_distinct_twophase",   # distinct family: agg_count_distinct green r1
     "graph_pagerank_trade",    # new this round; locally oracle-verified
+    "set_except_all",          # set-op family green r1
+    "set_intersect_all",       # set-op family green r1
 )
 
 

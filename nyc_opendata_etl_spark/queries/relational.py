@@ -458,6 +458,48 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem
+    EXCEPT ALL
+    SELECT s_suppkey FROM supplier
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each supplier key removes ONE
+    occurrence from the lineitem multiset, keeping count-1 duplicates —
+    distinct-based EXCEPT would collapse them. Plans as a single
+    aggregate of signed counts (sum of +1/-1), not a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return li.select(F.col("l_suppkey").alias("suppkey")).exceptAll(
+        sup.select(F.col("s_suppkey").alias("suppkey"))
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber % 2 = 1
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linenumber % 2 = 0
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: per supplier key, min(occurrences in odd-numbered
+    lines, occurrences in even-numbered lines) copies survive — true
+    multiset intersection of the two halves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    odd = li.filter(F.col("l_linenumber") % 2 == 1).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    even = li.filter(F.col("l_linenumber") % 2 == 0).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return odd.intersectAll(even)
+
+
 # --------------------------------------------------------------------------
 # JSON / array functions (events.props)
 # --------------------------------------------------------------------------
