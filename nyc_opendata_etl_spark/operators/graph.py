@@ -74,8 +74,10 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # contrib has at most |V| rows (grouped by dst) — provably
+        # bounded, so the hint is always safe.
         ranks = (
-            nodes.join(contrib, nodes[id_col] == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes[id_col] == contrib.dst, "left")
             .select(
                 F.col(id_col),
                 (

@@ -165,3 +165,12 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pagerank_iterations_never_sort_merge(spark):
+    """Every rank-side join in the PageRank loop must broadcast (the
+    rank/contrib relations are bounded by |V|); the only exchanges
+    allowed are the one-time edge build and its aggregates."""
+    df = queries()["graph_pagerank_trade"](spark, SF)
+    assert not pi.uses_sort_merge_join(df)
+    assert pi.uses_broadcast_join(df)
