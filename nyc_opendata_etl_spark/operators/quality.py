@@ -40,3 +40,32 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "pass_ratio",
         F.round(1.0 - F.col("n_failed") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
     )
+
+
+def observed(
+    df: DataFrame, rules: dict[str, Column], name: str = "quality"
+):
+    """Attach the expectation aggregates as a query OBSERVATION: the
+    metrics are computed inside whatever action consumes ``df`` (the
+    fact write, typically) — zero extra scans, unlike :func:`validate`,
+    which is its own job. This is the Spark-native form of the
+    reference's per-load row-count logging
+    (``/root/reference/etl/core/dim_loader.py:24-30``): counts ride the
+    write itself.
+
+    Returns ``(df_observed, observation)``; read
+    ``observation.get`` after an action has run — a dict with
+    ``n_rows`` and one ``n_failed_<rule>`` per expectation (NULL rule
+    results count as failures, matching ``validate``).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for nm, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"n_failed_{nm}")
+        )
+    return df.observe(obs, *aggs), obs

@@ -238,3 +238,31 @@ def test_build_star_with_both_inputs_empty(spark):
     # FK key columns exist and are typed on the empty facts
     assert "agency_key" in out["fact_311_complaints"].columns
     assert "vehicle_key" in out["fact_parking_tickets"].columns
+
+
+def test_observed_metrics_ride_the_consuming_action(spark, tmp_path):
+    """observed() must deliver expectation counts from the SAME job
+    that writes the data — no second scan — and match validate()'s
+    failure semantics (NULL -> failed)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.quality import observed
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 5.0)],
+        "id long, amount double",
+    )
+    out, obs = observed(
+        df,
+        {
+            "amount_nonneg": F.col("amount") >= 0,
+            "id_positive": F.col("id") > 0,
+        },
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["n_failed_amount_nonneg"] == 2  # -1.0 and the NULL
+    assert m["n_failed_id_positive"] == 0
+    # the write actually landed all rows
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 4
