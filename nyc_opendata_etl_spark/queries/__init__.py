@@ -118,6 +118,7 @@ _DEFER_R2 = (
     "graph_pagerank_trade",    # new this round; locally oracle-verified
     "set_except_all",          # set-op family green r1
     "set_intersect_all",       # set-op family green r1
+    "q18_large_volume_customer",  # star family: q3/q5 lead this round
 )
 
 

@@ -875,6 +875,51 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the grouped-HAVING IN-subquery (orders whose
+    total lineitem quantity exceeds a threshold) becomes an aggregate →
+    LEFT SEMI join — Spark never materializes the subquery as a column,
+    and the qualifying-key side (tiny after HAVING) broadcasts into the
+    semi join, so the fact table is filtered before the wide
+    customer/orders joins. Quantity sums route through DECIMAL (exact,
+    order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _money("l_quantity").alias("qty")
+    )
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(qualifying),
+        F.col("o_orderkey") == qualifying["l_orderkey"],
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"))
+    )
+
+
+@register(
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name, CAST(round(sum({_REVENUE_DEC}), 2) AS DOUBLE) AS revenue
