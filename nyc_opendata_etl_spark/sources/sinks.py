@@ -72,3 +72,45 @@ def write_warehouse(
     overrides = partition_overrides or {}
     for name, df in tables.items():
         append_parquet(df, f"{base_path}/{name}", overrides.get(name))
+
+
+def append_parquet_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """:func:`append_parquet` with write-time small-file prevention: an
+    AQE REBALANCE hint makes the final stage re-split its output to
+    ~``target_file_bytes`` partitions — merging trickles AND splitting
+    skewed partitions — so one file lands per ~target regardless of the
+    upstream partitioning. This is the write-time complement to the
+    after-the-fact ``operators/backfill.compact_partitions``; at 100 TB
+    sinks that skip it bury the table in per-task files and every later
+    scan pays the open-cost tax.
+
+    When ``partition_by`` is given the rebalance keys on those columns,
+    so each hive partition's rows co-locate before the write (one file
+    per partition value per ~target, not one per task per value).
+    """
+    if df.isEmpty():
+        return 0
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_file_bytes)
+    )
+    try:
+        balanced = df.hint("rebalance", *(partition_by or []))
+        writer = balanced.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+            )
+    return -1

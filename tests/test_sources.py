@@ -156,3 +156,31 @@ def test_socrata_page_partition_math():
     # limit smaller than one page
     r = SocrataReader(StructType([]), {"limit": "3", "page_size": "10"})
     assert [(p.offset, p.limit) for p in r.partitions()] == [(0, 3)]
+
+
+def test_append_parquet_sized_merges_small_output_files(spark, tmp_path):
+    """A 64-partition trickle of tiny rows must land as a handful of
+    right-sized files, not 64 shards (write-time small-file
+    prevention); and partitioned mode co-locates rows per value."""
+    from nyc_opendata_etl_spark.sources import sinks
+
+    df = spark.range(0, 10_000, 1, 64).selectExpr(
+        "id", "id % 3 AS part", "repeat('x', 32) AS pad"
+    )
+    flat = str(tmp_path / "flat")
+    sinks.append_parquet_sized(df, flat, target_file_bytes=1 << 20)
+    import glob
+
+    n_flat = len(glob.glob(flat + "/*.parquet"))
+    assert n_flat <= 4, n_flat  # 64 task shards coalesced
+    assert spark.read.parquet(flat).count() == 10_000
+
+    parted = str(tmp_path / "parted")
+    sinks.append_parquet_sized(
+        df, parted, partition_by=["part"], target_file_bytes=1 << 20
+    )
+    files_per_part = [
+        len(glob.glob(parted + f"/part={p}/*.parquet")) for p in (0, 1, 2)
+    ]
+    assert all(1 <= n <= 2 for n in files_per_part), files_per_part
+    assert spark.read.parquet(parted).count() == 10_000
