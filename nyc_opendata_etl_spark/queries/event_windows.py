@@ -620,3 +620,76 @@ def q_rollup_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 minute', ts) AS minute_ts,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(minute_ts) AS lo, max(minute_ts) AS hi FROM m),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL '1 minute'))
+                   AS minute_ts
+        FROM types t, b
+    ),
+    j AS (
+        SELECT s.event_type, s.minute_ts, m.v
+        FROM spine s LEFT JOIN m USING (event_type, minute_ts)
+    )
+    SELECT event_type, minute_ts,
+           CAST(round(last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY minute_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS DOUBLE) AS value_filled,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: aggregate per (event_type,
+    minute), densify onto a generated minute spine (sequence + explode —
+    the spine's size is the time range, independent of data volume), and
+    fill gaps by last-observation-carried-forward
+    (``last(ignorenulls)`` over an unbounded-preceding frame — one
+    window per series, no self-join). Sums route through DECIMAL so the
+    carried values are exact in both engines; minutes before a series'
+    first observation stay NULL."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute_ts"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    per_min = ev.groupBy("event_type", "minute_ts").agg(F.sum("v").alias("v"))
+    bounds = per_min.agg(
+        F.min("minute_ts").alias("lo"), F.max("minute_ts").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute_ts"),
+    )
+    joined = spine.join(per_min, ["event_type", "minute_ts"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "minute_ts",
+        F.round(F.last("v", ignorenulls=True).over(w), 6)
+        .cast("double")
+        .alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
