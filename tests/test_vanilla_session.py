@@ -48,3 +48,24 @@ def test_estimate_splits_metadata_only(spark):
     assert _estimate_splits(spark, f"{SF}/events.parquet") >= 1
     # Missing path → still a sane floor of 1 (repartition decision only).
     assert _estimate_splits(spark, "/nonexistent/nope.parquet") == 1
+
+
+def test_round2_queries_run_on_vanilla_session(spark):
+    """The late-round-2 queries are deferred from the driver's checked
+    prefix until round 3 — any hidden dependency on session.py confs
+    (ANSI mode, timezone, nanos) would go driver-undetected for a whole
+    round, so smoke them on a de-configured session here."""
+    from nyc_opendata_etl_spark.queries import queries
+
+    s2 = spark.newSession()
+    s2.conf.set(NANOS_CONF, "false")
+    qs = queries()
+    for name in (
+        "corpus_chunk_docs",
+        "rollup_hll_distinct",
+        "graph_pagerank_trade",
+        "set_except_all",
+        "q18_large_volume_customer",
+        "events_gapfill_locf",
+    ):
+        assert qs[name](s2, SF).limit(3).count() >= 1, name
