@@ -1225,3 +1225,29 @@ def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(F.broadcast(nation), "node_id").select(
         "n_name", "rank_scaled"
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 listagg WITHIN GROUP — the
+    reporting/export concatenation op). The explicit ORDER BY inside the
+    aggregate is what makes a concatenation deterministic on a
+    distributed engine: without it, partition arrival order leaks into
+    the result."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.expr(
+            "listagg(DISTINCT c_mktsegment, ',') "
+            "WITHIN GROUP (ORDER BY c_mktsegment)"
+        ).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
