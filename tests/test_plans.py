@@ -174,3 +174,31 @@ def test_pagerank_iterations_never_sort_merge(spark):
     df = queries()["graph_pagerank_trade"](spark, SF)
     assert not pi.uses_sort_merge_join(df)
     assert pi.uses_broadcast_join(df)
+
+
+def test_q18_having_subquery_is_broadcast_semi_join(spark):
+    """The grouped-HAVING IN-subquery must lower to a LEFT SEMI
+    BroadcastHashJoin (qualifying keys are tiny after HAVING) — never a
+    sort-merge of orders against the subquery."""
+    df = queries()["q18_large_volume_customer"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert pi.uses_broadcast_join(df)
+    assert not pi.uses_sort_merge_join(df)
+
+
+def test_gapfill_has_no_self_join(spark):
+    """LOCF gap fill must be one window over the densified spine — a
+    join against the per-minute aggregate, but never a range self-join
+    of the series against itself (the O(n^2) anti-pattern)."""
+    df = queries()["events_gapfill_locf"](spark, SF)
+    # one numbered Window operator in the detail section
+    assert len(__import__("re").findall(r"\(\d+\) Window\b", pi.formatted_plan(df))) == 1
+    # joins: spine LEFT JOIN per-minute aggregate + broadcast of the
+    # 1-row bounds; never a range self-join of the series
+    n_joins = (
+        pi.count_node(df, "SortMergeJoin")
+        + pi.count_node(df, "BroadcastHashJoin")
+        + pi.count_node(df, "ShuffledHashJoin")
+    )
+    assert n_joins <= 2
