@@ -132,3 +132,35 @@ def test_chunk_documents_short_tail_and_empty(spark):
 
     with pytest.raises(ValueError):
         curation.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reconstruct_original_tokens(spark):
+    """Lossless-coverage invariant on randomized inputs: dropping the
+    first `overlap` tokens of every chunk after the first and
+    concatenating must reproduce the document's token sequence exactly
+    (consecutive chunks overlap by exactly `overlap` tokens, including
+    the short last chunk)."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n)), "en"))
+    docs = _docs(spark, rows)
+    C, V = 7, 3
+    out = curation.chunk_documents(docs, chunk_tokens=C, overlap=V).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for doc_id, text, _lang in rows:
+        expect = [t for t in text.split(" ") if t]
+        chunks = got.get(doc_id, {})
+        if not expect:
+            assert chunks == {}, doc_id
+            continue
+        rebuilt = []
+        for cid in sorted(chunks):
+            toks = chunks[cid]
+            rebuilt.extend(toks if cid == 0 else toks[V:])
+        assert rebuilt == expect, doc_id

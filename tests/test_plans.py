@@ -202,3 +202,13 @@ def test_gapfill_has_no_self_join(spark):
         + pi.count_node(df, "ShuffledHashJoin")
     )
     assert n_joins <= 2
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_documents is scan-stage-only: project + explode, zero
+    exchanges (the registered query adds a spread repartition for local
+    parallelism; the operator itself must not shuffle)."""
+    from nyc_opendata_etl_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    assert pi.shuffle_count(chunk_documents(docs)) == 0
