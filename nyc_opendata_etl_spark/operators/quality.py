@@ -69,3 +69,46 @@ def observed(
             ).alias(f"n_failed_{nm}")
         )
     return df.observe(obs, *aggs), obs
+
+
+def audit_constraints(
+    pk_checks: dict[str, tuple[DataFrame, list[str]]],
+    fk_checks: dict[str, tuple[DataFrame, list[str], DataFrame, list[str]]],
+) -> DataFrame:
+    """Declarative warehouse constraint audit in one result relation:
+    ``(constraint, n_violations)``.
+
+    * ``pk_checks``: name → (table, key cols); violations = rows beyond
+      the first per key (``count(*) - count(DISTINCT key)`` via one
+      aggregate — no join).
+    * ``fk_checks``: name → (child, child cols, parent, parent cols);
+      violations = orphaned child rows (LEFT ANTI join; the parent side
+      projects to its key columns only, so a dimension parent
+      broadcasts and the fact side never shuffles).
+
+    Scale shape: each check is an independent aggregate/anti-join —
+    at 100 TB they run as parallel jobs over single scans; the union of
+    1-row results is driver-trivial.
+    """
+    parts: list[DataFrame] = []
+    for name, (df, keys) in pk_checks.items():
+        parts.append(
+            df.select(*keys).agg(
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+                .cast("long")
+                .alias("n_violations")
+            ).select(F.lit(name).alias("constraint"), "n_violations")
+        )
+    for name, (child, ckeys, parent, pkeys) in fk_checks.items():
+        cond = [child[c] == parent[p] for c, p in zip(ckeys, pkeys)]
+        orphans = child.select(*ckeys).na.drop(subset=ckeys).join(
+            parent.select(*pkeys), cond, "left_anti"
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("constraint"), "n_violations")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

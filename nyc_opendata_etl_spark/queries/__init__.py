@@ -121,6 +121,7 @@ _DEFER_R2 = (
     "q18_large_volume_customer",  # star family: q3/q5 lead this round
     "events_gapfill_locf",     # events family well-represented in prefix
     "agg_listagg_ordered",     # agg family green r1
+    "audit_constraints",       # quality family: quality_validation in prefix
 )
 
 

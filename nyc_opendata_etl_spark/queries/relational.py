@@ -1251,3 +1251,49 @@ def q_agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("segments"),
         F.count("*").alias("n_customers"),
     )
+
+
+@register(
+    "audit_constraints",
+    oracle="""
+    SELECT 'pk_orders' AS constraint, 
+           count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'pk_lineitem',
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+    UNION ALL
+    SELECT 'fk_lineitem_orders', count(*) FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'fk_orders_customer', count(*) FROM orders od
+    LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL AND od.o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'fk_customer_nation', count(*) FROM customer cu
+    LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL AND cu.c_nationkey IS NOT NULL
+    """,
+)
+def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit: PK uniqueness via one count-vs-
+    distinct aggregate per table (no join) and FK orphan detection via
+    LEFT ANTI joins whose parent side is a key-column projection (dims
+    broadcast; the fact scan never shuffles)."""
+    from nyc_opendata_etl_spark.operators.quality import audit_constraints
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return audit_constraints(
+        pk_checks={
+            "pk_orders": (orders, ["o_orderkey"]),
+            "pk_lineitem": (li, ["l_orderkey", "l_linenumber"]),
+        },
+        fk_checks={
+            "fk_lineitem_orders": (li, ["l_orderkey"], orders, ["o_orderkey"]),
+            "fk_orders_customer": (orders, ["o_custkey"], cust, ["c_custkey"]),
+            "fk_customer_nation": (cust, ["c_nationkey"], nation, ["n_nationkey"]),
+        },
+    )

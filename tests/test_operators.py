@@ -422,3 +422,24 @@ def test_pagerank_int_matches_pure_python_recurrence(spark):
     assert got == r
     # node 3 has no in-edges -> pure teleport base
     assert got[3] == base
+
+
+def test_audit_constraints_detects_violations(spark):
+    from nyc_opendata_etl_spark.operators.quality import audit_constraints
+
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (11, 2), (12, 99), (13, None)],
+        "cid long, fk long",
+    )
+    out = {
+        r.constraint: r.n_violations
+        for r in audit_constraints(
+            pk_checks={"pk_child": (child, ["cid"])},
+            fk_checks={"fk_child_parent": (child, ["fk"], parent, ["pid"])},
+        ).collect()
+    }
+    assert out == {
+        "pk_child": 1,          # cid=11 appears twice
+        "fk_child_parent": 1,   # fk=99 orphaned; NULL fk is not an orphan
+    }
