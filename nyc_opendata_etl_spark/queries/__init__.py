@@ -122,6 +122,7 @@ _DEFER_R2 = (
     "events_gapfill_locf",     # events family well-represented in prefix
     "agg_listagg_ordered",     # agg family green r1
     "audit_constraints",       # quality family: quality_validation in prefix
+    "profile_drift",           # profiling family: profile_columns in prefix
 )
 
 

@@ -1297,3 +1297,49 @@ def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_customer_nation": (cust, ["c_nationkey"], nation, ["n_nationkey"]),
         },
     )
+
+
+_PROFILE_HALF_SQL = """
+    SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        SELECT 'o_custkey' AS col, count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS DOUBLE) AS min_val,
+               CAST(max(o_custkey) AS DOUBLE) AS max_val
+        FROM orders WHERE o_orderkey % 2 = {par}
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               min(o_totalprice), max(o_totalprice)
+        FROM orders WHERE o_orderkey % 2 = {par}
+    )
+"""
+
+
+@register(
+    "profile_drift",
+    oracle=f"""
+    WITH a AS ({_PROFILE_HALF_SQL.format(par=0)}),
+         b AS ({_PROFILE_HALF_SQL.format(par=1)})
+    SELECT a.col,
+           a.n_rows AS n_rows_old, b.n_rows AS n_rows_new,
+           a.n_distinct AS n_distinct_old, b.n_distinct AS n_distinct_new,
+           round(b.n_nulls / CAST(b.n_rows AS DOUBLE)
+                 - a.n_nulls / CAST(a.n_rows AS DOUBLE), 6)
+               AS null_rate_delta,
+           round(b.min_val - a.min_val, 6) AS min_shift,
+           round(b.max_val - a.max_val, 6) AS max_shift
+    FROM a JOIN b ON a.col = b.col
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot drift report (even vs odd order keys standing in
+    for old/new drops): two one-scan profiles joined into per-column
+    row/distinct counts, null-rate delta, and range shifts — the gate a
+    pipeline runs before trusting a new snapshot."""
+    from nyc_opendata_etl_spark.operators.profile import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return profile_drift(old, new, ["o_custkey", "o_totalprice"])
