@@ -123,6 +123,7 @@ _DEFER_R2 = (
     "agg_listagg_ordered",     # agg family green r1
     "audit_constraints",       # quality family: quality_validation in prefix
     "profile_drift",           # profiling family: profile_columns in prefix
+    "scd2_point_in_time",      # warehouse family: scd2_merge in prefix
 )
 
 

@@ -281,3 +281,73 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         natural_key=["c_custkey"],
         tracked=["c_mktsegment", "c_nationkey"],
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, 'RETIRED' AS c_mktsegment,
+               TIMESTAMP '1992-01-01' AS effective_from,
+               TIMESTAMP '1995-01-01' AS effective_to
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '1995-01-01'
+                    ELSE TIMESTAMP '1992-01-01' END,
+               CAST(NULL AS TIMESTAMP)
+        FROM customer
+    )
+    SELECT d.c_mktsegment AS segment_at_order_time,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.effective_from
+     AND (d.effective_to IS NULL OR o.o_orderdate < d.effective_to)
+    GROUP BY 1
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the consumption side of SCD
+    Type 2: each fact row joins the dimension VERSION valid at its own
+    event time (equi join on the natural key + validity-interval
+    residual), so facts are attributed to historical attribute values,
+    not today's. The versioned dim is bounded (versions per key, not
+    data volume) → broadcast; the fact side never shuffles before the
+    final aggregate. Synthetic history: customers with key % 5 == 0
+    were 'RETIRED' before 1995."""
+    cust = load_table(spark, sf_dir, "customer")
+    t92 = F.lit("1992-01-01").cast("timestamp")
+    t95 = F.lit("1995-01-01").cast("timestamp")
+    hist = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("RETIRED").alias("c_mktsegment"),
+        t92.alias("effective_from"),
+        t95.alias("effective_to"),
+    )
+    cur = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, t95).otherwise(t92).alias(
+            "effective_from"
+        ),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+    )
+    dim = hist.unionByName(cur)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(dim),
+        (orders["o_custkey"] == dim["c_custkey"])
+        & (orders["o_orderdate"] >= dim["effective_from"])
+        & (dim["effective_to"].isNull() | (orders["o_orderdate"] < dim["effective_to"])),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment_at_order_time")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
