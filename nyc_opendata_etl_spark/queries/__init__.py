@@ -124,6 +124,7 @@ _DEFER_R2 = (
     "audit_constraints",       # quality family: quality_validation in prefix
     "profile_drift",           # profiling family: profile_columns in prefix
     "scd2_point_in_time",      # warehouse family: scd2_merge in prefix
+    "dedup_keep_best",         # dedup family: clusters/jaccard in prefix
 )
 
 

@@ -978,3 +978,74 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return curation.domain_mix(docs)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clus AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                    x -> x <> '')) AS INT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.doc_id, q.n_tokens,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+        FROM clus c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_tokens, 'canonical' AS keep_reason
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT q.doc_id, q.n_tokens, 'unique' AS keep_reason
+    FROM q LEFT JOIN clus c ON c.doc_id = q.doc_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup lifecycle's final step — emit the CLEANED corpus
+    keep-list: documents outside any near-dup cluster pass through
+    ('unique'); within each cluster exactly one canonical survivor is
+    selected by quality argmax (most tokens, doc_id tie-break). Pair
+    detection (prefix-filtered exact Jaccard), transitive clustering
+    (min-label propagation), and selection (one window over cluster
+    members — a relation bounded by duplicates, not corpus size)
+    compose into one plan; the anti join for uniques broadcasts the
+    cluster membership list."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    quality = docs.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    members = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    canonical = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", F.lit("canonical").alias("keep_reason"))
+    )
+    uniques = quality.join(
+        F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", "n_tokens", F.lit("unique").alias("keep_reason"))
+    return canonical.unionByName(uniques)
