@@ -97,16 +97,26 @@ def compact_partitions(
     planning degrades. One shuffle clustered by the partition column
     re-writes each partition from a single task.
 
-    Crash-safe by construction: the compacted copy is written to a temp
-    sibling path first and only swapped in after the full rewrite
-    succeeded, so a mid-write failure leaves the original sink intact
-    (no read-then-self-overwrite window where the data exists only in
-    executor memory). The swap is a local-FS rename here; on HDFS/object
-    stores the same protocol goes through the FileSystem rename/commit
-    API. Returns the row count (sanity handle for the caller).
+    Crash tolerance: the compacted copy is written to a temp sibling
+    path first, so a failure during the (expensive) rewrite leaves the
+    original sink untouched. The final two-rename swap is NOT atomic —
+    a crash between them leaves the sink path absent with the original
+    preserved under ``<sink>__compact_old`` (recovery: rename it back).
+    The swap uses local-FS ``os.rename``, so this helper requires a
+    local path and rejects remote URIs up front (on HDFS/object stores
+    the same protocol must go through the Hadoop FileSystem API
+    instead). Returns the row count (sanity handle for the caller).
     """
     import os
+    import re
     import shutil
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", sink_path) and not sink_path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"compact_partitions swaps via local-FS rename; got remote URI {sink_path!r}"
+        )
 
     from pyspark.sql import functions as F
 

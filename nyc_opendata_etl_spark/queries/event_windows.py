@@ -350,8 +350,11 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS f_returnflag_domain
         FROM lineitem
     )
-    SELECT rule, n_rows, n_failed,
-           round(1.0 - n_failed / greatest(n_rows, 1), 6) AS pass_ratio
+    SELECT rule,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           CAST(round(1.0 - n_failed / greatest(n_rows, 1), 6) AS DOUBLE)
+               AS pass_ratio
     FROM (
         SELECT 'qty_positive' AS rule, n_rows, f_qty_positive AS n_failed FROM agg
         UNION ALL
@@ -461,7 +464,7 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marks AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -496,8 +499,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Gap compared in MICROseconds on both sides: whole-second casts
+    # truncate, so a sub-second gap in (1800s, 1801s) would split
+    # sessions differently in the two engines (tie-fragility class
+    # documented in NOTES.md; found by advisor review r2).
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (
         events.select("user_id", "ts", "event_id", new_s.alias("new_s"))
         .select(

@@ -92,16 +92,25 @@ def append_parquet_sized(
     When ``partition_by`` is given the rebalance keys on those columns,
     so each hive partition's rows co-locate before the write (one file
     per partition value per ~target, not one per task per value).
+
+    Returns the number of rows written, measured by an ``Observation``
+    riding the write job itself — no extra count pass, no upstream
+    re-execution (an empty input returns 0 after a trivially empty
+    write).
     """
-    if df.isEmpty():
-        return 0
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
     spark.conf.set(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_file_bytes)
     )
+    obs = Observation()
     try:
-        balanced = df.hint("rebalance", *(partition_by or []))
+        balanced = df.observe(obs, F.count(F.lit(1)).alias("n_rows")).hint(
+            "rebalance", *(partition_by or [])
+        )
         writer = balanced.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -113,4 +122,4 @@ def append_parquet_sized(
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
             )
-    return -1
+    return int(obs.get["n_rows"])
