@@ -503,10 +503,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate, so a sub-second gap in (1800s, 1801s) would split
     # sessions differently in the two engines (tie-fragility class
     # documented in NOTES.md; found by advisor review r2).
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # timestampdiff (not unix_micros) because events.ts arrives as
+    # TIMESTAMP_NTZ on Spark 4.1's native parquet-NANOS read and
+    # unix_micros only accepts TIMESTAMP; timestampdiff takes both.
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (
-        events.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .select("user_id", "ts", "event_id", new_s.alias("new_s"))
         .select(
             "user_id", "ts", F.sum("new_s").over(wc).alias("session_idx")
         )
