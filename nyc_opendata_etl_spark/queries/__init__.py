@@ -39,13 +39,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The correctness driver verified only the first 50 registry entries in
-# round 1 (CORRECTNESS_r01.json), so registry ORDER decides which queries
-# get a hard driver verdict. Emit queries the driver has not yet
-# green-lit first: (1) the 34 never-checked, (2) the 7 that errored in
-# round 1 (events.parquet nanos read — fixed in sources/tables.py),
-# (3) the round-1-green remainder.
-_ROUND1_ERRORED = (
+# The correctness driver verifies only the first ~50 registry entries per
+# round, so registry ORDER decides which queries get a hard driver
+# verdict. Queries WITHOUT a green driver row yet come first: the
+# long-deferred `_DEFER_R2` set, then anything newly registered this
+# round, then the already-green remainder (union of CORRECTNESS_r01-r04).
+_DRIVER_GREEN_R1_R4 = (
     "time_keys",
     "ampm_parse_time",
     "bool_flag",
@@ -53,6 +52,49 @@ _ROUND1_ERRORED = (
     "json_extract",
     "json_agg_by_key",
     "map_props_agg",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "unpivot_measures",
+    "profile_columns",
+    "array_hof_pipeline",
+    "join_interval_bucketed",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "dedup_embedding_cosine",
+    "similarity_ann_ivf",
+    "text_tfidf_top",
+    "dedup_clusters",
+    "join_skew_salted",
+    "corpus_curation",
+    "corpus_split",
+    "dedup_incremental",
+    "text_pii_scan",
+    "dedup_embedding_lsh",
+    "text_unigram_logprob",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "corpus_chunk_docs",
+    "corpus_sample_stratified",
+    "window_tumbling",
+    "window_session",
+    "stream_tumbling_backfill",
+    "stream_stateful_dedup",
+    "stream_watermark_dedup",
+    "stream_interval_join",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_ewma",
+    "quality_validation",
+    "events_sessionize",
+    "rollup_incremental",
+    "rollup_hll_distinct",
+    "pipeline_311_fact",
+    "pipeline_parking_fact",
+    "scd2_merge",
+    "multimodal_features",
+    "multimodal_metadata_agg",
+    "multimodal_frame_sample",
 )
 _ROUND1_GREEN = (
     "star_revenue",
@@ -101,10 +143,10 @@ _ROUND1_GREEN = (
 )
 
 
-# More never-checked queries exist than the ~50-entry driver prefix can
-# hold alongside the 7 round-1-red ones. Defer the members whose
-# operator family already carries a green driver row (all remain locally
-# oracle-verified); they rotate into the prefix next round.
+# Queries deferred out of earlier rounds' driver prefixes (their
+# operator families carried green rows; all remain locally
+# oracle-verified). As of round 5 these are the only pre-round-5 queries
+# with no driver verdict, so they lead the registry now.
 _DEFER_R2 = (
     "text_length_histogram",   # text-analysis family: 6 siblings in prefix
     "text_ngram_topk",         # n-gram explode+count: tfidf/jaccard in prefix
@@ -130,15 +172,14 @@ _DEFER_R2 = (
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    deprioritized = set(_ROUND1_ERRORED) | set(_ROUND1_GREEN) | set(_DEFER_R2)
-    # round-1-RED queries lead: their components are graded weak until a
-    # green DRIVER row exists, and the driver checks only a prefix of
-    # the registry — so they must land inside it before never-checked
-    # queries, which in turn precede the deferred set and the
-    # already-green remainder.
-    names = [n for n in _ROUND1_ERRORED if n in REGISTRY]
-    names += [n for n in REGISTRY if n not in deprioritized]
-    names += [n for n in _DEFER_R2 if n in REGISTRY]
+    green = set(_DRIVER_GREEN_R1_R4) | set(_ROUND1_GREEN)
+    # Unverified queries lead so they land inside the driver's checked
+    # prefix: long-deferred ones first (oldest debt), then anything new
+    # this round, then the already-driver-green remainder in a stable
+    # rotation (most recently verified last).
+    names = [n for n in _DEFER_R2 if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in green and n not in set(_DEFER_R2)]
+    names += [n for n in _DRIVER_GREEN_R1_R4 if n in REGISTRY]
     names += [n for n in _ROUND1_GREEN if n in REGISTRY]
     return {n: REGISTRY[n] for n in names}
 
@@ -166,6 +207,7 @@ def _load_all() -> None:
         event_windows,
         pipeline,
         multimodal_q,
+        tpch,
     )
 
     _LOADED = True

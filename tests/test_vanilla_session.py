@@ -11,9 +11,10 @@ the read must succeed on a session where the conf is absent or false.
 
 from __future__ import annotations
 
+import pyarrow.parquet as pq
 import pytest
 from pyspark.errors.exceptions.captured import AnalysisException
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 from nyc_opendata_etl_spark.sources.tables import _estimate_splits, load_table
 
@@ -21,16 +22,23 @@ SF = "/root/testdata/sf0.001"
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _events_is_nanos() -> bool:
+    # Driver-generated testdata has carried TIMESTAMP(NANOS) in some
+    # rounds and TIMESTAMP(MICROS) in others; the engine must read both.
+    return pq.read_schema(f"{SF}/events.parquet").field("ts").type.unit == "ns"
+
+
 def test_events_reads_on_session_without_nanos_conf(spark):
     # Simulate the driver: a session state where the nanos conf is NOT on.
     s2 = spark.newSession()
     s2.conf.set(NANOS_CONF, "false")
-    # Sanity: the raw read really does fail on such a session...
-    with pytest.raises(AnalysisException):
-        s2.read.parquet(f"{SF}/events.parquet")
+    if _events_is_nanos():
+        # Sanity: the raw read really does fail on such a session...
+        with pytest.raises(AnalysisException):
+            s2.read.parquet(f"{SF}/events.parquet")
     # ...but load_table self-heals by setting the runtime conf.
     df = load_table(s2, SF, "events")
-    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType))
     assert df.limit(1).count() == 1
 
 
