@@ -212,3 +212,89 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SF, "documents")
     assert pi.shuffle_count(chunk_documents(docs)) == 0
+
+
+# --------------------------------------------------------------------------
+# Round-5 TPC-H suite completion (queries/tpch.py) — every dimension side
+# broadcasts, correlated/EXISTS subqueries lower to semi/anti hash joins,
+# and the two ordered-limit queries plan as TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+
+def test_tpch_suite_never_sort_merges(spark):
+    """At test scale every non-fact side is sub-threshold, so any
+    SortMergeJoin means a broadcast or semi/anti lowering regressed."""
+    qs = queries()
+    for name in (
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q10_returned_items",
+        "q12_latency_priority",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
+        "q21_waiting_supplier",
+        "q22_global_sales",
+    ):
+        assert not pi.uses_sort_merge_join(qs[name](spark, SF)), name
+
+
+def test_q4_exists_lowers_to_semi_join(spark):
+    df = queries()["q4_order_priority"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert pi.has_pushed_filter(df, "o_orderdate")
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    df = queries()["q6_forecast_revenue"](spark, SF)
+    assert pi.has_pushed_filter(df, "l_shipdate")
+    assert pi.has_pushed_filter(df, "l_discount")
+    assert pi.has_pushed_filter(df, "l_quantity")
+    # filtered scan + one partial/final aggregate pair: single exchange
+    assert pi.shuffle_count(df) <= 1
+
+
+def test_q10_top20_is_take_ordered(spark):
+    df = queries()["q10_returned_items"](spark, SF)
+    assert pi.is_take_ordered(df)
+    assert pi.has_pushed_filter(df, "l_returnflag")
+    assert pi.uses_broadcast_join(df)
+
+
+def test_q17_correlated_avg_is_one_aggregate_no_rescan(spark):
+    """The per-part average must come from ONE aggregate joined back —
+    three scans max (part, lineitem for the semi, lineitem for the
+    threshold build) and no nested-loop join."""
+    df = queries()["q17_small_quantity_revenue"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert pi.count_node(df, "BroadcastNestedLoopJoin") == 0
+    assert pi.shuffle_count(df) <= 2
+
+
+def test_q19_derives_brand_filter_into_part_scan(spark):
+    """Catalyst must extract the implied p_brand IN (...) from the OR of
+    conjunctions and push it into the part scan."""
+    df = queries()["q19_discounted_revenue"](spark, SF)
+    assert pi.has_pushed_filter(df, "p_brand")
+
+
+def test_q21_windowed_qualification_plan(spark):
+    """One aggregate + windows over the same partitioning — the window
+    pair must share a single exchange on l_orderkey (no re-shuffle
+    between the two window steps), then TakeOrderedAndProject."""
+    df = queries()["q21_waiting_supplier"](spark, SF)
+    assert pi.is_take_ordered(df)
+    assert not pi.uses_sort_merge_join(df)
+    assert pi.shuffle_count(df) <= 3
+
+
+def test_q22_not_exists_is_anti_join_with_pushed_date(spark):
+    df = queries()["q22_global_sales"](spark, SF)
+    plan = pi.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert pi.has_pushed_filter(df, "o_orderdate")
+    assert not pi.uses_sort_merge_join(df)
