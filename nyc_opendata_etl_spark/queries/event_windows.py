@@ -704,3 +704,72 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER w AS click_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) // 1000000 <= 3600
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) // 1000000 <= 3600
+                THEN CAST(date_diff('microsecond', click_ts, ts) // 1000000
+                          AS BIGINT)
+           END AS seconds_since_click
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding click within a 1-hour lookback. One window
+    pass per user (the running "last click" carried by
+    last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING..1 PRECEDING)
+    — a single shuffle on user_id, no self-join of purchases against
+    clicks (the O(purchases × clicks) anti-pattern this operator
+    replaces). Elapsed seconds are microsecond diffs floor-divided on
+    BOTH engines: Spark's timestampdiff(SECOND) truncates the duration
+    while DuckDB's date_diff('second') counts boundary crossings, so
+    whole-second primitives disagree on sub-second offsets."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    seq = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        click_id.alias("click_id"),
+        click_ts.alias("click_ts"),
+    )
+    secs = F.expr("timestampdiff(MICROSECOND, click_ts, ts) div 1000000")
+    in_window = F.col("click_ts").isNotNull() & (secs <= 3600)
+    return seq.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
+        F.when(in_window, secs.cast("long")).alias("seconds_since_click"),
+    )

@@ -1049,3 +1049,228 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti"
     ).select("doc_id", "n_tokens", F.lit("unique").alias("keep_reason"))
     return canonical.unionByName(uniques)
+
+
+# --------------------------------------------------------------------------
+# Round 5: iterative-ML + curation additions
+# --------------------------------------------------------------------------
+
+_COS_CENT = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    "                          CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(c.cvec, c.cvec)))"
+)
+
+
+@register(
+    "embedding_kmeans_update",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id, {_COS_CENT} AS sim
+        FROM embeddings e, cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cent_id) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    ex AS (
+        SELECT cent_id,
+               unnest(range(len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM assigned
+    )
+    SELECT cent_id, CAST(dim AS BIGINT) AS dim,
+           round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_val,
+           count(*) AS n_members
+    FROM ex GROUP BY cent_id, dim
+    """,
+)
+def q_embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed k-means (Lloyd) iteration over the embedding
+    table: assign every vector to its nearest of 8 deterministic seed
+    centroids (cosine; N×k scoring against a broadcast centroid table,
+    argmin via one window on vec_id), then recompute centroids as
+    element-wise means — posexplode to (dim, value) rows so the mean is
+    a plain partial-aggregable groupBy, never a collect of vectors.
+    Emitted in long form (cent_id, dim, mean_val): at 100 TB the
+    centroid update is exactly this shuffle of k×dim partial sums, and
+    the decimal routing makes the means order-independent for the
+    cross-engine hash. Iterating = re-broadcasting the 8×64 result."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", similarity.cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cent_id", "embedding")
+    )
+    ex = assigned.select(
+        "cent_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    return (
+        ex.groupBy("cent_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(27,10)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+@register(
+    "outlier_robust_z",
+    oracle="""
+    WITH med AS (
+        SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.med,
+               abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+    SELECT doc_id, lang, n_chars,
+           round(v.med, 6) AS lang_median,
+           round(t.mad, 6) AS lang_mad,
+           round(v.adev / t.mad, 6) AS robust_z
+    FROM dev v JOIN mad t USING (lang)
+    WHERE t.mad > 0 AND v.adev / t.mad > 2.0
+    """,
+)
+def q_outlier_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language outlier detection on document length:
+    median/MAD (not mean/stddev, which an outlier itself corrupts).
+    Two exact-percentile aggregates over the same grouping — the
+    5-row median and MAD relations broadcast back, so the documents
+    scan is never shuffled. Median interpolation on integers and
+    half-integer deviations is exact double arithmetic, so both
+    engines agree bit-for-bit before rounding."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    med = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med",
+        F.abs(F.col("n_chars").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    z = F.col("adev") / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .filter((F.col("mad") > 0) & (z > 2.0))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("med", 6).alias("lang_median"),
+            F.round("mad", 6).alias("lang_mad"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               unnest([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ]) AS ngram
+        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT ngram, count(*) AS doc_freq,
+           round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE),
+                 6) AS frac_docs
+    FROM g GROUP BY ngram
+    HAVING count(*) >= 5
+    """,
+)
+def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span mining: word 3-grams occurring in ≥5 distinct
+    documents (repeated navigation/footer text is the #1 contaminant a
+    web-scale corpus cleaner strips). Per-doc DISTINCT shingles keep a
+    spammy single document from inflating a span's corpus-wide count;
+    the doc-frequency aggregate partial-aggregates map-side, and the
+    total-docs denominator is a 1-row broadcast."""
+    from nyc_opendata_etl_spark.operators.curation import shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 3, distinct=True)).alias("ngram")
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_total").cast("double"), 6).alias(
+                "frac_docs"
+            ),
+        )
+    )
+
+
+@register(
+    "corpus_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(n_chars / 600.0, 6) AS keep_prob
+    FROM documents
+    WHERE ({md5_long_oracle_sql("'w:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+          * 600 < n_chars * 1000000
+    """,
+)
+def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: keep each document with
+    probability n_chars/600, decided by a salted content hash instead of
+    a seeded RNG — reproducible across runs, engines, and partitionings
+    (the property a training-mixture sampler needs for exact reruns).
+    The accept test is pure integer math (hash·600 < n_chars·10⁶): no
+    float threshold, so no cross-engine rounding edge. Map-side only —
+    zero shuffles."""
+    from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_long(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))) % 1000000
+    return (
+        docs.filter(u * 600 < F.col("n_chars") * 1000000)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("n_chars") / 600.0, 6).alias("keep_prob"),
+        )
+    )

@@ -77,3 +77,28 @@ def test_round2_queries_run_on_vanilla_session(spark):
         "events_gapfill_locf",
     ):
         assert qs[name](s2, SF).limit(3).count() >= 1, name
+
+
+def test_round5_queries_run_on_vanilla_session(spark):
+    """Round-5 additions (TPC-H completion + curation/attribution ops)
+    must not depend on session.py confs — the driver runs them on a
+    plain session."""
+    from nyc_opendata_etl_spark.queries import queries
+
+    s2 = spark.newSession()
+    s2.conf.set(NANOS_CONF, "false")
+    qs = queries()
+    for name in (
+        "q4_order_priority",
+        "q8_market_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q21_waiting_supplier",
+        "q22_global_sales",
+        "events_attribution",
+        "embedding_kmeans_update",
+        "outlier_robust_z",
+        "text_boilerplate_ngrams",
+        "corpus_sample_weighted",
+    ):
+        assert qs[name](s2, SF).limit(3).count() >= 0, name
