@@ -1274,3 +1274,143 @@ def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") / 600.0, 6).alias("keep_prob"),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_CANON}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+1], ' ')
+                       FOR i IN range(1, len(t))]) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ),
+    model AS (SELECT bigram, count(*) AS cb FROM grams GROUP BY bigram),
+    prefix AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, sum(cb) AS cp
+        FROM model GROUP BY 1
+    ),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(round(ln((m.cb + 1)
+                             / CAST(p.cp + vv.v AS DOUBLE)), 9)
+                    AS DECIMAL(28,12)) AS lp
+        FROM grams g
+        JOIN model m USING (bigram)
+        JOIN prefix p ON p.w1 = split_part(g.bigram, ' ', 1)
+        CROSS JOIN vocab vv
+    )
+    SELECT doc_id,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_scored
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM score per document: mean
+    log P(w2|w1) with add-one smoothing, P(w2|w1) = (C(w1w2)+1)/(C(w1·)+V).
+    One step up from the unigram filter — it penalizes shuffled-word
+    gibberish that unigram statistics cannot see. Same determinism
+    discipline as text_unigram_logprob: each bigram's logprob rounds to
+    9 dp then sums as an exact decimal, so the distributed fold is
+    order-independent and the oracle value-matches. The bigram and
+    prefix models are two partial-aggregable counts; scoring is two
+    equi-joins (model sides shrink with vocabulary, not corpus — at
+    100 TB they land in AQE-sized shuffles or broadcast)."""
+    from nyc_opendata_etl_spark.operators.curation import shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 2, distinct=False)).alias("bigram")
+    )
+    model = grams.groupBy("bigram").agg(F.count("*").alias("cb"))
+    prefix = model.groupBy(
+        F.split("bigram", " ")[0].alias("w1")
+    ).agg(F.sum("cb").alias("cp"))
+    vocab = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.round(
+        F.log((F.col("cb") + 1) / (F.col("cp") + F.col("v")).cast("double")), 9
+    ).cast("decimal(28,12)")
+    scored = (
+        grams.join(model, "bigram")
+        .join(prefix, F.split("bigram", " ")[0] == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("mean_logprob"),
+        F.count("*").alias("n_scored"),
+    )
+
+
+@register(
+    "similarity_ann_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT vec_id FROM embeddings e, q
+        WHERE vec_id <> 0
+        ORDER BY {_cos_sql('e.embedding', 'q.q_vec')} DESC, vec_id
+        LIMIT 10
+    ),
+    b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[3] AS DOUBLE) - CAST(embedding[4] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[5] AS DOUBLE) - CAST(embedding[6] AS DOUBLE) >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN CAST(embedding[7] AS DOUBLE) - CAST(embedding[8] AS DOUBLE) >= 0 THEN 8 ELSE 0 END)
+               AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT q_vec, bucket AS q_bucket
+           FROM b JOIN q ON b.embedding = q.q_vec AND b.vec_id = 0),
+    approx AS (
+        SELECT b.vec_id FROM b, qb
+        WHERE b.bucket = qb.q_bucket AND b.vec_id <> 0
+        ORDER BY {_cos_sql('b.embedding', 'qb.q_vec')} DESC, b.vec_id
+        LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM exact JOIN approx USING (vec_id)) AS n_overlap,
+           round((SELECT count(*) FROM exact JOIN approx USING (vec_id))
+                 / 10.0, 6) AS recall_at_k
+    """,
+)
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against exact brute force for
+    the fixed probe vector — the evaluation harness an ANN deployment
+    needs, expressed as a query: both top-k relations are tiny
+    (TakeOrderedAndProject each), the intersection is a 10-row join,
+    and the single-row report broadcasts. Every step is deterministic
+    (fixed hyperplanes, vec_id tie-breaks), so recall is an exact
+    cross-engine value, not a statistical claim."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    planes = []
+    for i in range(4):
+        plane = [0.0] * 64
+        plane[i * 2] = 1.0
+        plane[i * 2 + 1] = -1.0
+        planes.append(plane)
+    approx = similarity.ann_lsh_topk(
+        emb, query_vec_id=0, hyperplanes=planes, k=10
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_k"),
+    )
