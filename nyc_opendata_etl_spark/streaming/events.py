@@ -166,6 +166,67 @@ def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def tws_count_threshold(
+    events: DataFrame, key_col: str = "user_id", threshold: int = 67
+) -> DataFrame:
+    """Custom stateful streaming operator on Spark 4's
+    ``transformWithStateInPandas`` API: a running per-key event counter
+    that emits the key exactly once, in the micro-batch where its
+    lifetime count crosses ``threshold``.
+
+    Complements ``stateful_first_seen`` (the older
+    ``applyInPandasWithState`` API) with the newer processor-object API:
+    explicit typed state variables (``ValueState``), per-batch
+    ``handleInputRows``, TTL hooks. The emitted set — keys whose total
+    count ever reaches the threshold — is batching-invariant, so a
+    batch GROUP BY/HAVING is a full-value oracle for a genuinely
+    streaming execution. State is one long per key, sharded with the
+    grouping shuffle; at 100 TB a TTL (``ttlDurationMs``) would bound
+    it for keys that go quiet.
+
+    Environment gate: transformWithStateInPandas moves state through a
+    protobuf-encoded side channel, so it needs the ``protobuf`` package
+    at RUNTIME (this container does not ship it — the operator is
+    implemented and unit-testable wherever protobuf exists, and raises
+    a clear error here instead of a mid-stream worker crash).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's stateful-processor channel is protobuf-encoded); "
+            "not installed in this environment"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountThreshold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState("cnt", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._cnt.get()
+            n = int(prev[0]) if prev is not None else 0
+            add = sum(len(pdf) for pdf in rows)
+            self._cnt.update((n + add,))
+            if n < threshold <= n + add:
+                yield pd.DataFrame({key_col: [key[0]]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=CountThreshold(),
+        outputStructType=f"{key_col} BIGINT",
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def interval_join_clicks_views(
     clicks: DataFrame,
     views: DataFrame,

@@ -208,3 +208,35 @@ def test_checkpointed_available_now_is_incremental(spark, tmp_path):
     # no new data -> replay is a no-op (no duplicates)
     drain()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_tws_count_threshold_gated_or_runs(spark, tmp_path):
+    """transformWithStateInPandas needs protobuf at runtime. Where the
+    package exists the operator must produce the batching-invariant
+    threshold set; where it doesn't, it must fail fast with a clear
+    NotImplementedError instead of a mid-stream worker crash."""
+    import pytest
+
+    from nyc_opendata_etl_spark.sources.tables import load_table
+    from nyc_opendata_etl_spark.streaming import events as se
+
+    sf = "/root/testdata/sf0.001"
+    stage = str(tmp_path / "events_stage")
+    load_table(spark, sf, "events").write.mode("overwrite").parquet(stage)
+    stream = se.read_event_stream(spark, stage, max_files_per_trigger=4)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            se.tws_count_threshold(stream, "user_id", threshold=67)
+        return
+    crossed = se.tws_count_threshold(stream, "user_id", threshold=67)
+    out = se.run_available_now(crossed, "tws_test", output_mode="append")
+    expected = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .count()
+        .filter("count >= 67")
+        .count()
+    )
+    assert out.count() == expected
