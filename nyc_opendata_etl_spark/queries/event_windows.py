@@ -773,3 +773,50 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
         F.when(in_window, secs.cast("long")).alias("seconds_since_click"),
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, round(value, 6) AS last_value,
+           CAST(ts AS TIMESTAMP) AS updated_at
+    FROM log WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (last-writer-wins upsert/delete): the
+    events stream read as a change log keyed by user — 'error' rows are
+    tombstones, everything else an upsert carrying the new value. The
+    materialized table keeps each key's latest surviving version: one
+    window pass ordered by (ts, event_id) picks the per-key winner, and
+    keys whose final operation is a delete vanish. This is the merge
+    step of a medallion bronze→silver hop; at 100 TB the same plan is
+    one shuffle on the key — no join against the base table is needed
+    when the log is complete, and an incremental run would MERGE the
+    winners instead."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    log = events.select(
+        "user_id", op.alias("op"), "value", "ts", "event_id"
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").cast("timestamp").alias("updated_at"),
+        )
+    )

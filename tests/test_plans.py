@@ -298,3 +298,46 @@ def test_q22_not_exists_is_anti_join_with_pushed_date(spark):
     assert "LeftAnti" in plan
     assert pi.has_pushed_filter(df, "o_orderdate")
     assert not pi.uses_sort_merge_join(df)
+
+
+def test_single_window_pass_operators(spark):
+    """cdc_apply_changelog and events_attribution are one-shuffle
+    single-window-pass operators: exactly one exchange (the key
+    partitioning) and one Window node — any join or second sort
+    appearing here is a regression to the self-join formulation."""
+    import re
+
+    qs = queries()
+    for name in ("cdc_apply_changelog", "events_attribution"):
+        df = qs[name](spark, SF)
+        plan = pi.formatted_plan(df)
+        assert pi.shuffle_count(df) == 1, name
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, name
+        assert pi.count_node(df, "Join") == 0, name
+
+
+def test_weighted_sample_is_map_side_only(spark):
+    """The hash-accept sampler must be a pure scan-stage filter: zero
+    exchanges, zero joins."""
+    df = queries()["corpus_sample_weighted"](spark, SF)
+    assert pi.shuffle_count(df) == 0
+    assert pi.count_node(df, "Join") == 0
+
+
+def test_ann_recall_both_topks_take_ordered(spark):
+    """Both the exact and the LSH top-10 must plan as
+    TakeOrderedAndProject (never a global sort), and the intersection
+    count must not sort-merge."""
+    df = queries()["similarity_ann_recall"](spark, SF)
+    assert pi.count_node(df, "TakeOrderedAndProject") >= 2
+    assert not pi.uses_sort_merge_join(df)
+
+
+def test_kmeans_update_never_shuffles_to_assign(spark):
+    """Centroid assignment is a broadcast cross product scored in-stage;
+    the only exchanges allowed are the spread repartition, the per-vector
+    argmin window, and the k x dim mean aggregate — never a sort-merge
+    join of vectors against centroids."""
+    df = queries()["embedding_kmeans_update"](spark, SF)
+    assert not pi.uses_sort_merge_join(df)
+    assert pi.shuffle_count(df) <= 4
