@@ -295,3 +295,77 @@ def lsh_neardup_pairs(
     return b.groupBy("__bucket__").applyInPandas(
         verify_bucket, "id_a long, id_b long, cosine_sim double"
     )
+
+
+def kmeans_iterations(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full distributed k-means (Lloyd) to a fixed iteration count,
+    engineered for exact cross-engine verification.
+
+    Per iteration: score all N vectors against the k current centroids
+    (broadcast cross product — no shuffle to assign), pick the argmax
+    cosine per vector (one window), recompute centroids as element-wise
+    means of the ORIGINAL vectors via posexplode + exact decimal sums,
+    and round each mean to 6 dp. The rounding is the determinism
+    contract: it snaps every centroid coordinate to a value both
+    engines agree on bit-for-bit, so iteration K+1's assignments are
+    identical everywhere and a DuckDB oracle can replay the whole
+    recurrence (queries/llm_ops.py:embedding_kmeans_iterate).
+
+    Seeds are the k lowest-id vectors (deterministic; k-means++ would
+    add a seeded RNG the oracle can't replay). A centroid that loses
+    all members drops out — with self-including seeds every cluster
+    starts non-empty. Each iteration's 8x64 centroid relation is
+    lazily checkpointed: the lineage stays O(1) per iteration instead
+    of exponentially nesting, mirroring operators/graph.pagerank_int.
+
+    Returns the FINAL iteration's long-form update:
+    (cent_id, dim, mean_val, n_members).
+    """
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cvec"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim__").desc(), "cent_id")
+    out = None
+    for _ in range(iterations):
+        scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim__", cosine(F.col(vec_col), F.col("cvec"))
+        )
+        assigned = (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("cent_id", vec_col)
+        )
+        ex = assigned.select(
+            "cent_id", F.posexplode(vec_col).alias("dim", "val")
+        )
+        out = ex.groupBy(
+            "cent_id", F.col("dim").cast("long").alias("dim")
+        ).agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(27,10)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+            F.count("*").alias("n_members"),
+        )
+        cents = (
+            out.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                    lambda s: s.mean_val,
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

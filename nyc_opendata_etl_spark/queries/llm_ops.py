@@ -1414,3 +1414,64 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_overlap").cast("long").alias("n_overlap"),
         F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_k"),
     )
+
+
+def _kmeans_iterate_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled DuckDB replay of operators/similarity.kmeans_iterations:
+    per iteration, argmax-cosine assignment against the current centroid
+    relation, then element-wise means of the ORIGINAL vectors through
+    exact decimals rounded to 6 dp (the same determinism contract as the
+    Spark side, so every iteration's assignments agree bit-for-bit)."""
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                          CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(c.cvec, c.cvec)))"
+    )
+    parts = [
+        f"c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec"
+        f"       FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(iterations):
+        parts.append(f"""
+    a{i} AS (
+        SELECT vec_id, embedding, cent_id
+        FROM (SELECT e.vec_id, e.embedding, c.cent_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {cos} DESC, c.cent_id) AS rn
+              FROM embeddings e, c{i} c)
+        WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cent_id, CAST(dim AS BIGINT) AS dim,
+               round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE)
+                     / count(*), 6) AS mean_val,
+               count(*) AS n_members
+        FROM (SELECT cent_id,
+                     unnest(range(len(embedding))) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS val
+              FROM a{i})
+        GROUP BY cent_id, dim
+    ),
+    c{i + 1} AS (
+        SELECT cent_id, list(mean_val ORDER BY dim) AS cvec
+        FROM m{i} GROUP BY cent_id
+    )""")
+    last = iterations - 1
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT cent_id, dim, mean_val, n_members FROM m{last}"
+    )
+
+
+@register("embedding_kmeans_iterate", oracle=_kmeans_iterate_oracle())
+def q_embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means run to 3 full Lloyd iterations (not just one
+    update step): the iterative-ML loop shape — per round a broadcast
+    N×k scoring, a window argmin, and a k×dim exact-decimal mean
+    aggregate whose 6-dp rounding pins the recurrence so the unrolled
+    DuckDB oracle replays it exactly. The driver holds no vector data;
+    each round's k×dim centroid relation is lazily checkpointed to keep
+    lineage O(1) per iteration (same idiom as PageRank)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.kmeans_iterations(emb, k=8, iterations=3)
