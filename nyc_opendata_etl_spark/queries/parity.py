@@ -415,3 +415,90 @@ def q_project_defensive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_target(
         li, ["l_orderkey", "l_linenumber", "l_quantity", "not_a_column"]
     )
+
+
+# --------------------------------------------------------------------------
+# S5 ingestion formats: CSV / JSON-lines round trips under the driver's
+# differential gate — the staged copy is derived deterministically from
+# the parquet table, so the oracle over the original parquet verifies
+# the whole read path (schema application, quoting, type recovery).
+# --------------------------------------------------------------------------
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Stage documents.parquet as CSV/JSONL once per source mtime (the
+    raw-file-drop shape the format readers exist for)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fmt_stage",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{key}.{fmt}",
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not (
+        os.path.exists(marker)
+        and os.path.getmtime(marker) > os.path.getmtime(src)
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        if fmt == "csv":
+            docs.write.mode("overwrite").option("header", True).csv(stage)
+        else:
+            docs.write.mode("overwrite").json(stage)
+    return stage
+
+
+_DOCS_AGG_ORACLE = """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY lang, source
+"""
+
+
+@register("ingest_csv_documents", oracle=_DOCS_AGG_ORACLE)
+def q_ingest_csv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion round trip (S5 family): documents staged as a
+    header CSV file drop, re-read through sources/formats.read_csv with
+    an explicit schema (permissive mode — drifted/malformed cells
+    become NULLs, never job failures), then aggregated. Matching the
+    parquet-side oracle proves type recovery and quoting are lossless
+    for every row, not just a sampled few."""
+    from nyc_opendata_etl_spark.sources.formats import read_csv
+
+    stage = _stage_documents(spark, sf_dir, "csv")
+    docs = read_csv(
+        spark,
+        stage,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register("ingest_jsonl_documents", oracle=_DOCS_AGG_ORACLE)
+def q_ingest_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion round trip (the Socrata-record shape): same
+    verification as the CSV twin but through sources/formats.read_jsonl
+    with schema inference — proving the schemaless path recovers exact
+    types and values for the whole table."""
+    from nyc_opendata_etl_spark.sources.formats import read_jsonl
+
+    stage = _stage_documents(spark, sf_dir, "jsonl")
+    docs = read_jsonl(spark, stage)
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
