@@ -820,3 +820,42 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp").alias("updated_at"),
         )
     )
+
+
+@register(
+    "window_sliding_distinct",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS window_start,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT aggregation (hourly unique users every
+    15 minutes): the overlap is made explicit — each event expands into
+    its 4 covering windows, then one exact distinct aggregate per
+    window start. Expansion-then-aggregate is the scalable form: the
+    distinct state shuffles once on (window, user) instead of keeping
+    per-window hash sets in a stateful operator; swap the exact count
+    for approx_count_distinct when sketch accuracy suffices."""
+    events = load_table(spark, sf_dir, "events")
+    # window start = floor(ts to 15 min) - k * 15 min (mirrors the oracle)
+    bucket = F.expr(
+        "timestamp_seconds((unix_timestamp(ts) div 900) * 900)"
+    ) - F.col("k") * F.expr("INTERVAL 15 MINUTES")
+    return (
+        events.crossJoin(
+            F.broadcast(
+                events.sparkSession.range(4).select(F.col("id").alias("k"))
+            )
+        )
+        .select(bucket.alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

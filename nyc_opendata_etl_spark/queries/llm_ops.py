@@ -1475,3 +1475,38 @@ def q_embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage O(1) per iteration (same idiom as PageRank)."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.kmeans_iterations(emb, k=8, iterations=3)
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           count(DISTINCT term) AS n_types,
+           round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6)
+               AS type_token_ratio,
+           count(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY lang
+    """,
+)
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per language: token mass, type count, and
+    type-token ratio — the Heaps-law style health check that catches a
+    template-collapsed or deduplication-damaged corpus slice (TTR
+    craters when the same text repeats). One explode + one aggregate;
+    the two distinct counts partial-aggregate map-side."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return tok.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("term").alias("n_types"),
+        F.round(
+            F.count_distinct("term") / F.count("*").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
