@@ -66,21 +66,37 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(F.split(canon_text(col), " ")), gen), 1)
 
 
+# Universal-hash family for the PORTABLE MinHash variant: affine maps
+# over a shared md5-derived base hash, mod a Mersenne prime. Everything
+# is int64-safe (A*h < 2.2e9 * 1e9 < 2^63) and expressible in any SQL
+# engine, so a DuckDB oracle can replay signatures value-for-value.
+MINHASH_P = 2_147_483_647
+def _affine(i: int) -> tuple[int, int]:
+    return (1_000_003 * (i + 1)) % MINHASH_P, (7_919 * (i + 1)) % MINHASH_P
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic MinHash signatures, one column per "permutation".
 
     Shape chosen for scale: explode distinct shingles → ONE hash
-    aggregate computing ``min(xxhash64(shingle, i))`` for every i —
-    map-side partial mins mean the shingle fan-out never crosses the
-    wire unreduced, and everything is plain codegen'd expressions (no
-    nested higher-order functions, which Spark evaluates interpreted).
-    xxhash64 (native, seeded by the extra literal column) rather than an
-    md5 fold: MinHash needs determinism + mixing, not reference parity.
+    aggregate computing the per-permutation min for every i — map-side
+    partial mins mean the shingle fan-out never crosses the wire
+    unreduced, and everything is plain codegen'd expressions (no nested
+    higher-order functions, which Spark evaluates interpreted).
+
+    Two hash families:
+    - default: ``xxhash64(shingle, i)`` — native, fastest mixing;
+    - ``portable=True``: ``(A_i * md5_long(shingle) + B_i) % P`` — a
+      2-universal affine family over the engine-portable md5 fold, so
+      the whole signature is exactly replayable in DuckDB and the
+      registered query carries a full value oracle instead of a
+      rows-only check.
 
     Returns (id, m0..m{n-1}); docs with no shingles are absent.
     """
@@ -88,12 +104,22 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col))).alias("shingle"),
     )
-    return sh.groupBy("id").agg(
-        *[
+    if portable:
+        from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+        sh = sh.withColumn("__h__", md5_long(F.col("shingle")))
+        mins = [
+            F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+        ]
+    else:
+        mins = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
-    )
+    return sh.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -102,6 +128,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -109,11 +136,21 @@ def minhash_lsh_pairs(
     values; each band hashes to one bucket key and docs sharing a bucket
     become candidates (id_a < id_b, distinct). The band-bucket self-join
     is the only pairwise step — the shuffle key (band_idx, band_hash) is
-    uniformly distributed (xxhash64), so no skew and no O(n²) blowup at
-    100 TB.
+    uniformly distributed, so no skew and no O(n²) blowup at 100 TB.
+    ``portable=True`` routes both the signature and the band-bucket hash
+    through the md5 family so a DuckDB oracle replays the exact pairs.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, portable=portable)
+
+    def band_hash(b: int) -> F.Column:
+        cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        if portable:
+            from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+            return md5_long(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "id",
         F.explode(
@@ -121,9 +158,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -146,16 +181,24 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic 64-bit SimHash per document.
 
-    Each canonical token hashes to 64 bits (xxhash64); bit j votes +1/-1
-    on counter j; signature bit j = (counter_j >= 0). Formulated as
+    Each canonical token hashes to 64 bits; bit j votes +1/-1 on
+    counter j; signature bit j = (counter_j >= 0). Formulated as
     explode → one hash-aggregate with 64 masked vote sums → bit-pack:
     a single shuffle on the doc id with map-side partial aggregation,
     which is the scalable shape (token fan-out never leaves the stage
     unreduced).
+
+    ``portable=True`` takes the 64 bits from the first 16 hex nibbles
+    of ``md5(token)`` instead of ``xxhash64`` — byte-identical in any
+    engine with an md5 function, so the registered query carries a
+    full DuckDB value oracle instead of a rows-only check.
     """
 
     def mask(j: int) -> int:
@@ -166,7 +209,30 @@ def simhash_signatures(
         F.explode(F.filter(F.split(canon_text(text_col), " "), lambda x: x != "")).alias(
             "tok"
         ),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable:
+        toks = toks.withColumn("__hex__", F.md5(F.col("tok")))
+        nib = [
+            F.conv(F.substring("__hex__", c + 1, 1), 16, 10).cast("int")
+            for c in range(16)
+        ]
+        votes = toks.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        nib[j // 4].bitwiseAND(F.lit(1 << (j % 4))) != 0, 1
+                    ).otherwise(-1)
+                ).alias(f"v{j}")
+                for j in range(64)
+            ]
+        )
+        sig = None
+        for j in range(64):
+            bit = F.when(F.col(f"v{j}") >= 0, F.lit(mask(j))).otherwise(F.lit(0))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        return votes.select(F.col("id").alias(id_col), sig.cast("long").alias("simhash"))
+
+    toks = toks.withColumn("h", F.xxhash64("tok"))
 
     votes = toks.groupBy("id").agg(
         *[

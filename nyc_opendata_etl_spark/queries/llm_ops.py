@@ -85,20 +85,112 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
-@register("dedup_minhash_lsh")  # candidate generation is structural → rows-only
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of the PORTABLE MinHash+LSH pipeline
+    (operators/dedup.minhash_signatures/minhash_lsh_pairs with
+    portable=True): same shingles, same md5-fold base hash, same affine
+    permutations mod the Mersenne prime, same md5 band-bucket keys —
+    the candidate pairs match value-for-value."""
+    from nyc_opendata_etl_spark.operators.dedup import MINHASH_P, _affine
+
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = ", ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        bucket = md5_long_oracle_sql("concat_ws('|', " + concat + ")")
+        band_selects.append(
+            f"SELECT id, {b} AS band_idx, {bucket} AS band_hash FROM sig"
+        )
+    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    hashed AS (SELECT id, {md5_long_oracle_sql('shingle')} AS h FROM sh),
+    sig AS (
+        SELECT id,
+               {mins}
+        FROM hashed GROUP BY id
+    ),
+    banded AS (
+        {bands_sql}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.id < b.id
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(4 bands) candidate pairs. Deterministic, but the
-    banding layout is an engine design choice, not SQL semantics →
-    rows-only check; the exact-Jaccard query above is the oracle-checked
-    ground truth it approximates."""
+    """MinHash(16)+LSH(4 bands) candidate pairs, portable hash family:
+    the signature permutations are affine maps over the md5 fold and
+    the band buckets are md5 keys, so the ENTIRE pipeline — shingling,
+    permutation mins, banding, the bucket self-join — is replayed
+    value-for-value by the DuckDB oracle (upgraded from the earlier
+    rows-only check; recall quality is pinned separately in
+    tests/test_approx_quality.py)."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    return dedup.minhash_lsh_pairs(docs)
+    return dedup.minhash_lsh_pairs(docs, portable=True)
 
 
-@register("dedup_simhash")  # structural signature → rows-only
+def _simhash_oracle() -> str:
+    """DuckDB replay of the portable 64-bit SimHash: bit j of a token's
+    hash is nibble j//4, bit j%4 of md5(token); votes sum +1/-1; the
+    packed signature adds disjoint bit masks (bit 63 as the int64 sign
+    contribution, matching two's-complement OR)."""
+    nib = (
+        "(strpos('0123456789abcdef',"
+        " substr(md5(tok), {c} + 1, 1)) - 1)"
+    )
+    votes = ",\n               ".join(
+        "sum(CASE WHEN ({nib} & {bit}) <> 0 THEN 1 ELSE -1 END) AS v{j}".format(
+            nib=nib.format(c=j // 4), bit=1 << (j % 4), j=j
+        )
+        for j in range(64)
+    )
+    masks = " + ".join(
+        f"CASE WHEN v{j} >= 0 THEN CAST({(1 << j) if j < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END"
+        for j in range(64)
+    )
+    # same token multiset as the Spark side's canon_text split (_TOK is
+    # defined later in this module; inline the construction here)
+    tok_expr = (
+        f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tok_expr}) AS tok FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({masks} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures, portable bits (md5 hex nibbles): the
+    full vote-and-pack computation is replayed by the DuckDB oracle —
+    upgraded from the earlier rows-only check."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    return dedup.simhash_signatures(docs)
+    return dedup.simhash_signatures(docs, portable=True)
 
 
 # --------------------------------------------------------------------------
