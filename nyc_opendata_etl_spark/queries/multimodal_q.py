@@ -63,8 +63,43 @@ def q_multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # structural fan-out → rows-only
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH videos AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) % 30 + 1 AS INT) AS n_frames,
+               substr(text, 1, 64) AS prefix
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fan AS (
+        SELECT media_id, prefix,
+               unnest(range(0, greatest(n_frames - 1, 0) + 1, 5)) AS frame_idx
+        FROM videos
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           hex(encode(substr(prefix, CAST(frame_idx AS INT) + 1, 8)))
+               AS frame_hex
+    FROM fan
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the synthesized media table (every 5th
+    frame index, stub byte slice per frame). The fan-out, the sampled
+    indices, and the sliced bytes are all deterministic functions of
+    content, so the DuckDB oracle replays them exactly — the slice is
+    emitted as hex so both engines hash identical values (upgraded from
+    the earlier rows-only check). DuckDB substring is VARCHAR-only, so
+    the oracle slices the text prefix before utf-8 encoding; the
+    documents corpus is ASCII (verified: length == octet_length for
+    every row), making that byte-identical to Spark's payload slice."""
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
-    return multimodal.sample_frames(media)
+    frames = multimodal.sample_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.hex("frame_payload").alias("frame_hex"),
+    )
