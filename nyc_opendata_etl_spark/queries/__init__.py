@@ -170,16 +170,30 @@ _DEFER_R2 = (
 )
 
 
+# Driver-green in earlier rounds but materially changed in round 5
+# (rows-only checks upgraded to full value oracles) — re-verify under
+# the new oracles, right behind the never-verified block.
+_RECHECK_R5 = (
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_frame_sample",
+)
+
+
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
     green = set(_DRIVER_GREEN_R1_R4) | set(_ROUND1_GREEN)
     # Unverified queries lead so they land inside the driver's checked
     # prefix: long-deferred ones first (oldest debt), then anything new
-    # this round, then the already-driver-green remainder in a stable
-    # rotation (most recently verified last).
+    # this round, then queries whose oracle changed this round, then the
+    # already-driver-green remainder in a stable rotation (most recently
+    # verified last).
     names = [n for n in _DEFER_R2 if n in REGISTRY]
     names += [n for n in REGISTRY if n not in green and n not in set(_DEFER_R2)]
-    names += [n for n in _DRIVER_GREEN_R1_R4 if n in REGISTRY]
+    names += [n for n in _RECHECK_R5 if n in REGISTRY]
+    names += [
+        n for n in _DRIVER_GREEN_R1_R4 if n in REGISTRY and n not in set(_RECHECK_R5)
+    ]
     names += [n for n in _ROUND1_GREEN if n in REGISTRY]
     return {n: REGISTRY[n] for n in names}
 
