@@ -154,3 +154,70 @@ def test_canon_text_matches_python_reference(spark, texts):
     got = [r.c for r in df.select(canon_text("text").alias("c")).collect()]
     want = [" ".join(t.lower().split()) for t in texts]
     assert got == want
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+
+
+def _ref_minhash(text: str, num_hashes: int = 16):
+    toks = text.lower().split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    if not sh:
+        return None
+    p = 2_147_483_647
+    base = {s: int(hashlib.md5(s.encode()).hexdigest(), 16) % MOD for s in sh}
+    sig = []
+    for i in range(num_hashes):
+        a = (1_000_003 * (i + 1)) % p
+        b = (7_919 * (i + 1)) % p
+        sig.append(min((a * h + b) % p for h in base.values()))
+    return sig
+
+
+def _ref_simhash(text: str):
+    toks = [t for t in text.lower().split() if t]
+    votes = [0] * 64
+    for t in toks:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        for j in range(64):
+            bit = (int(hx[j // 4], 16) >> (j % 4)) & 1
+            votes[j] += 1 if bit else -1
+    sig = 0
+    for j in range(64):
+        if votes[j] >= 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=3, max_size=12), min_size=1, max_size=20))
+def test_portable_minhash_matches_python_reference(spark, docs):
+    """The portable MinHash family (affine maps over the md5 fold) must
+    equal a pure-Python replay exactly — the property that makes the
+    DuckDB oracle a real check rather than a Spark-vs-Spark identity."""
+    from nyc_opendata_etl_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: [r[f"m{i}"] for i in range(16)]
+        for r in minhash_signatures(df, portable=True).collect()
+    }
+    for i, (_, text) in enumerate(rows):
+        expected = _ref_minhash(text)
+        assert got.get(i) == expected, (text, got.get(i), expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=15), min_size=1, max_size=20))
+def test_portable_simhash_matches_python_reference(spark, docs):
+    from nyc_opendata_etl_spark.operators.dedup import simhash_signatures
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(df, portable=True).collect()
+    }
+    for i, (_, text) in enumerate(rows):
+        assert got[i] == _ref_simhash(text), text
