@@ -45,14 +45,24 @@ def assign_keys(
     dim_fields: list[str],
     key_name: str,
     broadcast_dim: bool = True,
+    known_nonempty: bool | None = None,
 ) -> DataFrame:
     """Stamp ``fact_df`` with the surrogate ``key_name`` of the dimension
     row whose natural key (``dim_fields``) matches; non-matches → NULL.
 
     Returns the fact with natural-key columns removed, like the
     reference.
+
+    ``known_nonempty`` lets a caller that already probed the dimension's
+    emptiness (the F3 schema branch) skip the per-dim ``isEmpty`` job:
+    ``build_star`` probes all its dims in ONE batched job, which turned
+    six sequential dim-build jobs at query-construction time into one
+    concurrent one. ``None`` keeps the self-probing behavior.
     """
-    if dim_df.isEmpty() or not all(f in dim_df.columns for f in dim_fields):
+    empty = (
+        (not known_nonempty) if known_nonempty is not None else dim_df.isEmpty()
+    )
+    if empty or not all(f in dim_df.columns for f in dim_fields):
         return fact_df.withColumn(key_name, F.lit(None).cast("long"))
     if not all(f in fact_df.columns for f in dim_fields):
         return fact_df.withColumn(key_name, F.lit(None).cast("long"))

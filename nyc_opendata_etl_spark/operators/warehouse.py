@@ -426,17 +426,34 @@ def build_star(
         d.cache()
     _CACHED_INPUTS.extend(dims.values())
 
+    # F3 emptiness probes, batched: one job unions limit(1) markers from
+    # every dim, so all dim builds (and their cache fills) run
+    # CONCURRENTLY instead of as six sequential isEmpty jobs — this was
+    # the bulk of the pipelines' cold query-construction cost.
+    from functools import reduce
+
+    probes = [
+        d.limit(1).select(F.lit(name).alias("dim_name"))
+        for name, d in dims.items()
+    ]
+    nonempty = {
+        r.dim_name for r in reduce(DataFrame.unionByName, probes).collect()
+    }
+
+    def stamp(fact: DataFrame, dim_name: str, nk: list[str], key: str) -> DataFrame:
+        return assign_keys(
+            fact, dims[dim_name], nk, key, known_nonempty=dim_name in nonempty
+        )
+
     # ── 311 fact ──────────────────────────────────────────────────────
     cleaned = clean_311(raw_311)
-    cleaned = assign_keys(cleaned, dims["dim_agency"], AGENCY_NK, "agency_key")
+    cleaned = stamp(cleaned, "dim_agency", AGENCY_NK, "agency_key")
     cleaned = ensure_columns(cleaned, {"location_type": "string"})
     cleaned = cleaned.withColumn(
         "location_type", F.coalesce(F.col("location_type"), F.lit(""))
     )
-    cleaned = assign_keys(cleaned, dims["dim_complaint"], COMPLAINT_NK, "complaint_key")
-    cleaned = assign_keys(
-        cleaned, dims["dim_location"], LOCATION_JOIN_NK, "location_key"
-    )
+    cleaned = stamp(cleaned, "dim_complaint", COMPLAINT_NK, "complaint_key")
+    cleaned = stamp(cleaned, "dim_location", LOCATION_JOIN_NK, "location_key")
     fact_311 = project_target(cleaned, FACT_311_COLS)
 
     # ── parking fact ─────────────────────────────────────────────────
@@ -444,7 +461,7 @@ def build_star(
     cleaned_p = cleaned_p.withColumnsRenamed(
         {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
     )
-    cleaned_p = assign_keys(cleaned_p, dims["dim_vehicle"], VEHICLE_NK, "vehicle_key")
+    cleaned_p = stamp(cleaned_p, "dim_vehicle", VEHICLE_NK, "vehicle_key")
     fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
 
     # ── integrated fact ──────────────────────────────────────────────
