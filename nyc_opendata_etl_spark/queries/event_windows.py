@@ -859,3 +859,71 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_anomaly_bands",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_day, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_day, event_type, n_events,
+               avg(n_events) OVER w AS base_mean,
+               stddev_samp(n_events) OVER w AS base_sd,
+               count(*) OVER w AS n_base
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_day, event_type, n_events,
+           round(base_mean, 6) AS base_mean,
+           round((n_events - base_mean) / base_sd, 6) AS z
+    FROM scored
+    WHERE n_base >= 7 AND base_sd > 0
+      AND abs((n_events - base_mean) / base_sd) > 2.0
+    """,
+)
+def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection: flag days whose event count sits more
+    than 2 sigma outside the trailing 7-day band, per event type — the
+    standard pipeline-observability alert, as one windowed pass over
+    the (tiny) daily rollup: the heavy aggregate reduces events to
+    days x types first, so the window state is bounded by the calendar,
+    not the data. The trailing frame excludes the current day (an
+    anomalous day must not defend itself). Counts are integers, so the
+    mean/stddev arithmetic is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("event_day"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_day",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(w).alias("base_mean"),
+        F.stddev_samp("n_events").over(w).alias("base_sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("n_events") - F.col("base_mean")) / F.col("base_sd")
+    return (
+        scored.filter(
+            (F.col("n_base") >= 7) & (F.col("base_sd") > 0) & (F.abs(z) > 2.0)
+        )
+        .select(
+            "event_day",
+            "event_type",
+            "n_events",
+            F.round("base_mean", 6).alias("base_mean"),
+            F.round(z, 6).alias("z"),
+        )
+    )

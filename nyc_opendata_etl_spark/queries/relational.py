@@ -1343,3 +1343,44 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = orders.filter(F.col("o_orderkey") % 2 == 0)
     new = orders.filter(F.col("o_orderkey") % 2 == 1)
     return profile_drift(old, new, ["o_custkey", "o_totalprice"])
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH j AS (
+        SELECT e.event_id, o.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id % 1500 + 1 = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, j.o_orderkey AS next_order_key
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM j WHERE rn = 1) j
+      USING (event_id)
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (the backward twin is `join_asof`): earliest
+    order at-or-after each event for the matching customer — the lookup
+    a label-building pipeline uses for "next action after exposure".
+    Same scalable shape: one equi-key shuffle + min_by per event, ties
+    broken by min o_orderkey so both engines pick the same row."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.select(
+        "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
+    )
+    j = e.join(orders, (F.col("join_cust") == orders["o_custkey"]), "left").filter(
+        F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= F.col("ts"))
+    )
+    picked = j.groupBy("event_id").agg(
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("next_order_key")
+    )
+    return events.select("event_id", "user_id", "ts").join(
+        picked, "event_id", "left"
+    )
