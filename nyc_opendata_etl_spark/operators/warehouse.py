@@ -377,13 +377,24 @@ _CACHED_INPUTS: list[DataFrame] = []
 
 
 def build_star(
-    spark: SparkSession, raw_311: DataFrame, raw_parking: DataFrame
+    spark: SparkSession,
+    raw_311: DataFrame,
+    raw_parking: DataFrame,
+    facts: tuple[str, ...] = ("311", "parking", "integrated"),
 ) -> dict[str, DataFrame]:
     """The complete warehouse build. Returns all dim + fact DataFrames.
 
     The two raw inputs are cached — each feeds 3-4 consumers (SURVEY §3
     E1 step 4): 311 → agency/complaint/location dims + fact; parking →
     agency/vehicle/violation/parking-location dims + fact.
+
+    ``facts`` scopes the build: a caller that needs only one fact (the
+    per-fact pipeline queries) skips constructing the other branch's
+    dims and stamp joins entirely — the values of everything still
+    built are unchanged (dim_agency in particular always unions BOTH
+    raw inputs, as the reference does), but the analyzed plan tree and
+    the probe job shrink to the branch actually consumed. Analysis
+    time matters here: this tree is the largest in the repo.
     """
     from nyc_opendata_etl_spark.operators.dims import date_dim, time_dim
 
@@ -406,16 +417,20 @@ def build_star(
         allowMissingColumns=False,
     )
 
+    need_311 = "311" in facts or "integrated" in facts
+    need_parking = "parking" in facts or "integrated" in facts
     dims = {
         "dim_date": date_dim(spark),
         "dim_time": time_dim(spark),
         "dim_agency": build_agency_dim(agency_src),
-        "dim_complaint": build_complaint_dim(raw_311),
-        "dim_location": build_location_dim(raw_311),
-        "dim_vehicle": build_vehicle_dim(raw_parking),
-        "dim_violation": build_violation_dim(raw_parking),
-        "dim_parking_location": build_parking_location_dim(raw_parking),
     }
+    if need_311:
+        dims["dim_complaint"] = build_complaint_dim(raw_311)
+        dims["dim_location"] = build_location_dim(raw_311)
+    if need_parking:
+        dims["dim_vehicle"] = build_vehicle_dim(raw_parking)
+        dims["dim_violation"] = build_violation_dim(raw_parking)
+        dims["dim_parking_location"] = build_parking_location_dim(raw_parking)
     # Dims are cached too: assign_keys must probe dim emptiness (the
     # reference's F3 guard decides the output schema, so it is a real
     # runtime branch), and each dim also feeds both the key-stamp join
@@ -446,50 +461,58 @@ def build_star(
         )
 
     # ── 311 fact ──────────────────────────────────────────────────────
-    cleaned = clean_311(raw_311)
-    cleaned = stamp(cleaned, "dim_agency", AGENCY_NK, "agency_key")
-    cleaned = ensure_columns(cleaned, {"location_type": "string"})
-    cleaned = cleaned.withColumn(
-        "location_type", F.coalesce(F.col("location_type"), F.lit(""))
-    )
-    cleaned = stamp(cleaned, "dim_complaint", COMPLAINT_NK, "complaint_key")
-    cleaned = stamp(cleaned, "dim_location", LOCATION_JOIN_NK, "location_key")
-    fact_311 = project_target(cleaned, FACT_311_COLS)
+    fact_311 = None
+    if need_311:
+        cleaned = clean_311(raw_311)
+        cleaned = stamp(cleaned, "dim_agency", AGENCY_NK, "agency_key")
+        cleaned = ensure_columns(cleaned, {"location_type": "string"})
+        cleaned = cleaned.withColumn(
+            "location_type", F.coalesce(F.col("location_type"), F.lit(""))
+        )
+        cleaned = stamp(cleaned, "dim_complaint", COMPLAINT_NK, "complaint_key")
+        cleaned = stamp(cleaned, "dim_location", LOCATION_JOIN_NK, "location_key")
+        fact_311 = project_target(cleaned, FACT_311_COLS)
 
     # ── parking fact ─────────────────────────────────────────────────
-    cleaned_p = clean_parking(raw_parking, join_fields_normalized=True)
-    cleaned_p = cleaned_p.withColumnsRenamed(
-        {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
-    )
-    cleaned_p = stamp(cleaned_p, "dim_vehicle", VEHICLE_NK, "vehicle_key")
-    fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
+    fact_parking = None
+    if need_parking:
+        cleaned_p = clean_parking(raw_parking, join_fields_normalized=True)
+        cleaned_p = cleaned_p.withColumnsRenamed(
+            {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
+        )
+        cleaned_p = stamp(cleaned_p, "dim_vehicle", VEHICLE_NK, "vehicle_key")
+        fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
 
     # ── integrated fact ──────────────────────────────────────────────
     # The reference ships only a sink for this table
     # (load_integrated_fact.py:6-24) — no transform exists in-repo. Our
     # definition: conformed union of both facts on the shared grain
     # (source, natural id, date_key, time_key, agency/location keys).
-    integrated = fact_311.select(
-        F.lit("311").alias("source"),
-        F.col("unique_key").alias("service_request_id"),
-        F.col("created_date_key").alias("date_key"),
-        F.col("created_time_key").alias("time_key"),
-        "agency_key",
-        "location_key",
-    ).unionByName(
-        fact_parking.select(
-            F.lit("parking").alias("source"),
-            F.col("summons_number").alias("service_request_id"),
-            "date_key",
-            "time_key",
-            F.lit(None).cast("long").alias("agency_key"),
+    integrated = None
+    if "integrated" in facts:
+        integrated = fact_311.select(
+            F.lit("311").alias("source"),
+            F.col("unique_key").alias("service_request_id"),
+            F.col("created_date_key").alias("date_key"),
+            F.col("created_time_key").alias("time_key"),
+            "agency_key",
             "location_key",
+        ).unionByName(
+            fact_parking.select(
+                F.lit("parking").alias("source"),
+                F.col("summons_number").alias("service_request_id"),
+                "date_key",
+                "time_key",
+                F.lit(None).cast("long").alias("agency_key"),
+                "location_key",
+            )
         )
-    )
 
-    return {
-        **dims,
-        "fact_311_complaints": fact_311,
-        "fact_parking_tickets": fact_parking,
-        "integrated_fact_service_requests": integrated,
-    }
+    out = dict(dims)
+    if fact_311 is not None:
+        out["fact_311_complaints"] = fact_311
+    if fact_parking is not None:
+        out["fact_parking_tickets"] = fact_parking
+    if integrated is not None:
+        out["integrated_fact_service_requests"] = integrated
+    return out

@@ -128,7 +128,7 @@ def q_pipeline_311_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact projection. Every stamped key must equal the oracle's direct
     surrogate of the normalized natural key."""
     raw_311 = _synth_raw_311(spark, sf_dir)
-    out = build_star(spark, raw_311, _empty(spark, _EMPTY_PARKING_COLS))
+    out = build_star(spark, raw_311, _empty(spark, _EMPTY_PARKING_COLS), facts=("311",))
     return out["fact_311_complaints"]
 
 
@@ -159,7 +159,7 @@ def q_pipeline_parking_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse, location hash, code coerce) → vehicle FK stamp → fact
     projection."""
     raw_parking = _synth_raw_parking(spark, sf_dir)
-    out = build_star(spark, _synth_311_stub(spark), raw_parking)
+    out = build_star(spark, _synth_311_stub(spark), raw_parking, facts=("parking",))
     return out["fact_parking_tickets"]
 
 
