@@ -266,3 +266,22 @@ def test_observed_metrics_ride_the_consuming_action(spark, tmp_path):
     assert m["n_failed_id_positive"] == 0
     # the write actually landed all rows
     assert spark.read.parquet(str(tmp_path / "sink")).count() == 4
+
+
+def test_build_star_facts_scoping_preserves_values(spark):
+    """A scoped build must return the same fact values as the full
+    build (dim_agency unions both inputs either way), just without the
+    other branch's outputs."""
+    import nyc_opendata_etl_spark.operators.warehouse as W
+
+    full = W.build_star(spark, _raw_311(spark), _raw_parking(spark))
+    scoped = W.build_star(
+        spark, _raw_311(spark), _raw_parking(spark), facts=("parking",)
+    )
+    assert "fact_311_complaints" not in scoped
+    assert "dim_complaint" not in scoped
+    a = full["fact_parking_tickets"]
+    b = scoped["fact_parking_tickets"]
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
