@@ -112,3 +112,36 @@ def scd2_merge(
     )
     merged = j.select(F.explode(versions).alias("v")).select("v.*")
     return merged.unionByName(hist)
+
+
+def scd1_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """SCD Type 1 merge (overwrite-in-place upsert): rows from
+    ``updates`` replace matching ``base`` rows by natural key, unmatched
+    update rows insert, unmatched base rows carry through — the MERGE
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics, as one
+    full-outer coalesce instead of a mutable-table write (the Spark
+    form when the sink is plain parquet rather than a transactional
+    table format).
+
+    If ``updates`` carries several rows per key the caller must
+    pre-dedupe (e.g. operators/event-log last-writer-wins) — a MERGE
+    with ambiguous sources is an error in every engine, and silently
+    exploding the base row here would hide that.
+
+    Scale: one shuffle on the key for each side (or a broadcast when
+    updates are a small delta — the common case — which Catalyst/AQE
+    picks automatically); no window, no sort.
+    """
+    attrs = [c for c in base.columns if c not in key_cols]
+    u = updates.select(
+        *key_cols, *[F.col(c).alias(f"__u_{c}") for c in attrs]
+    )
+    j = base.join(u, on=key_cols, how="full_outer")
+    return j.select(
+        *key_cols,
+        *[F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in attrs],
+    )

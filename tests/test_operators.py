@@ -443,3 +443,38 @@ def test_audit_constraints_detects_violations(spark):
         "pk_child": 1,          # cid=11 appears twice
         "fk_child_parent": 1,   # fk=99 orphaned; NULL fk is not an orphan
     }
+
+
+def test_scd1_merge_upsert_semantics(spark):
+    from nyc_opendata_etl_spark.operators.scd import scd1_merge
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = {r.k: (r.name, r.v) for r in scd1_merge(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched base row carries through
+        2: ("B", 22.0),   # matched row overwritten
+        3: ("c", 30.0),
+        4: ("d", 40.0),   # unmatched update inserts
+    }
+
+
+def test_scd1_merge_preserves_null_updates_vs_missing(spark):
+    """A matched update with a NULL attribute keeps the base value
+    (coalesce semantics — Type 1 merges carry forward what the update
+    doesn't state)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.scd import scd1_merge
+
+    base = spark.createDataFrame([(1, "a", 10.0)], "k long, name string, v double")
+    updates = spark.createDataFrame(
+        [(1, None, 11.0)], "k long, name string, v double"
+    )
+    row = scd1_merge(base, updates, ["k"]).collect()[0]
+    assert (row.name, row.v) == ("a", 11.0)
