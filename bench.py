@@ -1,9 +1,22 @@
 """Benchmark harness: times every registered query at a scale-factor dir.
 
 Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}``.
+(default /root/testdata/sf0.1).
+
+Output contract (learned the hard way — BENCH_r01-r05 all recorded
+``"parsed": null``): the driver captures only the TAIL of stdout, so a
+single giant JSON line holding 140 per-query timings gets its head
+truncated and never parses. Therefore:
+
+- each query's timing prints as its own short JSON line as it finishes
+  (``{"query": ..., "sec": ...}``) — individually parseable, and the
+  most recent ones survive any tail window;
+- the full payload (totals + every timing) is written to
+  ``bench_queries.json`` next to this file;
+- the LAST stdout line is a SHORT summary
+  ``{"metric": "full_query_suite_wall_time", "value": total, "unit":
+  "sec", "sf": ..., "n_queries": N, "errors": E, "queries_file":
+  "bench_queries.json"}`` — small enough to survive any tail capture.
 
 Each query executes via the ``noop`` sink — full plan execution without
 driver-side collect overhead, i.e. what a cluster job would measure.
@@ -64,18 +77,36 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
     total = round(time.time() - t_suite, 3)
 
+    payload = {
+        "metric": "full_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    qfile = Path(__file__).resolve().parent / "bench_queries.json"
+    try:
+        qfile.write_text(json.dumps(payload, indent=1))
+    except OSError as e:
+        print(f"bench: could not write {qfile}: {e}", file=sys.stderr)
+
+    errors = sum(1 for v in timings.values() if v < 0)
     print(
         json.dumps(
             {
                 "metric": "full_query_suite_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "errors": errors,
+                "queries_file": "bench_queries.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

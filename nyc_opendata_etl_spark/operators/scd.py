@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_merge"]
+__all__ = ["scd1_merge", "scd2_merge"]
 
 
 def scd2_merge(
@@ -118,14 +118,26 @@ def scd1_merge(
     base: DataFrame,
     updates: DataFrame,
     key_cols: list[str],
+    *,
+    null_updates: str = "keep_base",
 ) -> DataFrame:
-    """SCD Type 1 merge (overwrite-in-place upsert): rows from
-    ``updates`` replace matching ``base`` rows by natural key, unmatched
-    update rows insert, unmatched base rows carry through — the MERGE
-    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics, as one
-    full-outer coalesce instead of a mutable-table write (the Spark
-    form when the sink is plain parquet rather than a transactional
-    table format).
+    """SCD Type 1 merge (upsert, no history): rows from ``updates`` win
+    over matching ``base`` rows by natural key, unmatched update rows
+    insert, unmatched base rows carry through — one full-outer merge
+    instead of a mutable-table write (the Spark form when the sink is
+    plain parquet rather than a transactional table format).
+
+    NULL handling on matched rows is an explicit contract because the
+    two common Type 1 flavors genuinely differ:
+
+    - ``null_updates="keep_base"`` (default): a NULL update attribute
+      means "not stated" and the base value carries forward
+      (per-column coalesce — the patch-style merge most CDC feeds
+      expect).
+    - ``null_updates="overwrite"``: the update row replaces the base
+      row verbatim, NULLs included (ANSI MERGE WHEN MATCHED THEN
+      UPDATE semantics), via a match-indicator column rather than
+      coalesce.
 
     If ``updates`` carries several rows per key the caller must
     pre-dedupe (e.g. operators/event-log last-writer-wins) — a MERGE
@@ -136,12 +148,24 @@ def scd1_merge(
     updates are a small delta — the common case — which Catalyst/AQE
     picks automatically); no window, no sort.
     """
+    if null_updates not in ("keep_base", "overwrite"):
+        raise ValueError(
+            f"null_updates must be 'keep_base' or 'overwrite', got {null_updates!r}"
+        )
     attrs = [c for c in base.columns if c not in key_cols]
     u = updates.select(
-        *key_cols, *[F.col(c).alias(f"__u_{c}") for c in attrs]
+        *key_cols,
+        F.lit(True).alias("__upd_matched"),
+        *[F.col(c).alias(f"__u_{c}") for c in attrs],
     )
     j = base.join(u, on=key_cols, how="full_outer")
-    return j.select(
-        *key_cols,
-        *[F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in attrs],
-    )
+    if null_updates == "keep_base":
+        vals = [F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in attrs]
+    else:
+        vals = [
+            F.when(F.col("__upd_matched").isNotNull(), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in attrs
+        ]
+    return j.select(*key_cols, *vals)

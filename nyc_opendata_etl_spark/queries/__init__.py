@@ -41,160 +41,182 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The correctness driver verifies only the first ~50 registry entries per
 # round, so registry ORDER decides which queries get a hard driver
-# verdict. Queries WITHOUT a green driver row yet come first: the
-# long-deferred `_DEFER_R2` set, then anything newly registered this
-# round, then the already-green remainder (union of CORRECTNESS_r01-r04).
-_DRIVER_GREEN_R1_R4 = (
-    "time_keys",
-    "ampm_parse_time",
-    "bool_flag",
-    "join_asof",
-    "json_extract",
-    "json_agg_by_key",
-    "map_props_agg",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "unpivot_measures",
-    "profile_columns",
-    "array_hof_pipeline",
-    "join_interval_bucketed",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "dedup_embedding_cosine",
-    "similarity_ann_ivf",
-    "text_tfidf_top",
-    "dedup_clusters",
-    "join_skew_salted",
-    "corpus_curation",
-    "corpus_split",
-    "dedup_incremental",
-    "text_pii_scan",
-    "dedup_embedding_lsh",
-    "text_unigram_logprob",
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "corpus_chunk_docs",
-    "corpus_sample_stratified",
-    "window_tumbling",
-    "window_session",
-    "stream_tumbling_backfill",
-    "stream_stateful_dedup",
-    "stream_watermark_dedup",
-    "stream_interval_join",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_ewma",
-    "quality_validation",
-    "events_sessionize",
-    "rollup_incremental",
-    "rollup_hll_distinct",
-    "pipeline_311_fact",
-    "pipeline_parking_fact",
-    "scd2_merge",
-    "multimodal_features",
-    "multimodal_metadata_agg",
-    "multimodal_frame_sample",
+# verdict. Ordering is verdict-age-driven: queries needing a verdict
+# (red fixes, oracle changes, new registrations, never-checked) lead,
+# then greens by ascending last-verified round, so stale verdicts
+# rotate back through the checked prefix over time.
+#
+# _LAST_VERIFIED maps query → the latest round whose CORRECTNESS file
+# recorded a full rows+schema+hash pass. Regenerate with
+# ``python tools/registry_rotation.py`` at the start of each round.
+_LAST_VERIFIED: dict[str, int] = {
+    "star_revenue": 1,
+    "dim_surrogate": 1,
+    "dim_first_per_group": 1,
+    "assign_keys_left": 1,
+    "generated_date_dim": 1,
+    "generated_time_dim": 1,
+    "date_keys": 1,
+    "normalize_clean": 1,
+    "numeric_coercion": 1,
+    "union_by_name": 1,
+    "filter_window": 1,
+    "project_defensive": 1,
+    "q1_pricing_summary": 1,
+    "agg_rollup": 1,
+    "agg_cube": 1,
+    "agg_count_distinct": 1,
+    "topk_orders": 1,
+    "window_rank": 1,
+    "window_lag_lead": 1,
+    "window_moving_sum": 1,
+    "join_inner_agg": 1,
+    "join_semi": 1,
+    "join_anti": 1,
+    "join_full_outer": 1,
+    "join_range": 1,
+    "set_intersect": 1,
+    "set_except": 1,
+    "explode_tokens": 1,
+    "agg_grouping_sets": 1,
+    "agg_percentile": 1,
+    "pivot_orderstatus": 1,
+    "window_range_frame": 1,
+    "window_distribution": 1,
+    "agg_stats": 1,
+    "fuzzy_name_match": 1,
+    "dedup_exact": 1,
+    "dedup_fingerprint": 1,
+    "dedup_ngram_jaccard": 1,
+    "similarity_cosine_topk": 1,
+    "similarity_ann_lsh": 1,
+    "time_keys": 4,
+    "ampm_parse_time": 4,
+    "bool_flag": 4,
+    "join_asof": 4,
+    "json_extract": 4,
+    "json_agg_by_key": 4,
+    "map_props_agg": 4,
+    "q3_shipping_priority": 4,
+    "q5_local_supplier_volume": 4,
+    "unpivot_measures": 4,
+    "profile_columns": 4,
+    "array_hof_pipeline": 4,
+    "join_interval_bucketed": 4,
+    "text_token_stats": 4,
+    "text_quality": 4,
+    "text_lang_id": 4,
+    "dedup_embedding_cosine": 4,
+    "similarity_ann_ivf": 4,
+    "text_tfidf_top": 4,
+    "dedup_clusters": 4,
+    "join_skew_salted": 4,
+    "corpus_curation": 4,
+    "corpus_split": 4,
+    "dedup_incremental": 4,
+    "text_pii_scan": 4,
+    "dedup_embedding_lsh": 4,
+    "text_unigram_logprob": 4,
+    "corpus_decontaminate": 4,
+    "corpus_pack_sequences": 4,
+    "corpus_chunk_docs": 4,
+    "corpus_sample_stratified": 4,
+    "window_tumbling": 4,
+    "window_session": 4,
+    "stream_tumbling_backfill": 4,
+    "stream_stateful_dedup": 4,
+    "stream_watermark_dedup": 4,
+    "stream_interval_join": 4,
+    "events_funnel": 4,
+    "events_cohort_retention": 4,
+    "events_ewma": 4,
+    "quality_validation": 4,
+    "events_sessionize": 4,
+    "rollup_incremental": 4,
+    "rollup_hll_distinct": 4,
+    "pipeline_311_fact": 4,
+    "pipeline_parking_fact": 4,
+    "scd2_merge": 4,
+    "multimodal_features": 4,
+    "multimodal_metadata_agg": 4,
+    "ingest_csv_documents": 5,
+    "ingest_jsonl_documents": 5,
+    "set_except_all": 5,
+    "set_intersect_all": 5,
+    "q18_large_volume_customer": 5,
+    "graph_pagerank_trade": 5,
+    "agg_listagg_ordered": 5,
+    "audit_constraints": 5,
+    "profile_drift": 5,
+    "join_asof_forward": 5,
+    "dedup_minhash_lsh": 5,
+    "dedup_simhash": 5,
+    "text_rolling_hash": 5,
+    "agg_distinct_twophase": 5,
+    "text_length_histogram": 5,
+    "text_repetition": 5,
+    "text_ngram_topk": 5,
+    "corpus_domain_mix": 5,
+    "dedup_keep_best": 5,
+    "embedding_kmeans_update": 5,
+    "outlier_robust_z": 5,
+    "text_boilerplate_ngrams": 5,
+    "corpus_sample_weighted": 5,
+    "text_bigram_logprob": 5,
+    "similarity_ann_recall": 5,
+    "embedding_kmeans_iterate": 5,
+    "corpus_vocab_stats": 5,
+    "window_sliding": 5,
+    "events_transitions": 5,
+    "events_gapfill_locf": 5,
+    "events_attribution": 5,
+    "cdc_apply_changelog": 5,
+    "window_sliding_distinct": 5,
+    "events_anomaly_bands": 5,
+    "scd2_point_in_time": 5,
+    "multimodal_frame_sample": 5,
+    "q4_order_priority": 5,
+    "q6_forecast_revenue": 5,
+    "q7_volume_shipping": 5,
+    "q8_market_share": 5,
+    "q10_returned_items": 5,
+    "q13_customer_distribution": 5,
+    "q14_promo_revenue": 5,
+    "q15_top_supplier": 5,
+    "q17_small_quantity_revenue": 5,
+    "q19_discounted_revenue": 5,
+    "q21_waiting_supplier": 5,
+    "q22_global_sales": 5,
+}
+
+# Queries that MUST carry a round-6 verdict regardless of history:
+# round-5 red rows whose fix changed code/oracle, oracle rewrites, and
+# new registrations. These lead the registry in this exact order.
+_RECHECK_R6 = (
+    "q12_latency_priority",   # r5 hash-FAIL: oracle sums now CAST AS BIGINT
+    "events_user_sequences",  # r5 ERR: array<string> seq now '|'-joined scalar
+    "agg_approx_distinct",    # rows-only → full oracle (in-query 2% band)
+    "events_anomaly_bands",   # oracle change: threshold on 6-dp-rounded z
+    "scd1_merge",             # newly registered (SCD family closeout)
 )
-_ROUND1_GREEN = (
-    "star_revenue",
-    "dim_surrogate",
-    "dim_first_per_group",
-    "assign_keys_left",
-    "generated_date_dim",
-    "generated_time_dim",
-    "date_keys",
-    "normalize_clean",
-    "numeric_coercion",
-    "union_by_name",
-    "filter_window",
-    "project_defensive",
-    "q1_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "topk_orders",
-    "window_rank",
-    "window_lag_lead",
-    "window_moving_sum",
-    "join_inner_agg",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range",
-    "set_intersect",
-    "set_except",
-    "explode_tokens",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "pivot_orderstatus",
-    "window_range_frame",
-    "window_distribution",
-    "agg_stats",
-    "fuzzy_name_match",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
-)
-
-
-# Queries deferred out of earlier rounds' driver prefixes (their
-# operator families carried green rows; all remain locally
-# oracle-verified). As of round 5 these are the only pre-round-5 queries
-# with no driver verdict, so they lead the registry now.
-_DEFER_R2 = (
-    "text_length_histogram",   # text-analysis family: 6 siblings in prefix
-    "text_ngram_topk",         # n-gram explode+count: tfidf/jaccard in prefix
-    "text_rolling_hash",       # fingerprint family: dedup_fingerprint green r1
-    "text_repetition",         # same expression family as text_quality
-    "corpus_domain_mix",       # plain agg+ratio: agg family green r1
-    "events_transitions",      # lag-window family: window_lag_lead green r1
-    "events_user_sequences",   # collect_list family; capped variant tested
-    "window_sliding",          # window family: tumbling+session in prefix
-    "agg_distinct_twophase",   # distinct family: agg_count_distinct green r1
-    "graph_pagerank_trade",    # new this round; locally oracle-verified
-    "set_except_all",          # set-op family green r1
-    "set_intersect_all",       # set-op family green r1
-    "q18_large_volume_customer",  # star family: q3/q5 lead this round
-    "events_gapfill_locf",     # events family well-represented in prefix
-    "agg_listagg_ordered",     # agg family green r1
-    "audit_constraints",       # quality family: quality_validation in prefix
-    "profile_drift",           # profiling family: profile_columns in prefix
-    "scd2_point_in_time",      # warehouse family: scd2_merge in prefix
-    "dedup_keep_best",         # dedup family: clusters/jaccard in prefix
-)
-
-
-# Driver-green in earlier rounds but materially changed in round 5
-# (rows-only checks upgraded to full value oracles) — re-verify under
-# the new oracles, right behind the never-verified block.
-_RECHECK_R5 = (
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_frame_sample",
-)
-
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    green = set(_DRIVER_GREEN_R1_R4) | set(_ROUND1_GREEN)
-    # Unverified queries lead so they land inside the driver's checked
-    # prefix: long-deferred ones first (oldest debt), then anything new
-    # this round, then queries whose oracle changed this round, then the
-    # already-driver-green remainder in a stable rotation (most recently
-    # verified last).
-    names = [n for n in _DEFER_R2 if n in REGISTRY]
-    names += [n for n in REGISTRY if n not in green and n not in set(_DEFER_R2)]
-    names += [n for n in _RECHECK_R5 if n in REGISTRY]
-    names += [
-        n for n in _DRIVER_GREEN_R1_R4 if n in REGISTRY and n not in set(_RECHECK_R5)
-    ]
-    names += [n for n in _ROUND1_GREEN if n in REGISTRY]
+    recheck = {n: i for i, n in enumerate(_RECHECK_R6)}
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+
+    def sort_key(name: str) -> tuple[int, int, int]:
+        # group 0: must-verify this round (recheck list, or no green
+        # verdict on record); then greens by ascending last-verified
+        # round; registry insertion order breaks ties stably.
+        if name in recheck:
+            return (0, recheck[name], 0)
+        last = _LAST_VERIFIED.get(name)
+        if last is None:
+            return (0, len(recheck), reg_pos[name])
+        return (last, 0, reg_pos[name])
+
+    names = sorted(REGISTRY, key=sort_key)
     return {n: REGISTRY[n] for n in names}
 
 

@@ -395,8 +395,9 @@ USER_SEQ_MAX_LEN = 1000
     "events_user_sequences",
     oracle=f"""
     SELECT user_id,
-           list_slice(list(event_type ORDER BY ts, event_id),
-                      1, {USER_SEQ_MAX_LEN}) AS seq,
+           array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id),
+                          1, {USER_SEQ_MAX_LEN}), '|') AS seq,
            CAST(len(list(event_type)) AS INT) AS seq_len
     FROM events
     GROUP BY user_id
@@ -410,18 +411,23 @@ def q_events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the shuffle — one hash aggregate, deterministic output.
     Sequences are capped at USER_SEQ_MAX_LEN (skew guard; both sides
     truncate the same deterministic prefix, so the oracle still
-    matches)."""
+    matches). The sequence is emitted '|'-joined rather than as
+    array<string>: the driver's pandas canonicalizer cannot sort/hash
+    list-valued columns, so registered queries must emit scalars only."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.slice(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
                 ),
-                lambda s: s["event_type"],
+                1,
+                USER_SEQ_MAX_LEN,
             ),
-            1,
-            USER_SEQ_MAX_LEN,
+            "|",
         ).alias("seq"),
         F.count("*").cast("int").alias("seq_len"),
     )
@@ -883,7 +889,7 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n_events - base_mean) / base_sd, 6) AS z
     FROM scored
     WHERE n_base >= 7 AND base_sd > 0
-      AND abs((n_events - base_mean) / base_sd) > 2.0
+      AND abs(round((n_events - base_mean) / base_sd, 6)) > 2.0
     """,
 )
 def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,8 +899,12 @@ def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) daily rollup: the heavy aggregate reduces events to
     days x types first, so the window state is bounded by the calendar,
     not the data. The trailing frame excludes the current day (an
-    anomalous day must not defend itself). Counts are integers, so the
-    mean/stddev arithmetic is bit-identical across engines."""
+    anomalous day must not defend itself). Counts are integers, but
+    Spark and DuckDB may accumulate stddev differently at the ulp
+    level, so the 2-sigma threshold is applied to the 6-dp-ROUNDED z on
+    both engines — the predicate and the emitted value share one
+    canonical representation and row membership cannot flip on a
+    sub-ulp tie."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -917,7 +927,9 @@ def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_events") - F.col("base_mean")) / F.col("base_sd")
     return (
         scored.filter(
-            (F.col("n_base") >= 7) & (F.col("base_sd") > 0) & (F.abs(z) > 2.0)
+            (F.col("n_base") >= 7)
+            & (F.col("base_sd") > 0)
+            & (F.abs(F.round(z, 6)) > 2.0)
         )
         .select(
             "event_day",

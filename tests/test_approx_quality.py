@@ -47,19 +47,20 @@ def test_ann_quality_vs_exact_topk(spark, qs):
 
 def test_hll_error_within_declared_rsd(spark, qs):
     """approx_count_distinct was asked for rsd=0.01; measured max group
-    error 0.85% at sf0.01 — pin at 2%."""
-    approx = {
-        r.o_orderpriority: r.approx_customers
-        for r in qs["agg_approx_distinct"](spark, SF).collect()
-    }
+    error 0.85% at sf0.01 — pinned at 2% by the query's own in-query
+    band (the column the driver oracle asserts true). The exact counts
+    are re-checked against DuckDB here so the band's baseline is
+    independently right."""
+    rows = qs["agg_approx_distinct"](spark, SF).collect()
     exact = dict(
         duckdb.sql(
             f"SELECT o_orderpriority, count(DISTINCT o_custkey) "
             f"FROM '{SF}/orders.parquet' GROUP BY 1"
         ).fetchall()
     )
-    for k, v in exact.items():
-        assert abs(approx[k] - v) / v <= 0.02, (k, approx[k], v)
+    assert {r.o_orderpriority: r.n_customers for r in rows} == exact
+    for r in rows:
+        assert r.approx_within_2pct, r
 
 
 def test_minhash_estimates_jaccard(spark, qs):

@@ -478,3 +478,28 @@ def test_scd1_merge_preserves_null_updates_vs_missing(spark):
     )
     row = scd1_merge(base, updates, ["k"]).collect()[0]
     assert (row.name, row.v) == ("a", 11.0)
+
+
+def test_scd1_merge_overwrite_writes_null_updates(spark):
+    """null_updates='overwrite' is ANSI MERGE WHEN MATCHED THEN UPDATE:
+    the update row replaces the base row verbatim, NULLs included."""
+    from nyc_opendata_etl_spark.operators.scd import scd1_merge
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(1, None, 11.0)], "k long, name string, v double"
+    )
+    got = {
+        r.k: (r.name, r.v)
+        for r in scd1_merge(
+            base, updates, ["k"], null_updates="overwrite"
+        ).collect()
+    }
+    assert got == {1: (None, 11.0), 2: ("b", 20.0)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        scd1_merge(base, updates, ["k"], null_updates="bogus")
