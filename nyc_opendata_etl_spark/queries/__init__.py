@@ -198,6 +198,7 @@ _RECHECK_R6 = (
     "agg_approx_distinct",    # rows-only → full oracle (in-query 2% band)
     "events_anomaly_bands",   # oracle change: threshold on 6-dp-rounded z
     "scd1_merge",             # newly registered (SCD family closeout)
+    "agg_percentile_approx",  # newly registered (sketch-percentile scale path)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -650,6 +650,51 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           true AS approx_p50_in_band,
+           true AS approx_p99_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile (mergeable
+    Greenwald-Khanna sketch — bounded memory per group, map-side
+    partials, no full sort) pinned against the exact quantiles computed
+    alongside. accuracy=10000 bounds RANK error at 0.01%, so the
+    in-query booleans assert each estimate lands inside the exact
+    [p49, p51] / [p98, p99.5] rank band — 100x looser than the sketch's
+    guarantee, hence stable under any partition merge order, yet still
+    failing loudly if the sketch breaks. The driver-checked value
+    surface is the exact quantiles (engine-portable continuous
+    interpolation, 6-dp rounded) plus the two bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.expr(
+        "percentile(l_extendedprice, "
+        "array(0.49D, 0.50D, 0.51D, 0.98D, 0.99D, 0.995D))"
+    )
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.50D, 0.99D), 10000)"
+    )
+    agg = li.groupBy("l_returnflag").agg(exact.alias("e"), approx.alias("a"))
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("e")[1], 6).alias("p50"),
+        F.round(F.col("e")[4], 6).alias("p99"),
+        F.col("a")[0].between(F.col("e")[0], F.col("e")[2]).alias(
+            "approx_p50_in_band"
+        ),
+        F.col("a")[1].between(F.col("e")[3], F.col("e")[5]).alias(
+            "approx_p99_in_band"
+        ),
+    )
+
+
+@register(
     "pivot_orderstatus",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
