@@ -199,6 +199,9 @@ _RECHECK_R6 = (
     "events_anomaly_bands",   # oracle change: threshold on 6-dp-rounded z
     "scd1_merge",             # newly registered (SCD family closeout)
     "agg_percentile_approx",  # newly registered (sketch-percentile scale path)
+    "dedup_semantic",         # newly registered (SemDeDup cluster-blocked pairs)
+    "market_basket_pairs",    # newly registered (frequent-pair mining + lift)
+    "text_char_entropy",      # newly registered (char-entropy quality signal)
 )
 
 def _ordered() -> dict[str, QueryDef]:

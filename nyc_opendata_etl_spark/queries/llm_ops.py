@@ -1602,3 +1602,122 @@ def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_token_ratio"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: semantic dedup + char-entropy quality signal
+# --------------------------------------------------------------------------
+
+_PAIR_COS = (
+    "list_dot_product(a1.v, a2.v)"
+    " / (sqrt(list_dot_product(a1.v, a1.v))"
+    " * sqrt(list_dot_product(a2.v, a2.v)))"
+)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cent_id,
+               {_COS_CENT} AS sim
+        FROM embeddings e, cents c
+    ),
+    assigned AS (
+        SELECT cent_id, vec_id, v
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cent_id) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT a1.cent_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
+           round({_PAIR_COS}, 6) AS cosine_sim
+    FROM assigned a1 JOIN assigned a2
+      ON a1.cent_id = a2.cent_id AND a1.vec_id < a2.vec_id
+    WHERE round({_PAIR_COS}, 6) >= 0.4
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: one k-means (Lloyd)
+    assignment against 8 deterministic seed centroids is the BLOCKING
+    stage, then exact cosine pairs are verified only WITHIN each
+    cluster (Abbas et al. 2023). Compared to `dedup_embedding_lsh`
+    (data-oblivious hyperplane buckets) the blocking key is learned, so
+    semantically close pairs co-locate more reliably at equal candidate
+    volume; compared to `dedup_embedding_cosine` the pair work is
+    Σ|cluster|² rather than n². One broadcast N×k scoring pass (no
+    shuffle), one shuffle on cent_id, one float64 BLAS matmul per
+    cluster — at 100 TB raise the centroid count so clusters fit
+    executors (the paper runs 50k clusters at LAION scale)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.semantic_neardup_pairs(emb, n_centroids=8, threshold=0.4)
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    ),
+    term AS (
+        SELECT c.doc_id,
+               CAST(round(-((CAST(c.c AS DOUBLE) / t.n)
+                            * ln(CAST(c.c AS DOUBLE) / t.n)
+                            / 0.6931471805599453), 9)
+                    AS DECIMAL(28,12)) AS term
+        FROM cnt c JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(term) AS DOUBLE) AS char_entropy_bits
+    FROM term GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic cheap gibberish/boilerplate detector: natural English sits
+    ~4.0-4.2 bits over this charset, template spam and single-char runs
+    crater toward 0, and uniform random noise pushes toward log2(27).
+
+    Scale shape: explode-to-chars stays map-local until ONE partial-
+    aggregable (doc_id, ch) count; the per-doc total is a window sum
+    over doc_id (no self-join), and the final per-doc aggregate reuses
+    the window's doc_id partitioning — two shuffles total, both
+    pre-combined map-side. Determinism: each
+    char's -p·log2(p) term is rounded to 9 dp and summed as
+    DECIMAL(28,12) — exact and order-independent — and the entropy is
+    that exact decimal sum cast to double (NOT re-rounded: a final
+    6-dp round hit a half-tie at sf0.1, the NOTES.md half-up vs
+    half-even class); log2 routes through the literal ln(2) double so
+    both engines divide by the same constant."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id")).cast("bigint")
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-(p * F.log(p) / F.lit(0.6931471805599453)), 9).cast(
+        "decimal(28,12)"
+    )
+    return (
+        cnt.withColumn("n", n)
+        .select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            F.sum("term").cast("double").alias("char_entropy_bits"),
+        )
+    )

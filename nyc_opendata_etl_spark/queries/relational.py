@@ -1459,3 +1459,72 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", "user_id", "ts").join(
         picked, "event_id", "left"
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
+    tot AS (SELECT count(DISTINCT ok) AS n FROM b),
+    pairs AS (
+        SELECT b1.pk AS part_a, b2.pk AS part_b,
+               CAST(count(*) AS BIGINT) AS pair_orders
+        FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.pair_orders,
+           round(CAST(p.pair_orders * t.n AS DOUBLE)
+                 / CAST(fa.c * fb.c AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.pk = p.part_a
+    JOIN freq fb ON fb.pk = p.part_b
+    CROSS JOIN tot t
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pair mining (market-basket / association rules)
+    over order baskets: co-occurring part pairs with support >= 3
+    orders, scored by lift = P(a,b) / (P(a)·P(b)) over the order space.
+
+    The canonical distributed a-priori shape: distinct (order, part)
+    once, self-join ONLY within an order (work is Σ basket², bounded by
+    basket size — at 100 TB you cap or pre-filter giant baskets, the
+    a-priori pruning step), pair counts partial-aggregate map-side, and
+    the support filter runs BEFORE the lift join so the item-frequency
+    relation (|parts|, small) broadcasts onto the surviving pairs.
+    Lift determinism: both products are exact BIGINT multiplies, so the
+    single double division agrees bit-for-bit across engines."""
+    li = load_table(spark, sf_dir, "lineitem", spread_input=True)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = b.groupBy("pk").agg(F.count("*").alias("c"))
+    tot = b.agg(F.count_distinct("ok").alias("n"))
+    b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
+    pairs = (
+        b.join(b2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"))
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 3)
+    )
+    fa = freq.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.round(
+                (F.col("pair_orders") * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Semantic invariants of the round-6 operators, beyond the value
+oracles: subset/precision laws, bound checks, and a pure-Python replay."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    semantic_neardup_pairs,
+)
+from nyc_opendata_etl_spark.queries import queries
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semantic_pairs_subset_of_exact_with_equal_sims(spark):
+    """Cluster blocking may MISS cross-cluster pairs but can never
+    invent one: the semantic pair set is a subset of exact all-pairs at
+    the same threshold, and every common pair carries the identical
+    cosine (both kernels are the same float64 matmul)."""
+    emb = load_table(spark, SF, "embeddings")
+    sem = semantic_neardup_pairs(emb, n_centroids=8, threshold=0.4).select(
+        "id_a", "id_b", "cosine_sim"
+    )
+    exact = cosine_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", "cosine_sim"
+    )
+    assert sem.count() > 0
+    assert sem.exceptAll(exact).count() == 0
+
+
+def test_semantic_pairs_live_inside_one_cluster(spark):
+    """Both members of every emitted pair must be assigned to the pair's
+    cent_id — re-derive the assignment independently and join."""
+    from pyspark.sql import Window
+
+    from nyc_opendata_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", F.col("cent_id").alias("acl"))
+    )
+    pairs = semantic_neardup_pairs(emb, n_centroids=8, threshold=0.4)
+    joined = (
+        pairs.join(assigned, pairs["id_a"] == assigned["vec_id"])
+        .withColumnRenamed("acl", "cl_a")
+        .drop("vec_id")
+        .join(assigned, pairs["id_b"] == assigned["vec_id"])
+        .withColumnRenamed("acl", "cl_b")
+    )
+    bad = joined.filter(
+        (F.col("cl_a") != F.col("cent_id")) | (F.col("cl_b") != F.col("cent_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_market_basket_support_and_lift_recompute(spark):
+    """pair_orders matches a brute-force recount for every emitted pair,
+    and lift is exactly (pair·total)/(ca·cb)."""
+    out = queries()["market_basket_pairs"](spark, SF).collect()
+    assert out, "support-3 pairs must exist at sf0.001"
+    li = load_table(spark, SF, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().collect()
+    )
+    orders_of = {}
+    for r in baskets:
+        orders_of.setdefault(r.l_partkey, set()).add(r.l_orderkey)
+    total = len({r.l_orderkey for r in baskets})
+    for r in out:
+        assert r.part_a < r.part_b
+        co = len(orders_of[r.part_a] & orders_of[r.part_b])
+        assert co == r.pair_orders >= 3
+        expect = round(
+            (r.pair_orders * total) / (len(orders_of[r.part_a]) * len(orders_of[r.part_b])),
+            6,
+        )
+        assert abs(r.lift - expect) < 1e-9
+
+
+def test_char_entropy_bounds_and_python_replay(spark):
+    """0 <= H <= log2(alphabet); and the engine value replays the exact
+    fold contract (per-char term rounded to 9 dp, decimal-summed) in
+    pure Python for every document."""
+    rows = queries()["text_char_entropy"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert 0.0 <= r.char_entropy_bits <= math.log2(r.n_distinct_chars) + 1e-6
+        counts = Counter(docs[r.doc_id])
+        assert len(counts) == r.n_distinct_chars
+        n = sum(counts.values())
+        acc = Decimal(0)
+        for c in counts.values():
+            p = c / n
+            term = -(p * math.log(p) / 0.6931471805599453)
+            acc += Decimal(repr(term)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+        assert abs(float(acc) - r.char_entropy_bits) < 5e-9

@@ -99,6 +99,23 @@ SHOWCASE = {
         "percentile sorts only within the 3-group aggregate. At 100 TB "
         "the exact column is dropped and the sketch stands alone."
     ),
+    "dedup_semantic": (
+        "SemDeDup: k-means assignment (broadcast N x k scoring, one "
+        "window) is the blocking key; the only pairwise work is one "
+        "applyInPandas BLAS matmul per cluster after a single cent_id "
+        "shuffle - sum(|cluster|^2), never n^2."
+    ),
+    "market_basket_pairs": (
+        "A-priori pair mining: distinct baskets once, self-join only "
+        "within an order (work bounded by basket size), pair counts "
+        "partial-aggregate map-side, support filter BEFORE the lift "
+        "join so the item-frequency side stays broadcastable."
+    ),
+    "text_char_entropy": (
+        "Join-free entropy: explode-to-chars is scan-stage-local, one "
+        "partial-aggregable (doc, char) count, per-doc totals via a "
+        "window that reuses the doc_id exchange - two shuffles total."
+    ),
 }
 
 
