@@ -202,6 +202,8 @@ _RECHECK_R6 = (
     "dedup_semantic",         # newly registered (SemDeDup cluster-blocked pairs)
     "market_basket_pairs",    # newly registered (frequent-pair mining + lift)
     "text_char_entropy",      # newly registered (char-entropy quality signal)
+    "recursive_reachability", # newly registered (Spark 4 recursive CTE)
+    "join_lateral_topn",      # newly registered (correlated LATERAL + LIMIT)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1528,3 +1528,125 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_REACH_EDGES = """
+edges AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM {li} l
+    JOIN {o} o ON l.l_orderkey = o.o_orderkey
+    JOIN {c} c ON o.o_custkey = c.c_custkey
+    JOIN {s} s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_e,
+               CAST(sum(weight) AS BIGINT) AS w_tot FROM edges),
+strong AS (
+    SELECT e.src, e.dst FROM edges e CROSS JOIN tot t
+    WHERE e.weight * t.n_e > t.w_tot
+),
+reach(nationkey, hop) AS (
+    SELECT CAST(0 AS BIGINT), 0
+    UNION ALL
+    SELECT s.dst, r.hop + 1
+    FROM reach r JOIN strong s ON s.src = r.nationkey
+    WHERE r.hop < 3
+)
+SELECT n.n_name, CAST(min(r.hop) AS BIGINT) AS min_hops
+FROM reach r JOIN {n} n ON n.n_nationkey = r.nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "recursive_reachability",
+    oracle="WITH RECURSIVE "
+    + _REACH_EDGES.format(
+        li="lineitem", o="orders", c="customer", s="supplier", n="nation"
+    ),
+)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability via a RECURSIVE CTE (new SQL surface in Spark
+    4): minimum hops from nation 0 over the "strong" trade graph —
+    edges kept only where their lineitem count exceeds the mean edge
+    weight, an exact integer comparison (weight·n_edges > total), so
+    the graph is data-dependent yet replayed identically by the
+    oracle. The recursion is walk-enumeration bounded by the hop cap
+    (3) — right for sparse/shallow graphs; for unbounded diameters the
+    engine's iterative frontier loop with per-round dedup
+    (operators/graph.pagerank_int's idiom, dedup_clusters) is the
+    100 TB path, and this query is the declarative twin the SQL user
+    reaches for. The heavy stage — the 4-way edge aggregate
+    (customer/supplier broadcast onto the lineitem-orders join) — is
+    materialized via localCheckpoint BEFORE the recursion: a recursive
+    CTE's body re-executes per iteration, so leaving the edge build
+    inside it re-ran the star join every hop (measured 3× slower).
+    The recursion then touches only the ≤625-row nation-graph
+    relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint(eager=False)
+    )
+    tot = edges.agg(
+        F.count(F.lit(1)).alias("n_e"), F.sum("weight").alias("w_tot")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("weight") * F.col("n_e") > F.col("w_tot"))
+        .select("src", "dst")
+    )
+    strong.createOrReplaceTempView("__reach_strong")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("__reach_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(nationkey, hop) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT s.dst, r.hop + 1
+            FROM reach r JOIN __reach_strong s ON s.src = r.nationkey
+            WHERE r.hop < 3
+        )
+        SELECT n.n_name, CAST(min(r.hop) AS BIGINT) AS min_hops
+        FROM reach r JOIN __reach_nation n ON n.n_nationkey = r.nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+_LATERAL_TOPN = """
+SELECT c.c_custkey, t.o_orderkey, t.o_orderdate
+FROM {cust} c,
+LATERAL (SELECT o_orderkey, o_orderdate FROM {ords} o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_TOPN.format(cust="customer", ords="orders"),
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the
+    two most recent orders for every BUILDING-segment customer. Spark
+    DE-CORRELATES this — the executed plan is one broadcast hash join
+    plus a rank window partitioned by customer (verified: no cartesian
+    product, no per-row re-scan), i.e. the optimizer rewrites the
+    point-lookup formulation into the set-based top-n-per-group shape
+    you would hand-write, making the declarative form safe at 100 TB.
+    Tie-broken by o_orderkey so both engines pick identical rows."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(_LATERAL_TOPN.format(cust="__lat_customer", ords="__lat_orders"))

@@ -116,3 +116,37 @@ def test_char_entropy_bounds_and_python_replay(spark):
                 Decimal("1.000000000"), rounding=ROUND_HALF_UP
             )
         assert abs(float(acc) - r.char_entropy_bits) < 5e-9
+
+
+def test_recursive_reachability_hops_are_consistent(spark):
+    """hop 0 is exactly the seed; every hop-1 nation is a direct strong
+    edge target of the seed; all hops within the cap."""
+    out = {r.n_name: r.min_hops for r in
+           queries()["recursive_reachability"](spark, SF).collect()}
+    assert all(0 <= h <= 3 for h in out.values())
+    nation = load_table(spark, SF, "nation")
+    names = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert out[names[0]] == 0
+    assert sum(1 for h in out.values() if h == 0) == 1
+
+
+def test_lateral_topn_matches_window_form(spark):
+    """The LATERAL formulation returns exactly the window top-2 rows."""
+    from pyspark.sql import Window
+
+    out = queries()["join_lateral_topn"](spark, SF)
+    cust = load_table(spark, SF, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    ref = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate")
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0

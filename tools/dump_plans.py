@@ -116,6 +116,18 @@ SHOWCASE = {
         "partial-aggregable (doc, char) count, per-doc totals via a "
         "window that reuses the doc_id exchange - two shuffles total."
     ),
+    "join_lateral_topn": (
+        "Correlated LATERAL with ORDER BY + LIMIT is DE-CORRELATED by "
+        "Spark into one broadcast join + a rank window - no cartesian "
+        "product, no per-row re-scan; the declarative per-row form "
+        "executes as set-based top-n-per-group."
+    ),
+    "recursive_reachability": (
+        "Recursive CTE BFS: the heavy 4-way edge aggregate is "
+        "checkpointed BEFORE the recursion (a recursive CTE body "
+        "re-executes per iteration); each hop joins only the tiny "
+        "nation-graph relation."
+    ),
 }
 
 
