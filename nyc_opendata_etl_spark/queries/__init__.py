@@ -204,6 +204,8 @@ _RECHECK_R6 = (
     "text_char_entropy",      # newly registered (char-entropy quality signal)
     "recursive_reachability", # newly registered (Spark 4 recursive CTE)
     "join_lateral_topn",      # newly registered (correlated LATERAL + LIMIT)
+    "json_variant_shred",     # newly registered (Spark 4 VARIANT type)
+    "ingest_orc_documents",   # newly registered (ORC format round trip)
 )
 
 def _ordered() -> dict[str, QueryDef]:

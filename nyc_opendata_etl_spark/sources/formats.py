@@ -77,3 +77,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar lake format Spark reads natively
+    (vectorized reader, predicate pushdown and column pruning like
+    parquet). Schema travels in the file footer, so no inference pass
+    and no drift reconciliation is needed; headers still normalize for
+    consistency with the CSV/JSONL paths."""
+    return normalize_headers(spark.read.orc(path))

@@ -150,3 +150,41 @@ def test_lateral_topn_matches_window_form(spark):
     )
     assert out.exceptAll(ref).count() == 0
     assert ref.exceptAll(out).count() == 0
+
+
+def test_orc_round_trip_is_row_identical(spark):
+    """ORC staging + re-read returns exactly the parquet rows — full
+    multiset equality, not just the aggregate the oracle checks."""
+    from nyc_opendata_etl_spark.queries.parity import _stage_documents
+    from nyc_opendata_etl_spark.sources.formats import read_orc
+
+    docs = load_table(spark, SF, "documents")
+    back = read_orc(spark, _stage_documents(spark, SF, "orc"))
+    assert back.schema == docs.schema
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+
+def test_variant_shred_matches_string_json_path(spark):
+    """The VARIANT extraction agrees with the get_json_object string
+    path on every group (same sums, same null accounting)."""
+    out = {r.event_type: r for r in
+           queries()["json_variant_shred"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ref = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(k)).alias("n_null"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for t, r in out.items():
+        assert r.sum_k == ref[t].sum_k
+        assert r.n_events == ref[t].n
+        assert r.n_null_k == ref[t].n_null
+        assert r.schema_is_k_bigint is True
