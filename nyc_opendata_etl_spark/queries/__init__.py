@@ -206,6 +206,8 @@ _RECHECK_R6 = (
     "join_lateral_topn",      # newly registered (correlated LATERAL + LIMIT)
     "json_variant_shred",     # newly registered (Spark 4 VARIANT type)
     "ingest_orc_documents",   # newly registered (ORC format round trip)
+    "sketch_theta_setops",    # newly registered (Theta distinct set algebra)
+    "sketch_kll_quantiles",   # newly registered (KLL mergeable quantile state)
 )
 
 def _ordered() -> dict[str, QueryDef]:

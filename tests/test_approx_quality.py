@@ -113,3 +113,86 @@ def test_hll_rollup_merge_is_lossless_and_order_free(spark):
     assert m == d
     for g, (est, n) in m.items():
         assert abs(est - 4967) / 4967 <= 0.05, (g, est)
+
+
+def test_theta_rollup_merge_and_set_algebra(spark):
+    """Theta state must (a) merge losslessly — estimate(union of batch
+    sketches) == estimate(single pass) — and (b) answer set-algebra
+    questions with known ground truth: A = {0..5999}, B = {4000..9999}
+    gives |A∩B| = 2000 and |A\\B| = 4000. At 6000 > 4096 nominal
+    entries the lg_k=12 sketches are genuinely ESTIMATING (measured:
+    ea=6006, i=1984, d=4022), so this pins the estimating regime under
+    the same 5%-of-union band the registered query asserts (theory:
+    rsd ≈ 1.6% of the union scale)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.rollup import (
+        theta_batch,
+        theta_estimates,
+        theta_merge,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 4967).alias("u")
+    )
+    a = theta_batch(df.filter(F.col("id") % 2 == 0), ["g"], ["u"])
+    b = theta_batch(df.filter(F.col("id") % 2 == 1), ["g"], ["u"])
+    merged = theta_estimates(theta_merge(a, b, ["g"], ["u"]), ["g"], ["u"])
+    direct = theta_estimates(theta_batch(df, ["g"], ["u"]), ["g"], ["u"])
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+    sets = spark.range(10_000).select(
+        F.when(F.col("id") < 6000, F.col("id")).alias("a"),
+        F.when(F.col("id") >= 4000, F.col("id")).alias("b"),
+    )
+    row = (
+        sets.agg(
+            F.theta_sketch_agg("a", 12).alias("sa"),
+            F.theta_sketch_agg("b", 12).alias("sb"),
+        )
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("u"),
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("d"),
+        )
+        .collect()[0]
+    )
+    band = 0.05 * 10_000
+    assert abs(row.u - 10_000) <= band, row
+    assert abs(row.i - 2_000) <= band, row
+    assert abs(row.d - 4_000) <= band, row
+
+
+def test_kll_merge_full_outer_and_rank_accuracy(spark):
+    """kll_merge is a full-outer keyed merge: a key present in only one
+    batch keeps that batch's sketch (no dropped groups), counts add,
+    and the merged sketch's quantile must sit within the declared 2.5%
+    rank band of the true quantile of the combined stream."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.rollup import kll_batch, kll_merge
+
+    # g=0 only in batch a; g=1 in both; values are id (uniform).
+    df = spark.range(20_000).select(
+        F.when(F.col("id") < 5_000, 0).otherwise(1).alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("id"),
+    )
+    a = kll_batch(df.filter((F.col("g") == 0) | (F.col("id") % 2 == 0)), ["g"], ["v"])
+    b = kll_batch(df.filter((F.col("g") == 1) & (F.col("id") % 2 == 1)), ["g"], ["v"])
+    merged = kll_merge(a, b, ["g"], ["v"])
+    rows = {
+        r.g: r
+        for r in merged.select(
+            "g",
+            "n",
+            F.kll_sketch_get_quantile_double("kll_v", F.lit(0.5)).alias("q50"),
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0].n == 5_000 and rows[1].n == 15_000
+    # true medians: g=0 → ~2500, g=1 → ~12500 (uniform ids)
+    assert abs(rows[0].q50 - 2_500) <= 0.025 * 5_000
+    assert abs(rows[1].q50 - 12_500) <= 0.025 * 15_000

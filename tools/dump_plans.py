@@ -128,6 +128,21 @@ SHOWCASE = {
         "re-executes per iteration); each hop joins only the tiny "
         "nation-graph relation."
     ),
+    "sketch_theta_setops": (
+        "Theta set algebra: both year segments sketch in ONE pass "
+        "(conditional theta_sketch_agg, map-side partial buffers - one "
+        "compact buffer row per partition crosses the exchange); "
+        "union/intersection/difference evaluate on the two sketches at "
+        "read time. The exact side is one custkey-grain aggregate, "
+        "joined by broadcasting the 1-row estimate relation."
+    ),
+    "sketch_kll_quantiles": (
+        "Mergeable quantile state: per-batch KLL sketches partial-"
+        "aggregate map-side, the keyed merge is a full-outer join of "
+        "two 5-row state relations, and rank verification broadcasts "
+        "the 5-row estimates to a single two-phase pass over events - "
+        "no sort of the raw data anywhere."
+    ),
 }
 
 
