@@ -208,6 +208,11 @@ _RECHECK_R6 = (
     "ingest_orc_documents",   # newly registered (ORC format round trip)
     "sketch_theta_setops",    # newly registered (Theta distinct set algebra)
     "sketch_kll_quantiles",   # newly registered (KLL mergeable quantile state)
+    "q2_min_cost_supplier",   # newly registered (derived-partsupp TPC-H Q2)
+    "q9_product_profit",      # newly registered (derived-partsupp TPC-H Q9)
+    "q11_important_stock",    # newly registered (derived-partsupp TPC-H Q11)
+    "q16_supplier_part_counts",  # newly registered (derived-partsupp Q16)
+    "q20_promotion_candidates",  # newly registered (derived-partsupp Q20)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -5,7 +5,13 @@ The driver's testdata is a trimmed TPC-H schema — no ``partsupp`` table
 and no ``l_commitdate``/``l_receiptdate``/``l_shipmode``/``p_container``/
 ``c_phone`` columns — so queries whose predicates need those columns are
 adapted to equivalent shapes over the available ones (noted per query).
-Q2/Q9/Q11/Q16/Q20 need ``partsupp`` and are omitted entirely.
+Q2/Q9/Q11/Q16/Q20 run against a DETERMINISTICALLY DERIVED partsupp
+(spec supplier-assignment stride over part x supplier, key-derived
+attributes — see the "Derived partsupp" section below), expressed
+identically in Spark and the DuckDB oracle so the derivation itself is
+differentially checked; this completes all 21 queries the trimmed
+column set can express (Q12 in relational.py runs the shape with an
+adapted predicate).
 
 Plan-shape goals (verified in tests/test_plans.py):
 - dimension sides (region/nation, brand-filtered part, HAVING-qualified
@@ -678,3 +684,410 @@ def q_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp — completes the five partsupp-blocked queries
+# ---------------------------------------------------------------------------
+#
+# The driver testdata ships no partsupp table, so Q2/Q9/Q11/Q16/Q20 were
+# unimplementable as-is. Rather than leave the suite's hardest shapes
+# (correlated min-cost subquery, global-scalar HAVING, nested semi-joins)
+# uncovered, partsupp is DERIVED deterministically from part x supplier
+# with the TPC-H spec's own supplier-assignment stride (4 suppliers per
+# part, ps_suppkey = (p + i*(S/4 + (p-1)/S)) mod S + 1) and key-derived
+# availqty/supplycost, expressed identically in Spark and in the DuckDB
+# oracle so the derivation itself is differentially checked. At tiny S
+# the stride can collide (S=10: step ~ 5 repeats mod 10), so attributes
+# are functions of the (partkey, suppkey) PAIR — collisions are full-row
+# duplicates removed by DISTINCT — keeping (ps_partkey, ps_suppkey) a
+# true primary key at every scale factor. supplycost is built from an
+# integer cents value so all money math stays exact decimal.
+
+_PS_CTE = """
+    WITH sc AS (SELECT count(*) AS s_cnt FROM supplier),
+    ps_keys AS (
+      SELECT DISTINCT ps_partkey, ps_suppkey FROM (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey + i.i * (CAST(FLOOR(sc.s_cnt / 4.0) AS BIGINT)
+                     + CAST(FLOOR((p_partkey - 1) / CAST(sc.s_cnt AS DOUBLE))
+                            AS BIGINT)))
+                    % sc.s_cnt AS BIGINT) + 1 AS ps_suppkey
+        FROM part CROSS JOIN sc
+             CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+      ) AS raw
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+             CAST((ps_partkey * 7 + ps_suppkey * 11) % 90000 + 10000
+                  AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))
+                 AS ps_supplycost
+      FROM ps_keys
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of :data:`_PS_CTE` (one expression tree, no UDFs).
+
+    part x 4 replicas via two broadcast cross joins (a 1-row supplier
+    count and a 4-row index), the spec stride, DISTINCT on the key pair,
+    then pair-derived attributes. At 100 TB this materializes nothing:
+    it is a scan-stage expression pipeline over part with one distinct
+    shuffle of (partkey, suppkey) pairs."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    sc = load_table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+    idx = spark.range(4).select(F.col("id").alias("i"))
+    stride = F.floor(F.col("s_cnt") / F.lit(4.0)).cast("long") + F.floor(
+        (F.col("p_partkey") - 1) / F.col("s_cnt").cast("double")
+    ).cast("long")
+    keys = (
+        part.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(idx))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                ((F.col("p_partkey") + F.col("i") * stride) % F.col("s_cnt"))
+                .cast("long")
+                + 1
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    cents = (
+        F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11
+    ) % 90000 + 10000
+    return keys.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (cents.cast("decimal(12,2)") * F.expr("CAST(0.01 AS DECIMAL(3,2))")).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+def _europe_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⨝ nation ⨝ region(EUROPE) — the bounded dim side every
+    partsupp query broadcasts. Region (not nation) keeps the filter
+    non-empty at sf0.001, where single nations can have zero suppliers."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+    )
+
+
+_EUROPE_SQL = """
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=_PS_CTE + f""",
+    eu AS ({_EUROPE_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(round(ps_supplycost, 2) AS DOUBLE) AS supply_cost
+    FROM partsupp ps
+         JOIN part ON p_partkey = ps.ps_partkey
+         JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+    WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.ps_suppkey
+          WHERE ps2.ps_partkey = ps.ps_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the region-wide minimum supplycost.
+
+    Adapted: partsupp is the derived relation (header comment above);
+    p_type = 'STANDARD' + p_size 10-20 replaces '%BRASS' + size=15
+    (this part table has single-word types); p_brand stands in for the
+    absent p_mfgr. The correlated min-cost subquery is expressed as a
+    min window over ps_partkey on the EUROPE-filtered relation — Spark
+    executes exactly what a de-correlated rewrite would produce (one
+    aggregate + one join, no per-part re-scan), sharing a single
+    ps_partkey exchange between min and filter. (s_name, p_partkey) is
+    unique per row, so the LIMIT 100 cut is total-ordered and
+    deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    eu = _europe_suppliers(spark, sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    eligible = ps.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        ps["ps_partkey"] == part["p_partkey"],
+    ).join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 2).cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=_PS_CTE + """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                          - ps_supplycost
+                            * CAST(l_quantity AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+         JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year over parts
+    whose name matches a token ('%red%' replaces the spec's '%green%'
+    to fit this part table's names). profit = revenue - supplycost *
+    quantity, with supplycost from the derived partsupp relation.
+
+    The 6-relation join keeps every bounded side broadcast (name-
+    filtered part, supplier, nation, and the part-sized partsupp after
+    the semi effect of the part filter); orders join on l_orderkey is
+    the only fact-fact shuffle. All money terms are exact DECIMAL
+    products summed before a single final round -> DOUBLE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit = (
+        _revenue() - F.col("ps_supplycost") * _money("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=_PS_CTE + f""",
+    eu AS ({_EUROPE_SQL}),
+    vals AS (
+      SELECT ps_partkey,
+             CAST(sum(((ps_partkey * 7 + ps_suppkey * 11) %% 90000 + 10000)
+                      * ps_availqty) AS BIGINT) AS value_cents
+      FROM partsupp JOIN eu ON eu.s_suppkey = ps_suppkey
+      GROUP BY ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM vals
+    )
+    SELECT ps_partkey,
+           CAST(value_cents AS DOUBLE) / 100 AS stock_value
+    FROM vals CROSS JOIN tot
+    WHERE value_cents * 2 * n_parts > total_cents * 3
+    """.replace("%%", "%"),
+)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value (supplycost * availqty over
+    EUROPE suppliers) for parts holding an outsized share of the total.
+
+    Adapted: the spec's fixed fraction (0.0001/SF) does not scale across
+    the three test SFs, so the HAVING threshold is "> 1.5x the mean
+    per-part value" — same global-scalar-subquery shape, stable
+    selectivity at every scale. The comparison runs in exact integer
+    CENTS (value_cents * 2n > total * 3): no division, no doubles, no
+    rounding ties on either engine; the emitted stock_value divides the
+    exact cents by 100 in one IEEE double op both engines compute
+    identically. The 1-row total broadcasts; the per-part aggregate is
+    partial-aggregated map-side."""
+    ps = _partsupp(spark, sf_dir)
+    eu = _europe_suppliers(spark, sf_dir).select("s_suppkey")
+    cents = (
+        (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 90000 + 10000
+    )
+    vals = (
+        ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .select("ps_partkey", (cents * F.col("ps_availqty")).alias("vc"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("vc").cast("long").alias("value_cents"))
+    )
+    tot = vals.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * 2 * F.col("n_parts")
+            > F.col("total_cents") * 3
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=_PS_CTE + """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per (brand, type, size) for
+    qualifying parts, excluding flagged suppliers.
+
+    Adapted: the exclusion predicate is s_acctbal < 0 (this supplier
+    table has no s_comment to grep for complaints); brand/type/size
+    anti-filters use values that exist here. The NOT IN lowers to a
+    LEFT ANTI broadcast hash join (s_suppkey is non-null by
+    construction, so anti-join and NOT IN agree); the count-distinct
+    runs as the standard two-phase expand aggregate."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(flagged),
+            ps["ps_suppkey"] == flagged["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_candidates",
+    oracle=_PS_CTE + f""",
+    eu AS ({_EUROPE_SQL})
+    SELECT s_name, s_acctbal
+    FROM eu
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND ps_availqty * 2 > (
+            SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        )
+    )
+    """,
+)
+def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers holding excess stock (availqty
+    > half the 1996 shipped quantity) of any 'small%'-named part.
+
+    Adapted: region EUROPE replaces nation CANADA (nation supplier
+    counts hit zero at sf0.001); 'small%' replaces 'forest%'; ship year
+    1996 fits this data's 1995-2001 range. The nested IN chain lowers
+    to two LEFT SEMI hash joins (supplier <- partsupp <- part) with the
+    correlated quantity subquery de-correlated into one (partkey,
+    suppkey) aggregate over date-filtered lineitem — no per-row
+    re-scans. The half-quantity comparison is availqty*2 > sum in
+    exact decimal (the sum is an exact DECIMAL fold; availqty*2 is an
+    integer) — no 0.5 multiplier, no float ties. An inner join against
+    the aggregate reproduces the spec's NULL-subquery semantics (a
+    (part, supp) pair with no 1996 shipments fails the predicate)."""
+    ps = _partsupp(spark, sf_dir)
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_money("l_quantity")).alias("qty96")
+    )
+    excess = (
+        ps.join(F.broadcast(small), ps["ps_partkey"] == small["p_partkey"], "left_semi")
+        .join(
+            qty,
+            (ps["ps_partkey"] == qty["l_partkey"])
+            & (ps["ps_suppkey"] == qty["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty96"))
+        .select("ps_suppkey")
+    )
+    eu = _europe_suppliers(spark, sf_dir).select("s_suppkey", "s_name", "s_acctbal")
+    return eu.join(
+        excess, eu["s_suppkey"] == excess["ps_suppkey"], "left_semi"
+    ).select("s_name", "s_acctbal")

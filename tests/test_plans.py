@@ -237,6 +237,12 @@ def test_tpch_suite_never_sort_merges(spark):
         "q19_discounted_revenue",
         "q21_waiting_supplier",
         "q22_global_sales",
+        # round-6 derived-partsupp completion
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_promotion_candidates",
     ):
         assert not pi.uses_sort_merge_join(qs[name](spark, SF)), name
 

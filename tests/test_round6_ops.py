@@ -188,3 +188,45 @@ def test_variant_shred_matches_string_json_path(spark):
         assert r.n_events == ref[t].n
         assert r.n_null_k == ref[t].n_null
         assert r.schema_is_k_bigint is True
+
+
+def test_derived_partsupp_primary_key_and_spec_shape(spark):
+    """The derived partsupp must keep (ps_partkey, ps_suppkey) a true
+    primary key even where the spec stride collides (sf0.001 has S=10
+    suppliers, where stride 5 repeats mod 10), reference every part,
+    assign at most 4 and at least 1 supplier per part, and keep every
+    ps_suppkey inside [1, S] so the supplier join never drops rows."""
+    from nyc_opendata_etl_spark.queries.tpch import _partsupp
+
+    ps = _partsupp(spark, SF).cache()
+    try:
+        n = ps.count()
+        assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n
+        parts = load_table(spark, SF, "part").select("p_partkey")
+        n_parts = parts.count()
+        per_part = ps.groupBy("ps_partkey").count()
+        assert per_part.count() == n_parts  # every part covered
+        mn, mx = per_part.agg(F.min("count"), F.max("count")).first()
+        assert 1 <= mn and mx <= 4
+        s_cnt = load_table(spark, SF, "supplier").count()
+        bad = ps.filter(
+            (F.col("ps_suppkey") < 1) | (F.col("ps_suppkey") > s_cnt)
+        ).count()
+        assert bad == 0
+        # attributes are pure functions of the key pair: availqty and
+        # supplycost recompute exactly from (partkey, suppkey)
+        recomputed = ps.filter(
+            (F.col("ps_availqty")
+             != (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+            | (
+                F.col("ps_supplycost").cast("decimal(18,4)")
+                != (
+                    (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 90000
+                    + 10000
+                ).cast("decimal(12,2)")
+                * F.expr("CAST(0.01 AS DECIMAL(3,2))")
+            )
+        ).count()
+        assert recomputed == 0
+    finally:
+        ps.unpersist()

@@ -136,6 +136,17 @@ SHOWCASE = {
         "read time. The exact side is one custkey-grain aggregate, "
         "joined by broadcasting the 1-row estimate relation."
     ),
+    "q2_min_cost_supplier": (
+        "TPC-H Q2 over the derived partsupp: the correlated min-cost "
+        "subquery runs as a min window sharing ONE ps_partkey exchange "
+        "with the filter; part/supplier/nation/region all broadcast; "
+        "the ordered LIMIT is TakeOrderedAndProject."
+    ),
+    "q9_product_profit": (
+        "TPC-H Q9: six relations, one fact-fact shuffle (lineitem x "
+        "orders) - the name-filtered part, derived partsupp, supplier "
+        "and nation sides all broadcast into the lineitem scan stage."
+    ),
     "sketch_kll_quantiles": (
         "Mergeable quantile state: per-batch KLL sketches partial-"
         "aggregate map-side, the keyed merge is a full-outer join of "
