@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
-__all__ = ["pagerank_int"]
+__all__ = ["pagerank_int", "triangle_count"]
 
 
 def pagerank_int(
@@ -87,3 +87,90 @@ def pagerank_int(
             )
         )
     return ranks.select(F.col(id_col), F.col("r").alias("rank_scaled"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count via degree-ordered edge orientation.
+
+    ``edges``: undirected simple graph as distinct ``(a, b)`` rows with
+    ``a < b`` (no self-loops, no duplicates). Returns ONE row:
+    ``(n_edges, n_wedges, n_triangles, global_clustering)`` where
+    ``n_wedges = Σ_v C(deg(v), 2)`` and ``global_clustering =
+    3·triangles / wedges`` (the transitivity ratio).
+
+    Algorithm (the standard distributed shape): orient every edge from
+    the endpoint that is SMALLER in the total order ``(degree, id)`` to
+    the larger. Each triangle then has exactly one vertex with two
+    out-edges, so counting (wedge from that vertex) ∩ (closing oriented
+    edge) counts each triangle exactly once — and because out-degrees
+    under this orientation are O(√m), the wedge relation is
+    O(m^1.5) rows instead of the naive Σ deg² (which a single hub
+    vertex makes quadratic). At 100 TB this orientation IS the
+    difference between a runnable plan and an explosion: the wedge
+    self-join shuffles on the oriented source, hub vertices having been
+    demoted to in-edges. The degree relation is |V| rows and
+    broadcasts; the only large shuffles are the wedge build and the
+    closing-edge semi-join, both on uniform keys.
+
+    Determinism: every quantity is an exact integer; the clustering
+    coefficient is one double division of two exact BIGINTs rounded to
+    6 dp, so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    # edges feeds four consumers (degrees, edge count, both orientation
+    # sides) — materialize once so an expensive upstream edge build
+    # (e.g. a basket self-join) doesn't replay per consumer.
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+
+    da = F.broadcast(deg).select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = F.broadcast(deg).select(F.col("v").alias("b"), F.col("d").alias("db"))
+    e = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint(eager=False)  # reused by both wedge sides + closer
+
+    x = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    y = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("dw")
+    )
+    # wedge (src; v, w) with v strictly before w in the (deg, id) order,
+    # matching the orientation of the closing edge v→w.
+    wedges = x.join(y, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+    return (
+        n_edges.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -34,6 +34,9 @@ __all__ = [
     "theta_estimates",
     "kll_batch",
     "kll_merge",
+    "bitmap_batch",
+    "bitmap_merge",
+    "bitmap_counts",
 ]
 
 _MERGE_FN = {"sum": F.sum, "min": F.min, "max": F.max}
@@ -201,3 +204,50 @@ def kll_merge(
         ).alias("n")
     )
     return joined.select(*sel)
+
+
+def bitmap_batch(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """COUNT DISTINCT as EXACT re-aggregatable state: a 32768-bit bitmap
+    per (key, id-bucket) where ``bucket = (id-1) div 32768 + 1`` (Spark's
+    ``bitmap_bucket_number``). Unlike HLL/Theta this is not an estimate —
+    ``bitmap_count`` summed over buckets IS ``count(DISTINCT col)`` — and
+    unlike an exact distinct aggregate the state still MERGES
+    (``bitmap_or_agg`` is idempotent/associative/commutative), so
+    incremental maintenance never re-scans history. The trade is state
+    size: 4 KB per touched bucket, which is only viable for dense
+    bounded integer ID domains (surrogate keys, enum codes) — for
+    unbounded or sparse domains use :func:`hll_batch`/:func:`theta_batch`.
+    Requires ``col`` to be a positive integer."""
+    bkt = F.expr(f"bitmap_bucket_number({col})").alias(f"bmb_{col}")
+    return df.groupBy(*keys, bkt).agg(
+        F.expr(f"bitmap_construct_agg(bitmap_bit_position({col}))").alias(
+            f"bm_{col}"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def bitmap_merge(
+    state: DataFrame, batch_state: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Fold bitmap batch state into persisted state (both from
+    :func:`bitmap_batch`): bitwise OR per (key, bucket). Because OR is
+    idempotent, re-delivering a batch leaves the distinct state
+    unchanged — the merge is tolerant of at-least-once pipelines in a
+    way additive sketch counters are not (``n`` does re-add)."""
+    return state.unionByName(batch_state).groupBy(*keys, f"bmb_{col}").agg(
+        F.expr(f"bitmap_or_agg(bm_{col})").alias(f"bm_{col}"),
+        F.sum("n").alias("n"),
+    )
+
+
+def bitmap_counts(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Read-time view of bitmap state: EXACT distinct counts per key
+    (sum of per-bucket popcounts — buckets partition the ID domain, so
+    the sum is exact), plus the total observed row count."""
+    return df.groupBy(*keys).agg(
+        F.sum(F.expr(f"bitmap_count(bm_{col})"))
+        .cast("long")
+        .alias(f"n_distinct_{col}"),
+        F.sum("n").cast("long").alias("n"),
+    )

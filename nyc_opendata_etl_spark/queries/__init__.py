@@ -213,6 +213,8 @@ _RECHECK_R6 = (
     "q11_important_stock",    # newly registered (derived-partsupp TPC-H Q11)
     "q16_supplier_part_counts",  # newly registered (derived-partsupp Q16)
     "q20_promotion_candidates",  # newly registered (derived-partsupp Q20)
+    "sketch_bitmap_distinct",  # newly registered (exact bitmap distinct state)
+    "graph_triangles",        # newly registered (degree-ordered triangles)
 )
 
 def _ordered() -> dict[str, QueryDef]:

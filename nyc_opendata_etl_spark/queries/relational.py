@@ -1779,3 +1779,122 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_churned",
         within.alias("theta_within_band"),
     )
+
+
+@register(
+    "sketch_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custkey,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_orderkey,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count state via Spark 4 bitmap
+    aggregates (operators/rollup.bitmap_batch/_merge/_counts): one
+    32768-bit bitmap per (priority, id-bucket), OR-merged across two
+    deterministic half-batches (orderkey parity), popcount-summed at
+    read time. Completes the sketch-state matrix: HLL (union-only
+    estimate), Theta (set-algebra estimate), KLL (quantiles), bitmap
+    (EXACT distinct for dense integer domains — the per-bucket 4 KB
+    state is the price of exactness, viable for surrogate-key spaces).
+    The o_custkey state lands in one bucket at this SF while o_orderkey
+    spans several, so both the single- and multi-bucket paths are
+    exercised; OR-idempotence means re-delivered batches cannot inflate
+    the distinct counts (unlike additive counters — ``n`` does re-add).
+    Differential contract: the bitmap path must reproduce DuckDB's
+    exact count(DISTINCT) to the row."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        bitmap_batch,
+        bitmap_counts,
+        bitmap_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)]
+    counts = {}
+    for col in ("o_custkey", "o_orderkey"):
+        state = bitmap_merge(
+            bitmap_batch(halves[0], keys, col),
+            bitmap_batch(halves[1], keys, col),
+            keys,
+            col,
+        )
+        counts[col] = bitmap_counts(state, keys, col)
+    return (
+        counts["o_custkey"]
+        .join(
+            F.broadcast(
+                counts["o_orderkey"].select(
+                    *keys, "n_distinct_o_orderkey"
+                )
+            ),
+            keys,
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_distinct_o_custkey").alias("n_distinct_custkey"),
+            F.col("n_distinct_o_orderkey").alias("n_distinct_orderkey"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT b1.pk AS a, b2.pk AS b
+        FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+    ),
+    deg AS (
+        SELECT v, count(*) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT count(*) AS t
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           w.wedges AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           round(3.0 * tri.t / w.wedges, 6) AS global_clustering
+    FROM tri, w
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts are adjacent iff some order contains
+    both). The operator (operators/graph.triangle_count) orients each
+    edge by the (degree, id) total order so the wedge self-join is
+    O(m^1.5) instead of Σ deg² — hub parts contribute in-edges, not
+    wedge fan-out — which is what keeps the plan runnable when the
+    co-purchase graph has power-law degrees at corpus scale. The DuckDB
+    oracle counts the same triangles declaratively (a < b < c triple
+    join); orientation changes the join sizes, never the count. All
+    outputs are exact integers except the final 6-dp-rounded single
+    double division."""
+    from nyc_opendata_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem", spread_input=True)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
+    edges = (
+        b.join(b2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -230,3 +230,74 @@ def test_derived_partsupp_primary_key_and_spec_shape(spark):
         assert recomputed == 0
     finally:
         ps.unpersist()
+
+
+def test_bitmap_distinct_state_is_exact_and_merge_invariant(spark):
+    """Bitmap distinct state must (a) reproduce exact count(DISTINCT)
+    and (b) be invariant to how the input is batched — including
+    re-delivery of a batch, which bitwise OR absorbs idempotently."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        bitmap_batch,
+        bitmap_counts,
+        bitmap_merge,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    keys = ["o_orderpriority"]
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy(*keys)
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    thirds = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    state = bitmap_batch(thirds[0], keys, "o_custkey")
+    for b in thirds[1:]:
+        state = bitmap_merge(state, bitmap_batch(b, keys, "o_custkey"), keys, "o_custkey")
+    # re-deliver batch 1: distinct counts must not change
+    state_redeliver = bitmap_merge(
+        state, bitmap_batch(thirds[1], keys, "o_custkey"), keys, "o_custkey"
+    )
+    for st in (state, state_redeliver):
+        got = {
+            r["o_orderpriority"]: r["n_distinct_o_custkey"]
+            for r in bitmap_counts(st, keys, "o_custkey").collect()
+        }
+        assert got == exact
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-ordered orientation must count exactly the triangles a
+    pure-Python brute force finds on a small co-purchase graph."""
+    from itertools import combinations
+
+    from nyc_opendata_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, SF, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    b2 = b.select("ok", F.col("pk").alias("pk2"))
+    edges_df = (
+        b.join(b2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    edges = {(r["a"], r["b"]) for r in edges_df.collect()}
+    adj: dict[int, set[int]] = {}
+    for a, bb in edges:
+        adj.setdefault(a, set()).add(bb)
+        adj.setdefault(bb, set()).add(a)
+    tri = sum(
+        1
+        for v, nbrs in adj.items()
+        for x, y in combinations(sorted(nbrs), 2)
+        if v < x and y in adj.get(x, ())
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    row = triangle_count(edges_df).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    assert row["global_clustering"] == round(3.0 * tri / wedges, 6)
