@@ -452,3 +452,62 @@ def kmeans_iterations(
             .localCheckpoint(eager=False)
         )
     return out
+
+
+def gramian_block(
+    emb: DataFrame, vec_col: str = "embedding", dims: int = 8, id_base: int = 0
+) -> DataFrame:
+    """Distributed Gramian block: the upper triangle of ``Σ_rows x xᵀ``
+    over vector components ``[id_base, id_base + dims)``, in long form
+    ``(i, j, s_xy, s_x, s_y, n)`` — the raw material of
+    covariance / PCA / linear-regression normal equations. Covariance
+    derives as ``(n·s_xy − s_x·s_y) / n²``; the full d×d Gramian of a
+    wide embedding tiles from ``(d/dims)²`` such blocks.
+
+    Scale shape — the whole point of the operator: the aggregation
+    state is ``dims·(dims+1)/2 + dims`` numbers PER PARTITION
+    (expression-level sums with map-side partial aggregation), so
+    computing it over 100 TB of vectors moves a few hundred bytes per
+    partition and NO per-row data through the shuffle. This is the
+    expression-sum alternative to exploding (row, i, j) triples, which
+    would shuffle ``n·d²/2`` rows. The tiny long-form reshape (stack +
+    two broadcast joins) happens on the single 1-row aggregate output.
+
+    Determinism: each product is an exact float→double widening and one
+    IEEE double multiply, rounded to 9 dp and summed as DECIMAL(28,12)
+    — order- and partitioning-independent (the repo's standard decimal
+    fold), so a DuckDB oracle reproduces every sum exactly; outputs
+    cast the exact decimal to double without re-rounding.
+    """
+    els = {
+        k: F.col(vec_col).getItem(id_base + k).cast("double")
+        for k in range(dims)
+    }
+    fold = lambda c: F.round(c, 9).cast("decimal(28,12)")  # noqa: E731
+    pair_idx = [(i, j) for i in range(dims) for j in range(i, dims)]
+    aggs = [
+        F.sum(fold(els[i] * els[j])).alias(f"s_{i}_{j}") for i, j in pair_idx
+    ]
+    aggs += [F.sum(fold(els[i])).alias(f"m_{i}") for i in range(dims)]
+    row = emb.agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+    pair_stack = ", ".join(f"{i}, {j}, s_{i}_{j}" for i, j in pair_idx)
+    pairs = row.select(
+        F.expr(f"stack({len(pair_idx)}, {pair_stack}) AS (i, j, s_xy)"), "n"
+    )
+    mom_stack = ", ".join(f"{i}, m_{i}" for i in range(dims))
+    moms = row.select(F.expr(f"stack({dims}, {mom_stack}) AS (i, m)"))
+    mx = F.broadcast(moms).select("i", F.col("m").alias("s_x"))
+    my = F.broadcast(moms).select(F.col("i").alias("j"), F.col("m").alias("s_y"))
+    return (
+        pairs.join(mx, "i")
+        .join(my, "j")
+        .select(
+            "i",
+            "j",
+            F.col("s_xy").cast("double").alias("s_xy"),
+            F.col("s_x").cast("double").alias("s_x"),
+            F.col("s_y").cast("double").alias("s_y"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -215,6 +215,7 @@ _RECHECK_R6 = (
     "q20_promotion_candidates",  # newly registered (derived-partsupp Q20)
     "sketch_bitmap_distinct",  # newly registered (exact bitmap distinct state)
     "graph_triangles",        # newly registered (degree-ordered triangles)
+    "embedding_gramian",      # newly registered (distributed Gramian block)
 )
 
 def _ordered() -> dict[str, QueryDef]:

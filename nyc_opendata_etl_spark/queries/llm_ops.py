@@ -1721,3 +1721,45 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double").alias("char_entropy_bits"),
         )
     )
+
+
+@register(
+    "embedding_gramian",
+    oracle="""
+    WITH d AS (SELECT i FROM generate_series(0, 7) t(i)),
+    p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i),
+    g AS (
+        SELECT p.i, p.j,
+               sum(CAST(round(CAST(e.embedding[p.i + 1] AS DOUBLE)
+                            * CAST(e.embedding[p.j + 1] AS DOUBLE), 9)
+                   AS DECIMAL(28,12))) AS s_xy
+        FROM embeddings e CROSS JOIN p GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT d.i,
+               sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE), 9)
+                   AS DECIMAL(28,12))) AS m_i
+        FROM embeddings e CROSS JOIN d GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           CAST(g.s_xy AS DOUBLE) AS s_xy,
+           CAST(ma.m_i AS DOUBLE) AS s_x,
+           CAST(mb.m_i AS DOUBLE) AS s_y,
+           nn.n AS n
+    FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j CROSS JOIN nn
+    """,
+)
+def q_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gramian block (upper triangle of Σ x·xᵀ plus first moments) over
+    the first 8 embedding components — the distributed normal-equation /
+    covariance / PCA-prep primitive (operators/similarity.gramian_block).
+    The aggregation state is 44 decimals per partition regardless of row
+    count (expression sums, map-side combined): at 100 TB nothing
+    per-row ever shuffles, which is the difference vs exploding (row,
+    i, j) triples (n·d²/2 shuffled rows). The DuckDB oracle computes the
+    same sums declaratively from a generated (i, j) pair relation; the
+    9-dp-round → DECIMAL(28,12) fold makes both engines' sums exact and
+    order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.gramian_block(emb, dims=8)

@@ -301,3 +301,30 @@ def test_triangle_count_matches_brute_force(spark):
     assert row["n_wedges"] == wedges
     assert row["n_triangles"] == tri
     assert row["global_clustering"] == round(3.0 * tri / wedges, 6)
+
+
+def test_gramian_block_matches_numpy(spark):
+    """The expression-sum Gramian must equal a numpy reference that
+    replays the identical fold (round each double product to 9 dp,
+    exact-sum), and the covariance derived from it must match numpy's
+    biased covariance within rounding tolerance."""
+    import numpy as np
+
+    from nyc_opendata_etl_spark.operators.similarity import gramian_block
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = gramian_block(emb, dims=8).collect()
+    X = np.array(
+        [r["embedding"][:8] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n = X.shape[0]
+    by_ij = {(r["i"], r["j"]): r for r in rows}
+    assert set(by_ij) == {(i, j) for i in range(8) for j in range(i, 8)}
+    for (i, j), r in by_ij.items():
+        s_ref = float(np.sum(np.round(X[:, i] * X[:, j], 9)))
+        assert abs(r["s_xy"] - s_ref) < 1e-6
+        assert r["n"] == n
+        cov_engine = (n * r["s_xy"] - r["s_x"] * r["s_y"]) / (n * n)
+        cov_ref = float(np.cov(X[:, i], X[:, j], bias=True)[0, 1])
+        assert abs(cov_engine - cov_ref) < 1e-6
