@@ -216,6 +216,7 @@ _RECHECK_R6 = (
     "sketch_bitmap_distinct",  # newly registered (exact bitmap distinct state)
     "graph_triangles",        # newly registered (degree-ordered triangles)
     "embedding_gramian",      # newly registered (distributed Gramian block)
+    "layout_zorder_locality",  # newly registered (Morton clustering key)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1003,3 +1003,53 @@ def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@register(
+    "layout_zorder_locality",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, CAST(hour(ts) * 60 + minute(ts) AS BIGINT)
+                   AS minute_of_day
+        FROM events
+    ),
+    z AS (SELECT user_id, minute_of_day, ((((user_id >> 0) & 1) << 0) | (((user_id >> 1) & 1) << 2) | (((user_id >> 2) & 1) << 4) | (((user_id >> 3) & 1) << 6) | (((user_id >> 4) & 1) << 8) | (((user_id >> 5) & 1) << 10) | (((user_id >> 6) & 1) << 12) | (((user_id >> 7) & 1) << 14) | (((user_id >> 8) & 1) << 16) | (((user_id >> 9) & 1) << 18) | (((user_id >> 10) & 1) << 20) | (((minute_of_day >> 0) & 1) << 1) | (((minute_of_day >> 1) & 1) << 3) | (((minute_of_day >> 2) & 1) << 5) | (((minute_of_day >> 3) & 1) << 7) | (((minute_of_day >> 4) & 1) << 9) | (((minute_of_day >> 5) & 1) << 11) | (((minute_of_day >> 6) & 1) << 13) | (((minute_of_day >> 7) & 1) << 15) | (((minute_of_day >> 8) & 1) << 17) | (((minute_of_day >> 9) & 1) << 19) | (((minute_of_day >> 10) & 1) << 21)) AS zv FROM m)
+    SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(minute_of_day) AS min_minute, max(minute_of_day) AS max_minute
+    FROM z GROUP BY 1
+""",
+)
+def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for multi-dimensional data
+    skipping (operators/layout.zvalue): interleave user_id and
+    minute-of-day, then summarize each 12-bit z-prefix region (a
+    64x64-aligned box). The per-bucket min/max spans ARE the footer
+    stats a z-ordered parquet write gives every file — bounded in BOTH
+    dimensions, which is what lets a 2-D range predicate prune files
+    before any compute; a single-column sort bounds only one. The
+    interleave is a shift/mask/OR expression tree inside whole-stage
+    codegen (zvalue_sql emits the identical formula for the DuckDB
+    oracle, so z-values replay bit-for-bit); write_zordered applies the
+    same key as a range-repartitioned sorted parquet write, verified by
+    the file-stats pruning test in tests/test_round6_ops.py."""
+    from nyc_opendata_etl_spark.operators.layout import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "user_id",
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("minute_of_day"),
+    )
+    z = m.withColumn(
+        "zv", zvalue([F.col("user_id"), F.col("minute_of_day")], 11)
+    )
+    return z.groupBy(
+        F.shiftright("zv", 12).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("minute_of_day").alias("min_minute"),
+        F.max("minute_of_day").alias("max_minute"),
+    )

