@@ -347,3 +347,44 @@ def test_kmeans_update_never_shuffles_to_assign(spark):
     df = queries()["embedding_kmeans_update"](spark, SF)
     assert not pi.uses_sort_merge_join(df)
     assert pi.shuffle_count(df) <= 4
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """When a fact⨝dim join is too big to broadcast, Spark's runtime
+    bloom-filter rewrite must inject a bloom_filter_agg over the
+    selective side and a might_contain semi-filter on the fact scan —
+    the shuffle-join fallback the engine relies on at 100 TB, where
+    even "small" sides exceed the broadcast threshold. Pinned here with
+    the size thresholds scaled to the test data (at production scale
+    the defaults — 10 MB creation side, 10 GB application side — fire
+    on exactly this shape without any tuning)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            load_table(spark, SF, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
