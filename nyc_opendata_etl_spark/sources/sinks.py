@@ -123,3 +123,34 @@ def append_parquet_sized(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
             )
     return int(obs.get["n_rows"])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Write as a BUCKETED (hash-clustered) parquet table: rows are
+    hash-partitioned on ``bucket_cols`` into exactly ``n_buckets``
+    files per write, sorted within each bucket, and registered in the
+    session catalog (external table at ``path``).
+
+    Bucketing is the write-time answer to the single most expensive
+    operation at 100 TB — the repeated shuffle of a big fact table on
+    the same join/aggregation key. Two tables bucketed on the same key
+    with the same bucket count join with NO Exchange on either side
+    (pinned in tests/test_plans.py): the shuffle was paid once at write
+    time and amortizes over every subsequent join, aggregation, or
+    window on that key. The empty-input guard mirrors the other sinks."""
+    if df.isEmpty():
+        return
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )

@@ -388,3 +388,34 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-bucketed fact tables must sort-merge join with NO Exchange on
+    either side: the shuffle was paid once at write time. This is the
+    amortization bucketing buys on a repeated join key at scale."""
+    from nyc_opendata_etl_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(li, "t_li_b", ["l_orderkey"], 4, str(tmp_path / "li"))
+        write_bucketed(o, "t_o_b", ["o_orderkey"], 4, str(tmp_path / "o"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_li_b").join(
+                spark.table("t_o_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert "Bucketed: true" in plan
+            # and the data is actually intact
+            assert j.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
