@@ -229,3 +229,41 @@ def domain_mix(
         F.round(F.col("n_docs") / F.col("__td__"), 6).alias("frac_docs"),
         F.round(F.col("n_tokens") / F.col("__tt__"), 6).alias("frac_tokens"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based sampling weights per domain cell (τ = 0.5, the
+    multilingual-training upweighting rule): ``w_i ∝ p_i^τ`` where
+    ``p_i`` is the cell's natural token share. τ < 1 flattens the
+    distribution — low-resource domains oversample, head domains
+    undersample — and the emitted ``oversample_factor = w_i / p_i`` is
+    the per-domain epoch multiplier a sampler applies.
+
+    Scale/determinism shape: one corpus aggregate (map-side combined)
+    produces the per-cell token masses; everything after runs on the
+    |cells|-row relation with broadcast 1-row totals. τ is fixed at 0.5
+    so the power is ``sqrt`` — correctly rounded per IEEE 754, hence
+    bit-identical across engines (a general ``pow`` is not) — and the
+    weight denominator folds 9-dp-rounded terms through DECIMAL(28,12),
+    keeping the normalization order-independent."""
+    per_cell = docs.groupBy(*by).agg(
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens")
+    )
+    totals = per_cell.agg(F.sum("n_tokens").alias("__t__"))
+    p = F.col("n_tokens") / F.col("__t__")
+    term = per_cell.crossJoin(F.broadcast(totals)).withColumn(
+        "__s__", F.round(F.sqrt(p), 9).cast("decimal(28,12)")
+    )
+    denom = term.agg(F.sum("__s__").alias("__d__"))
+    w = F.col("__s__").cast("double") / F.col("__d__").cast("double")
+    return term.crossJoin(F.broadcast(denom)).select(
+        *by,
+        "n_tokens",
+        F.round(p, 6).alias("p_natural"),
+        F.round(w, 6).alias("w_temperature"),
+        F.round(w / p, 6).alias("oversample_factor"),
+    )

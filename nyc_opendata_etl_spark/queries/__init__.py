@@ -217,6 +217,7 @@ _RECHECK_R6 = (
     "graph_triangles",        # newly registered (degree-ordered triangles)
     "embedding_gramian",      # newly registered (distributed Gramian block)
     "layout_zorder_locality",  # newly registered (Morton clustering key)
+    "corpus_mix_temperature",  # newly registered (τ=0.5 sampling policy)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1763,3 +1763,44 @@ def q_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.gramian_block(emb, dims=8)
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, source,
+               CAST(sum(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM c),
+    term AS (
+        SELECT c.lang, c.source, c.n_tokens, tot.t,
+               CAST(round(sqrt(c.n_tokens / CAST(tot.t AS DOUBLE)), 9)
+                    AS DECIMAL(28,12)) AS s
+        FROM c CROSS JOIN tot
+    ),
+    den AS (SELECT sum(s) AS d FROM term)
+    SELECT term.lang, term.source, term.n_tokens,
+           round(term.n_tokens / CAST(term.t AS DOUBLE), 6) AS p_natural,
+           round(CAST(term.s AS DOUBLE) / CAST(den.d AS DOUBLE), 6)
+               AS w_temperature,
+           round((CAST(term.s AS DOUBLE) / CAST(den.d AS DOUBLE))
+                 / (term.n_tokens / CAST(term.t AS DOUBLE)), 6)
+               AS oversample_factor
+    FROM term CROSS JOIN den
+    """,
+)
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (τ=0.5) domain-sampling policy over
+    (lang, source) cells (operators/curation.temperature_mix): natural
+    token share, reweighted sampling weight ∝ √p, and the per-domain
+    oversample factor a training sampler applies. √ is IEEE-exact on
+    both engines and the weight normalizer folds 9-dp decimals, so the
+    whole policy table is hash-verified — low-resource domains must
+    come out with oversample_factor > 1 and head domains < 1."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.temperature_mix(docs)

@@ -391,3 +391,32 @@ def test_zorder_write_prunes_2d_box_queries(spark, tmp_path):
     box = {"user_id": (4, 5), "minute_of_day": (600, 659)}
     z2, _ = surviving(zdir, box)
     assert z2 < z_total
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """τ=0.5 weights must (a) normalize to 1, (b) oversample every
+    below-average domain and undersample every above-average one, and
+    (c) sit strictly between natural share and uniform for non-border
+    cells — the definition of flattening."""
+    from nyc_opendata_etl_spark.operators.curation import temperature_mix
+
+    docs = load_table(spark, SF, "documents")
+    rows = temperature_mix(docs).collect()
+    assert abs(sum(r["w_temperature"] for r in rows) - 1.0) < 1e-4
+    # w = p crosses over at p* = 1 / (Σ√p)²: below it domains
+    # oversample, above it they undersample
+    denom = sum(math.sqrt(r["p_natural"]) for r in rows)
+    crossover = 1.0 / (denom * denom)
+    for r in rows:
+        p = r["p_natural"]
+        if p < crossover * 0.95:
+            assert r["oversample_factor"] > 1.0
+        elif p > crossover * 1.05:
+            assert r["oversample_factor"] < 1.0
+    # flattening: weight order tracks share order, but strictly less
+    # spread — w/p must be antitone in p
+    by_p = sorted(rows, key=lambda r: r["p_natural"])
+    ws = [r["w_temperature"] for r in by_p]
+    assert ws == sorted(ws)
+    overs = [r["oversample_factor"] for r in by_p]
+    assert overs == sorted(overs, reverse=True)
