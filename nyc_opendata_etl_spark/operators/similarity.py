@@ -511,3 +511,62 @@ def gramian_block(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    d_sub: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subvectors of ``d_sub`` dims and replace every subvector with the id
+    of its nearest codebook centroid (squared L2, ties to the smaller
+    code) — ``m·log2(k)`` bits per vector instead of ``d`` floats, the
+    compression that makes billion-scale ANN indexes (IVF-PQ) fit in
+    memory. Codebooks are the deterministic convention used by the
+    k-means/SemDeDup family: the first ``k`` vectors by id supply the
+    centroids of every subspace (real systems train them with
+    ``kmeans_iterations``; the assignment math — the part that runs
+    over all data — is identical).
+
+    Output: ``(id, m, code, dist2)``, one row per (vector, subspace).
+
+    Scale shape: the codebook relation (m·k rows) broadcasts; encoding
+    is one broadcast join + a map-side-combined min aggregate keyed on
+    (id, subspace) — the only shuffle carries m rows per vector, and
+    nothing is ever collected. Determinism: dist² composes three
+    sequential-fold dot products (the engine's bit-identical-vs-DuckDB
+    primitive), rounded to 9 dp with the code id as tie-break, so the
+    full code assignment is hash-verifiable cross-engine."""
+    structs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("sub"),
+        )
+        for mi in range(m)
+    ]
+    subs = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*structs)).alias("s")
+    ).select("id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    cents = subs.filter(F.col("id") < k).select(
+        F.col("id").alias("code"), "m", F.col("sub").alias("cvec")
+    )
+    joined = subs.join(F.broadcast(cents), "m")
+    d2 = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    best = (
+        joined.select(
+            "id", "m", F.struct(F.round(d2, 9).alias("dist2"), "code").alias("b")
+        )
+        .groupBy("id", "m")
+        .agg(F.min("b").alias("b"))
+    )
+    return best.select(
+        "id", "m", F.col("b.code").alias("code"), F.col("b.dist2").alias("dist2")
+    )

@@ -218,6 +218,7 @@ _RECHECK_R6 = (
     "embedding_gramian",      # newly registered (distributed Gramian block)
     "layout_zorder_locality",  # newly registered (Morton clustering key)
     "corpus_mix_temperature",  # newly registered (τ=0.5 sampling policy)
+    "similarity_pq_encode",   # newly registered (product-quantization codes)
 )
 
 def _ordered() -> dict[str, QueryDef]:

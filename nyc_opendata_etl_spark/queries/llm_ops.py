@@ -1804,3 +1804,48 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return curation.temperature_mix(docs)
+
+
+@register(
+    "similarity_pq_encode",
+    oracle="""
+    WITH ms AS (SELECT i AS m FROM generate_series(0, 7) t(i)),
+    subs AS (
+        SELECT e.vec_id AS id, ms.m,
+               CAST(list_slice(e.embedding, ms.m * 8 + 1, ms.m * 8 + 8)
+                    AS DOUBLE[]) AS sub
+        FROM embeddings e CROSS JOIN ms
+    ),
+    cents AS (
+        SELECT id AS code, m, sub AS cvec FROM subs WHERE id < 16
+    ),
+    scored AS (
+        SELECT s.id, s.m, c.code,
+               round(list_dot_product(s.sub, s.sub)
+                     - 2 * list_dot_product(s.sub, c.cvec)
+                     + list_dot_product(c.cvec, c.cvec), 9) AS dist2,
+               row_number() OVER (
+                   PARTITION BY s.id, s.m
+                   ORDER BY round(list_dot_product(s.sub, s.sub)
+                                  - 2 * list_dot_product(s.sub, c.cvec)
+                                  + list_dot_product(c.cvec, c.cvec), 9),
+                            c.code
+               ) AS rn
+        FROM subs s JOIN cents c ON c.m = s.m
+    )
+    SELECT id, CAST(m AS INT) AS m, code, dist2
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding
+    (operators/similarity.pq_encode): 8 subspaces × 16-centroid
+    codebooks → 32 bits per vector instead of 256 bytes, the IVF-PQ
+    compression layer under billion-scale ANN. The m·k codebook
+    broadcasts and the argmin aggregates map-side, so encoding 100 TB
+    of vectors shuffles only m rows per vector. dist² composes three
+    sequential-fold dots (bit-identical to DuckDB's list_dot_product),
+    rounded to 9 dp with code-id tie-break — the DuckDB oracle replays
+    the complete assignment hash-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.pq_encode(emb)

@@ -420,3 +420,55 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     assert ws == sorted(ws)
     overs = [r["oversample_factor"] for r in by_p]
     assert overs == sorted(overs, reverse=True)
+
+
+def test_pq_encode_replays_in_numpy_and_adc_beats_random(spark):
+    """(a) Every code must equal the numpy argmin over the same
+    codebooks (9-dp-rounded d², code tie-break); (b) codebook vectors
+    encode to themselves at distance 0; (c) asymmetric-distance top-10
+    recall must beat the random-guess baseline by an order of
+    magnitude even with these untrained convention codebooks."""
+    import numpy as np
+
+    from nyc_opendata_etl_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = pq_encode(emb).collect()
+    X = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    C = {
+        (mi, c): X[c][mi * 8 : (mi + 1) * 8]
+        for mi in range(8)
+        for c in range(16)
+    }
+    code_of: dict[int, dict[int, int]] = {}
+    for r in rows:
+        code_of.setdefault(r["id"], {})[r["m"]] = r["code"]
+        sub = X[r["id"]][r["m"] * 8 : (r["m"] + 1) * 8]
+        cands = [
+            (round(float(np.sum((sub - C[(r["m"], c)]) ** 2)), 9), c)
+            for c in range(16)
+        ]
+        d_ref, c_ref = min(cands)
+        assert r["code"] == c_ref
+        assert abs(r["dist2"] - d_ref) < 1e-6
+    for c in range(16):
+        for mi in range(8):
+            assert code_of[c][mi] == c
+    q = 42
+    qs = {mi: X[q][mi * 8 : (mi + 1) * 8] for mi in range(8)}
+    ids = [i for i in X if i != q]
+    adc = {
+        i: sum(
+            float(np.sum((qs[mi] - C[(mi, code_of[i][mi])]) ** 2))
+            for mi in range(8)
+        )
+        for i in ids
+    }
+    exact = {i: float(np.sum((X[q] - X[i]) ** 2)) for i in ids}
+    top_adc = set(sorted(ids, key=lambda i: (adc[i], i))[:10])
+    top_ex = set(sorted(ids, key=lambda i: (exact[i], i))[:10])
+    recall = len(top_adc & top_ex) / 10
+    assert recall >= 0.1  # random baseline is 10/len(ids) ≈ 0.02
