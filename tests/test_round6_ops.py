@@ -472,3 +472,41 @@ def test_pq_encode_replays_in_numpy_and_adc_beats_random(spark):
     top_ex = set(sorted(ids, key=lambda i: (exact[i], i))[:10])
     recall = len(top_adc & top_ex) / 10
     assert recall >= 0.1  # random baseline is 10/len(ids) ≈ 0.02
+
+
+def test_udtf_props_extraction_matches_declarative_twin(spark):
+    """The Python UDTF and the from_json/explode declarative path must
+    agree row-for-row on (event_id, key, sval) over real data, and the
+    UDTF must add the type introspection the declarative path cannot:
+    correct python type names over a mixed-type synthetic payload."""
+    from nyc_opendata_etl_spark.functions.extraction import (
+        explode_props_declarative,
+        explode_props_udtf,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "props")
+    u = explode_props_udtf(spark, ev).select("event_id", "key", "sval")
+    d = explode_props_declarative(ev)
+    assert u.exceptAll(d).count() == 0
+    assert d.exceptAll(u).count() == 0
+
+    synth = spark.createDataFrame(
+        [
+            (1, '{"b": true, "f": 8.5, "i": 3, "s": "x", "z": null}'),
+            (2, "not json"),
+            (3, "[1, 2]"),
+            (4, None),
+        ],
+        "event_id long, props string",
+    )
+    rows = {
+        (r["key"]): (r["vtype"], r["sval"])
+        for r in explode_props_udtf(spark, synth).collect()
+    }
+    assert rows == {
+        "b": ("bool", "True"),
+        "f": ("float", "8.5"),
+        "i": ("int", "3"),
+        "s": ("str", "x"),
+        "z": ("NoneType", None),
+    }
