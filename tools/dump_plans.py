@@ -154,6 +154,44 @@ SHOWCASE = {
         "the 5-row estimates to a single two-phase pass over events - "
         "no sort of the raw data anywhere."
     ),
+    "sketch_bitmap_distinct": (
+        "EXACT mergeable distinct state: bitmap_construct_agg partials "
+        "combine map-side per (key, 32768-bit bucket), the OR-merge is "
+        "one hash aggregate of 4 KB state rows, and the popcount sum "
+        "never touches raw ids again - count(DISTINCT) semantics with "
+        "sketch-shaped data motion."
+    ),
+    "graph_triangles": (
+        "Degree-ordered triangle counting: the basket self-join builds "
+        "edges once (localCheckpoint), orientation joins the broadcast "
+        "degree relation, and the count joins sorted out-neighborhood "
+        "arrays onto the edge list - O(m) rows shuffled, the O(m^1.5) "
+        "wedge work stays CPU-side inside array_intersect."
+    ),
+    "embedding_gramian": (
+        "Normal-equation block: 44 decimal expression sums partial-"
+        "aggregate map-side into ONE row regardless of input size; the "
+        "long-form reshape (stack + two broadcast joins) runs on that "
+        "single row. Nothing per-vector ever crosses an exchange."
+    ),
+    "layout_zorder_locality": (
+        "Morton clustering key: the bit interleave is a shift/mask/OR "
+        "expression tree inside WholeStageCodegen on the scan stage; "
+        "one partial-aggregable group-by on the z-prefix. The same key "
+        "drives write_zordered's range-repartitioned sorted writes."
+    ),
+    "similarity_pq_encode": (
+        "Product quantization: subvector explode is scan-stage-local, "
+        "the m x k codebook broadcasts, and the per-(vector, subspace) "
+        "argmin is a min(struct) aggregate with map-side partials - "
+        "the only exchange carries m rows per vector."
+    ),
+    "corpus_mix_temperature": (
+        "Sampling-policy table: one corpus aggregate (map-side token "
+        "counts), then every reweighting step runs on the |cells|-row "
+        "relation with broadcast 1-row totals - the corpus is scanned "
+        "exactly once."
+    ),
 }
 
 
