@@ -570,3 +570,142 @@ def pq_encode(
     return best.select(
         "id", "m", F.col("b.code").alias("code"), F.col("b.dist2").alias("dist2")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    m: int = 8,
+    d_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN index — IVF coarse
+    routing prunes WHICH vectors are scored (n_probe/n_centroids of the
+    corpus), PQ compression changes HOW they are scored (asymmetric
+    distance against an m×n_codes lookup table instead of touching raw
+    vectors). Together: a query reads a fraction of a compressed index,
+    the structure behind FAISS-style IVFPQ.
+
+    Both quantizers use the engine's deterministic convention codebooks
+    (lowest-id vectors; production would train both with
+    ``kmeans_iterations`` — the query-path math is identical). ADC:
+    ``dist(q, v) ≈ Σ_m ||q_sub_m − codebook[m][code_v,m]||²`` — the
+    per-subspace terms come from a 128-row broadcast LUT built once per
+    query, each term 9-dp-rounded and folded through DECIMAL(28,12) so
+    the sum is order-independent and cross-engine exact.
+
+    Output: top-``k`` candidates as ``(vec_id, adc_dist2,
+    in_exact_topk)`` — the recall evaluation rides along as a boolean
+    computed against the exact squared-L2 top-k in the same plan.
+
+    Scale shape: assignment and encoding are broadcast-join + map-side
+    aggregation (write-time work in a real index); the query path joins
+    the candidate codes (m rows per candidate) to the broadcast LUT and
+    top-ks via TakeOrderedAndProject. Nothing quadratic, nothing
+    collected."""
+    from pyspark.sql import Window
+
+    # ── coarse quantizer: assign every vector to its nearest centroid
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "cid")
+    )
+    probes = (
+        scored.filter(F.col(id_col) == query_vec_id)
+        .orderBy(F.col("sim").desc(), "cid")
+        .limit(n_probe)
+        .select(F.col("cid").alias("probe_cid"))
+    )
+
+    # ── PQ codes for the whole corpus (write-time work at scale)
+    codes = pq_encode(
+        emb, vec_col=vec_col, id_col=id_col, m=m, d_sub=d_sub, k=n_codes
+    )
+
+    # ── per-query ADC lookup table: ||q_sub_m − centroid_sub||² for all
+    # (m, code) — m·n_codes rows, broadcast
+    q_subs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("qsub"),
+        )
+        for mi in range(m)
+    ]
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.explode(F.array(*q_subs)).alias("s")
+    ).select(F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
+    c_subs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("csub"),
+        )
+        for mi in range(m)
+    ]
+    cb = emb.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"), F.explode(F.array(*c_subs)).alias("s")
+    ).select("code", F.col("s.m").alias("m"), F.col("s.csub").alias("csub"))
+    d2 = (
+        dot(F.col("qsub"), F.col("qsub"))
+        - 2 * dot(F.col("qsub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    lut = q.join(cb, "m").select(
+        "m", "code", F.round(d2, 9).cast("decimal(28,12)").alias("d9")
+    )
+
+    # ── query path: candidates from the probed cells, ADC-scored
+    cand = (
+        assigned.join(
+            F.broadcast(probes), assigned.cid == F.col("probe_cid")
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col).alias("id"))
+    )
+    adc = (
+        codes.join(cand, "id", "left_semi")
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("d9").cast("double").alias("adc_dist2"))
+    )
+    top = adc.orderBy("adc_dist2", "id").limit(k)
+
+    # ── exact squared-L2 top-k for the in-plan recall evaluation
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    ex_d2 = (
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("qvec"))
+        + dot(F.col("qvec"), F.col("qvec"))
+    )
+    exact_top = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("id"), F.round(ex_d2, 9).alias("ed2")
+        )
+        .orderBy("ed2", "id")
+        .limit(k)
+        .select("id", F.lit(True).alias("hit"))
+    )
+    return (
+        top.join(F.broadcast(exact_top), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "adc_dist2",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )

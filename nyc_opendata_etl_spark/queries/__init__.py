@@ -219,6 +219,7 @@ _RECHECK_R6 = (
     "layout_zorder_locality",  # newly registered (Morton clustering key)
     "corpus_mix_temperature",  # newly registered (τ=0.5 sampling policy)
     "similarity_pq_encode",   # newly registered (product-quantization codes)
+    "similarity_ivfpq_topk",  # newly registered (composed IVF-PQ ANN index)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1849,3 +1849,94 @@ def q_similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the complete assignment hash-exactly."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.pq_encode(emb)
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, vec AS cvec FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.vec, c.cvec)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT cid FROM scored WHERE vec_id = 42
+        ORDER BY sim DESC, cid LIMIT 2
+    ),
+    ms AS (SELECT i AS m FROM generate_series(0, 7) t(i)),
+    subs AS (
+        SELECT e.vec_id AS id, ms.m,
+               CAST(list_slice(e.vec, ms.m * 8 + 1, ms.m * 8 + 8)
+                    AS DOUBLE[]) AS sub
+        FROM e CROSS JOIN ms
+    ),
+    pqc AS (SELECT id AS code, m, sub AS csub FROM subs WHERE id < 16),
+    codes AS (
+        SELECT id, m, code FROM (
+            SELECT s.id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+                       round(list_dot_product(s.sub, s.sub)
+                             - 2 * list_dot_product(s.sub, c.csub)
+                             + list_dot_product(c.csub, c.csub), 9),
+                       c.code) AS rn
+            FROM subs s JOIN pqc c ON c.m = s.m) WHERE rn = 1
+    ),
+    qsub AS (SELECT m, sub AS qs FROM subs WHERE id = 42),
+    lut AS (
+        SELECT q.m, c.code,
+               CAST(round(list_dot_product(q.qs, q.qs)
+                          - 2 * list_dot_product(q.qs, c.csub)
+                          + list_dot_product(c.csub, c.csub), 9)
+                    AS DECIMAL(28,12)) AS d9
+        FROM qsub q JOIN pqc c ON c.m = q.m
+    ),
+    cand AS (
+        SELECT a.vec_id AS id FROM assigned a
+        JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 42
+    ),
+    adc AS (
+        SELECT cd.id, CAST(sum(l.d9) AS DOUBLE) AS adc_dist2
+        FROM codes cd
+        JOIN cand ON cand.id = cd.id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+        GROUP BY cd.id
+    ),
+    top AS (SELECT id, adc_dist2 FROM adc ORDER BY adc_dist2, id LIMIT 10),
+    ext AS (
+        SELECT e.vec_id AS id,
+               round(list_dot_product(e.vec, e.vec)
+                     - 2 * list_dot_product(e.vec, q.vec)
+                     + list_dot_product(q.vec, q.vec), 9) AS ed2
+        FROM e CROSS JOIN (SELECT vec FROM e WHERE vec_id = 42) q
+        WHERE e.vec_id <> 42
+        ORDER BY ed2, id LIMIT 10
+    )
+    SELECT t.id AS vec_id, t.adc_dist2,
+           (x.id IS NOT NULL) AS in_exact_topk
+    FROM top t LEFT JOIN ext x ON x.id = t.id
+    """,
+)
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.ivfpq_topk): coarse
+    IVF routing limits scoring to 2 of 16 cells, PQ asymmetric distance
+    scores candidates from a 128-row broadcast LUT instead of raw
+    vectors, and the exact squared-L2 top-10 rides the same plan as a
+    recall boolean per returned row. ADC terms fold 9-dp decimals so
+    the ranking is cross-engine exact; the DuckDB oracle replays the
+    entire index — assignment, codes, LUT, routing, ranking —
+    declaratively."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.ivfpq_topk(emb, query_vec_id=42)

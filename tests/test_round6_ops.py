@@ -510,3 +510,44 @@ def test_udtf_props_extraction_matches_declarative_twin(spark):
         "s": ("str", "x"),
         "z": ("NoneType", None),
     }
+
+
+def test_ivfpq_candidates_routing_and_ranking_laws(spark):
+    """IVF-PQ structural laws: exactly k results, ADC ascending with id
+    tie-break, every result routed from a probed cell, and recall
+    strictly better than random guessing (untrained codebooks)."""
+    from nyc_opendata_etl_spark.operators.similarity import cosine, ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = ivfpq_topk(emb, query_vec_id=42).collect()
+    assert len(rows) == 10
+    key = [(r["adc_dist2"], r["vec_id"]) for r in rows]
+    assert key == sorted(key)
+    assert sum(r["in_exact_topk"] for r in rows) >= 1  # ≫ E[random] ≈ 0.2
+
+    # every returned id must live in one of the query's 2 probed cells
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    cell_of = {
+        r["vec_id"]: r["cid"]
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    probed = {
+        r["cid"]
+        for r in scored.filter(F.col("vec_id") == 42)
+        .orderBy(F.col("sim").desc(), "cid")
+        .limit(2)
+        .collect()
+    }
+    for r in rows:
+        assert cell_of[r["vec_id"]] in probed
