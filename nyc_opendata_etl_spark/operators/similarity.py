@@ -608,24 +608,34 @@ def ivfpq_topk(
     the candidate codes (m rows per candidate) to the broadcast LUT and
     top-ks via TakeOrderedAndProject. Nothing quadratic, nothing
     collected."""
-    from pyspark.sql import Window
-
-    # ── coarse quantizer: assign every vector to its nearest centroid
+    # ── coarse quantizer: assign every vector to its nearest centroid.
+    # argmax as a max(struct) hash aggregate (map-side partials), not a
+    # row_number window — no per-vector sort, one combine-friendly
+    # shuffle; ties break to the smaller cid via the negated field.
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", cosine(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), "cid")
     assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "cid")
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("b")
+        )
+        .select(id_col, (-F.col("b.ncid")).alias("cid"))
+    )
+    # probes need only the query row × centroids (n_centroids rows) —
+    # never re-derive them from the full N×C scored relation.
+    qrow = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
     )
     probes = (
-        scored.filter(F.col(id_col) == query_vec_id)
-        .orderBy(F.col("sim").desc(), "cid")
+        cents.crossJoin(F.broadcast(qrow))
+        .withColumn("qsim", cosine(F.col("cvec"), F.col("qv")))
+        .orderBy(F.col("qsim").desc(), "cid")
         .limit(n_probe)
         .select(F.col("cid").alias("probe_cid"))
     )
