@@ -551,3 +551,36 @@ def test_ivfpq_candidates_routing_and_ranking_laws(spark):
     }
     for r in rows:
         assert cell_of[r["vec_id"]] in probed
+
+
+def test_sql_udf_fiscal_year_inlines_and_matches_column_form(spark):
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) let the
+    engine's semantics ship as catalog objects plain-SQL users can
+    call. The body must INLINE into the plan (pure expression, no
+    Python eval operator) and agree with the column-API fiscal_year on
+    every order date."""
+    from nyc_opendata_etl_spark.functions.datetime_fns import fiscal_year
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fy_sql(ts TIMESTAMP) "
+        "RETURNS INT RETURN "
+        "CASE WHEN month(ts) < 7 THEN year(ts) ELSE year(ts) + 1 END"
+    )
+    try:
+        load_table(spark, SF, "orders").createOrReplaceTempView("__fy_orders__")
+        out = spark.sql(
+            "SELECT o_orderkey, fy_sql(o_orderdate) AS fy FROM __fy_orders__"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # inlined expression, not a UDF eval
+        ref = (
+            spark.table("__fy_orders__")
+            .select(
+                "o_orderkey",
+                fiscal_year("o_orderdate").cast("int").alias("fy"),
+            )
+        )
+        assert out.exceptAll(ref).count() == 0
+        assert ref.exceptAll(out).count() == 0
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fy_sql")
