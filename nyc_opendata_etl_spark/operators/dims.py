@@ -104,3 +104,45 @@ def time_dim(spark: SparkSession) -> DataFrame:
         (F.col("id") / 60).cast("int").alias("hour"),
         (F.col("id") % 60).cast("int").alias("minute"),
     )
+
+
+def infer_dim_members(
+    dim: DataFrame,
+    facts: DataFrame,
+    nat_keys: list[str],
+    key_col: str,
+    placeholder: str = "UNKNOWN",
+) -> DataFrame:
+    """Late-arriving dimension handling: facts can reference natural
+    keys the dimension hasn't loaded yet; dropping them loses fact rows
+    and stamping nulls breaks FK joins. The warehouse answer is
+    INFERRED MEMBERS — placeholder dim rows for every fact key missing
+    from the dimension, carrying the same content-hash surrogate the
+    real load will produce (so the eventual SCD1 overwrite updates
+    attributes in place without re-keying any fact).
+
+    String attributes get ``placeholder``, all others NULL, and every
+    row carries ``is_inferred`` so reports can expose or filter the
+    stubs. Shape: one distinct on the fact keys (map-side combined),
+    one broadcast-able anti join against the dim, one union — the fact
+    table is scanned once and never shuffled wider than its key
+    column."""
+    missing = (
+        facts.select(*nat_keys).distinct().join(dim, nat_keys, "left_anti")
+    )
+    types = dict(dim.dtypes)
+    attrs = [c for c in dim.columns if c not in set(nat_keys) | {key_col}]
+    inferred = missing.select(
+        *nat_keys,
+        surrogate_key(*nat_keys).alias(key_col),
+        *[
+            (
+                F.lit(placeholder) if types[a] == "string" else F.lit(None)
+            ).cast(types[a]).alias(a)
+            for a in attrs
+        ],
+        F.lit(True).alias("is_inferred"),
+    )
+    return dim.withColumn("is_inferred", F.lit(False)).unionByName(
+        inferred.select(*dim.columns, "is_inferred")
+    )

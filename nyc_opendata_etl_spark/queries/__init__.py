@@ -220,6 +220,7 @@ _RECHECK_R6 = (
     "corpus_mix_temperature",  # newly registered (τ=0.5 sampling policy)
     "similarity_pq_encode",   # newly registered (product-quantization codes)
     "similarity_ivfpq_topk",  # newly registered (composed IVF-PQ ANN index)
+    "dim_late_arriving",      # newly registered (inferred-member upsert)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -524,3 +524,46 @@ def q_ingest_orc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "dim_late_arriving",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, {surrogate('c_custkey')} AS cust_key,
+               c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    fact_keys AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+    inf AS (
+        SELECT m.c_custkey, {surrogate('m.c_custkey')} AS cust_key,
+               'UNKNOWN' AS c_name, 'UNKNOWN' AS c_mktsegment
+        FROM fact_keys m ANTI JOIN dim d ON d.c_custkey = m.c_custkey
+    )
+    SELECT *, FALSE AS is_inferred FROM dim
+    UNION ALL
+    SELECT *, TRUE AS is_inferred FROM inf
+    """,
+)
+def q_dim_late_arriving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension upsert (operators/dims.infer_dim_members):
+    a customer dim missing every 7th member (simulated load lag) gets
+    inferred placeholder rows for each fact-referenced key, carrying the
+    SAME content-hash surrogate the real load will produce — facts
+    keyed today survive the eventual attribute backfill unchanged.
+    One distinct + one anti join + one union; the fact table never
+    shuffles wider than its key column."""
+    from nyc_opendata_etl_spark.functions.hashing import surrogate_key
+    from nyc_opendata_etl_spark.operators.dims import infer_dim_members
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        surrogate_key("c_custkey").alias("cust_key"),
+        "c_name",
+        "c_mktsegment",
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return infer_dim_members(dim, facts, ["c_custkey"], "cust_key")

@@ -584,3 +584,44 @@ def test_sql_udf_fiscal_year_inlines_and_matches_column_form(spark):
         assert ref.exceptAll(out).count() == 0
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fy_sql")
+
+
+def test_inferred_members_need_no_rekey_after_real_load(spark):
+    """The inferred placeholder's surrogate must equal the one the real
+    dimension load later produces for the same natural key — facts
+    stamped against the stub survive the backfill unchanged — and the
+    inferred set must be exactly the fact-referenced keys absent from
+    the dim."""
+    from nyc_opendata_etl_spark.functions.hashing import surrogate_key
+    from nyc_opendata_etl_spark.operators.dims import infer_dim_members
+
+    cust = load_table(spark, SF, "customer")
+    dim = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        surrogate_key("c_custkey").alias("cust_key"),
+        "c_name",
+        "c_mktsegment",
+    )
+    facts = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    out = infer_dim_members(dim, facts, ["c_custkey"], "cust_key")
+    inferred = {
+        r["c_custkey"]: r["cust_key"]
+        for r in out.filter("is_inferred").collect()
+    }
+    fact_keys = {r["c_custkey"] for r in facts.distinct().collect()}
+    assert set(inferred) == {k for k in fact_keys if k % 7 == 0}
+    # the real load's surrogate for those keys must match the stub's
+    real = {
+        r["c_custkey"]: r["cust_key"]
+        for r in cust.select(
+            "c_custkey", surrogate_key("c_custkey").alias("cust_key")
+        ).collect()
+    }
+    for k, sk in inferred.items():
+        assert real[k] == sk
+    # placeholder policy: string attrs stubbed, flag partitions the dim
+    stub = out.filter("is_inferred").first()
+    assert stub["c_name"] == "UNKNOWN" and stub["c_mktsegment"] == "UNKNOWN"
+    assert out.filter(~F.col("is_inferred")).count() == dim.count()
