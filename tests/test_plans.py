@@ -419,3 +419,23 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_round6_closing_queries_never_sort_merge_join(spark):
+    """The closing round-6 queries must keep their joins broadcast (or
+    join-free): codebooks, LUTs, totals, probes, and dim keys are all
+    provably bounded relations, so a SortMergeJoin anywhere means a
+    broadcast was lost. (similarity_ivfpq_topk is exempt: its
+    codes-to-candidates semi join pairs two corpus-sized relations, so
+    a sort-merge fallback there is the CORRECT plan at scale — AQE
+    upgrades it to broadcast at bench scale.)"""
+    for name in (
+        "similarity_pq_encode",
+        "embedding_gramian",
+        "sketch_bitmap_distinct",
+        "corpus_mix_temperature",
+        "dim_late_arriving",
+        "layout_zorder_locality",
+    ):
+        df = queries()[name](spark, SF)
+        assert not pi.uses_sort_merge_join(df), name
