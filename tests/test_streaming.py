@@ -240,3 +240,40 @@ def test_tws_count_threshold_gated_or_runs(spark, tmp_path):
         .count()
     )
     assert out.count() == expected
+
+
+def test_stream_static_dim_enrichment_matches_batch(spark):
+    """Stream-to-static enrichment: a streaming fact joined to a batch
+    dimension (the FK-stamping shape, broadcast per micro-batch) must
+    produce exactly the batch join's aggregate — and the static side
+    needs no watermark or state."""
+    from pyspark.sql import functions as F
+
+    stage = _stage(spark)
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    )
+    batch = {
+        (r["cohort"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(stage)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stream = se.read_event_stream(spark, stage, max_files_per_trigger=2)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        (r["cohort"], r["event_type"]): r["n"]
+        for r in se.run_available_now(
+            enriched, f"d_{uuid.uuid4().hex[:8]}", "complete"
+        ).collect()
+    }
+    assert got == batch
