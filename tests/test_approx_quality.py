@@ -196,3 +196,87 @@ def test_kll_merge_full_outer_and_rank_accuracy(spark):
     # true medians: g=0 → ~2500, g=1 → ~12500 (uniform ids)
     assert abs(rows[0].q50 - 2_500) <= 0.025 * 5_000
     assert abs(rows[1].q50 - 12_500) <= 0.025 * 15_000
+
+
+def test_sketch_state_survives_parquet_round_trip(spark, tmp_path):
+    """The 'persisted re-aggregatable state' claim requires the binary
+    sketch columns to actually survive storage: write HLL, Theta, KLL,
+    and bitmap state to parquet, read it back, merge with a second
+    batch, and get the identical estimates/counts a never-stored merge
+    produces."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import rollup
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    keys = ["o_orderpriority"]
+    h1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    h2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    cases = {
+        "hll": (rollup.hll_batch, rollup.hll_merge, rollup.hll_estimates),
+        "theta": (
+            rollup.theta_batch,
+            rollup.theta_merge,
+            rollup.theta_estimates,
+        ),
+    }
+    for name, (batch, merge,est_fn) in cases.items():
+        state = batch(h1, keys, ["o_custkey"])
+        path = str(tmp_path / name)
+        state.write.mode("overwrite").parquet(path)
+        stored = spark.read.parquet(path)
+        direct = est_fn(
+            merge(state, batch(h2, keys, ["o_custkey"]), keys, ["o_custkey"]),
+            keys,
+            ["o_custkey"],
+        ).collect()
+        via_disk = est_fn(
+            merge(stored, batch(h2, keys, ["o_custkey"]), keys, ["o_custkey"]),
+            keys,
+            ["o_custkey"],
+        ).collect()
+        as_map = lambda rows: {  # noqa: E731
+            r["o_orderpriority"]: (r["approx_n_o_custkey"], r["n"]) for r in rows
+        }
+        assert as_map(via_disk) == as_map(direct), name
+
+    # bitmap: exact counts must survive storage too
+    bstate = rollup.bitmap_batch(h1, keys, "o_custkey")
+    bpath = str(tmp_path / "bitmap")
+    bstate.write.mode("overwrite").parquet(bpath)
+    bstored = spark.read.parquet(bpath)
+    bm = lambda st: {  # noqa: E731
+        r["o_orderpriority"]: (r["n_distinct_o_custkey"], r["n"])
+        for r in rollup.bitmap_counts(
+            rollup.bitmap_merge(
+                st, rollup.bitmap_batch(h2, keys, "o_custkey"), keys, "o_custkey"
+            ),
+            keys,
+            "o_custkey",
+        ).collect()
+    }
+    assert bm(bstored) == bm(bstate)
+
+    # KLL: stored + merged quantiles equal the in-memory path
+    kstate = rollup.kll_batch(h1, keys, ["o_totalprice"])
+    kpath = str(tmp_path / "kll")
+    kstate.write.mode("overwrite").parquet(kpath)
+    kstored = spark.read.parquet(kpath)
+
+    def k_quantiles(st):
+        merged = rollup.kll_merge(
+            st, rollup.kll_batch(h2, keys, ["o_totalprice"]), keys, ["o_totalprice"]
+        )
+        return {
+            r["o_orderpriority"]: r["p50"]
+            for r in merged.select(
+                "o_orderpriority",
+                F.expr(
+                    "kll_sketch_get_quantile_double(kll_o_totalprice, 0.5)"
+                ).alias("p50"),
+            ).collect()
+        }
+
+    assert k_quantiles(kstored) == k_quantiles(kstate)
