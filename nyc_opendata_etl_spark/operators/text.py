@@ -184,3 +184,92 @@ def detected_lang(col: Column | str) -> Column:
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 document ranking for a bag-of-terms query — the sparse
+    (lexical) retrieval half of a hybrid search stack, complementing the
+    dense ANN operators. Robertson idf with the +1 guard:
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``, saturation
+    ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Scale shape: the token explode is filtered to the query terms AT the
+    scan stage (the inverted-index probe a real engine does with a
+    posting list), so only matching (doc, term) rows ever aggregate; the
+    (term, df) relation is |query| rows and broadcasts, corpus stats are
+    a broadcast scalar, and the top-k is TakeOrderedAndProject.
+    Determinism: each term's contribution is rounded to 9 dp and folded
+    through DECIMAL(28,12), so per-doc scores are order-independent and
+    the full ranking replays in DuckDB."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    dl = df.select(
+        F.col(id_col), F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    contrib = F.round(
+        idf * F.col("tf") * (k1 + 1) / denom, 9
+    ).cast("decimal(28,12)")
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("double").alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+def rrf_fuse(ranked_a, ranked_b, k: int = 60, topk: int = 20, id_col: str = "doc_id"):
+    """Reciprocal-rank fusion of two rankings:
+    ``rrf(d) = Σ_r 1/(k + rank_r(d))`` over the rankers that returned
+    ``d`` — the standard score-free way to combine retrieval backends
+    (lexical + semantic, or any two) without calibrating their score
+    scales. Inputs: DataFrames carrying ``(id_col, rank)`` with rank
+    1-based. A doc absent from one ranking simply contributes nothing
+    for it (the top-N cutoff a real system applies per backend).
+
+    Shape: one full-outer join of two top-N relations (both bounded by
+    their cutoffs → broadcastable), fixed-order sum of two exact
+    reciprocals rounded to 6 dp — deterministic across engines."""
+    from pyspark.sql import functions as F
+
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer").select(
+        F.col(id_col),
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (k + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (k + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), id_col).limit(topk)

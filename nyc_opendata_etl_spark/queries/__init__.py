@@ -221,6 +221,8 @@ _RECHECK_R6 = (
     "similarity_pq_encode",   # newly registered (product-quantization codes)
     "similarity_ivfpq_topk",  # newly registered (composed IVF-PQ ANN index)
     "dim_late_arriving",      # newly registered (inferred-member upsert)
+    "search_bm25",            # newly registered (sparse lexical retrieval)
+    "search_hybrid_rrf",      # newly registered (reciprocal-rank fusion)
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1940,3 +1940,156 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.ivfpq_topk(emb, query_vec_id=42)
+
+
+@register(
+    "search_bm25",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12)) AS c
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_hit_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {hash, join, vector}
+    (operators/text.bm25_scores) — the sparse-retrieval complement to
+    the dense ANN stack. The explode is filtered to the query terms at
+    the scan (the posting-list probe), the query-vocabulary and
+    corpus-stat relations broadcast, and the ranking is
+    TakeOrderedAndProject; 9-dp decimal folds make every score
+    hash-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return text.bm25_scores(docs, ["hash", "join", "vector"])
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12))) AS DOUBLE) AS score
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    ra AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank_a
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)
+    ),
+    ti AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   tf.tf * ln(s.n / CAST(dfq.df AS DOUBLE)), 9)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    rb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank_b
+        FROM (SELECT * FROM ti ORDER BY score DESC, doc_id LIMIT 50)
+    )
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+           round(COALESCE(1.0 / (60 + rank_a), 0)
+                 + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+    FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/text.rrf_fuse) of two retrieval
+    backends for the query {hash, join, vector}: BM25 (saturated,
+    length-normalized) and plain TF-IDF term-sum — the score-free
+    combination pattern used for hybrid lexical+semantic search (each
+    backend's top-50 fuses via 1/(60+rank); no score calibration
+    needed). Both rankings and the fusion are fully rank-deterministic,
+    so the DuckDB oracle replays the complete hybrid result."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    terms = ["hash", "join", "vector"]
+    bm = text.bm25_scores(docs, terms, k=50)
+    ra = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ti = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 9
+            )
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+    rb = ti.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+    )
+    return text.rrf_fuse(ra, rb)

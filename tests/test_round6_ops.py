@@ -625,3 +625,72 @@ def test_inferred_members_need_no_rekey_after_real_load(spark):
     stub = out.filter("is_inferred").first()
     assert stub["c_name"] == "UNKNOWN" and stub["c_mktsegment"] == "UNKNOWN"
     assert out.filter(~F.col("is_inferred")).count() == dim.count()
+
+
+def test_bm25_replays_in_pure_python(spark):
+    """The full BM25 top-20 (scores AND order) must match an
+    independent pure-Python implementation replaying the same fold
+    contract (per-term contribution rounded to 9 dp, decimal-summed)."""
+    import re
+
+    from nyc_opendata_etl_spark.operators.text import bm25_scores
+
+    terms = ["hash", "join", "vector"]
+    docs = load_table(spark, SF, "documents")
+    rows = bm25_scores(docs, terms).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    tok = {
+        d: [t for t in re.split(r"\s+", txt.lower()) if t]
+        for d, txt in texts.items()
+    }
+    n = len(tok)
+    avgdl = sum(len(t) for t in tok.values()) / n
+    df = {
+        q: sum(1 for t in tok.values() if q in t) for q in terms
+    }
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        acc = Decimal(0)
+        hits = 0
+        for q in terms:
+            tf = tok[d].count(q)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            c = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(tok[d]) / avgdl)
+            )
+            acc += Decimal(repr(round(c, 9))).quantize(Decimal("1.000000000"))
+        return float(acc), hits
+
+    expected = sorted(
+        ((score(d), d) for d in tok if score(d)[1] > 0),
+        key=lambda x: (-x[0][0], x[1]),
+    )[:20]
+    assert [(r["doc_id"], r["bm25"], r["n_hit_terms"]) for r in rows] == [
+        (d, s, h) for (s, h), d in expected
+    ]
+
+
+def test_rrf_fusion_laws(spark):
+    """RRF laws: a doc ranked by both backends beats one seen by a
+    single backend at comparable ranks; scores are exactly
+    1/(60+ra) + 1/(60+rb); and the fused top-20 is rank-deterministic."""
+    rows = queries()["search_hybrid_rrf"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = round(
+            (1.0 / (60 + r["rank_a"]) if r["rank_a"] is not None else 0.0)
+            + (1.0 / (60 + r["rank_b"]) if r["rank_b"] is not None else 0.0),
+            6,
+        )
+        assert r["rrf"] == expect
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    both = [r for r in rows if r["rank_a"] is not None and r["rank_b"] is not None]
+    assert both, "some doc should be ranked by both backends"
