@@ -439,3 +439,41 @@ def test_round6_closing_queries_never_sort_merge_join(spark):
     ):
         df = queries()[name](spark, SF)
         assert not pi.uses_sort_merge_join(df), name
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """With the v2 parquet source, global COUNT/MIN/MAX must push into
+    the scan (PushedAggregation in the BatchScan) and answer from file
+    footers — at scale a metadata read instead of a table scan. The
+    engine's scans stay on v1 by default; this pins that the footer
+    path is available and correct when a caller opts in."""
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{SF}/orders.parquet")
+        df.createOrReplaceTempView("__agg_pd__")
+        out = spark.sql(
+            "SELECT count(*) AS n, min(o_totalprice) AS mn, "
+            "max(o_totalprice) AS mx FROM __agg_pd__"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan
+        row = out.collect()[0]
+        ref = (
+            load_table(spark, SF, "orders")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_totalprice").alias("mn"),
+                F.max("o_totalprice").alias("mx"),
+            )
+            .collect()[0]
+        )
+        assert (row["n"], row["mn"], row["mx"]) == (ref["n"], ref["mn"], ref["mx"])
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
