@@ -186,6 +186,12 @@ SHOWCASE = {
         "argmin is a min(struct) aggregate with map-side partials - "
         "the only exchange carries m rows per vector."
     ),
+    "search_bm25": (
+        "BM25: the token explode is filtered to the query terms at the "
+        "scan stage (posting-list probe), the (term, df) and corpus-stat "
+        "relations broadcast, per-doc scores partial-aggregate map-side, "
+        "and the ranking is TakeOrderedAndProject."
+    ),
     "corpus_mix_temperature": (
         "Sampling-policy table: one corpus aggregate (map-side token "
         "counts), then every reweighting step runs on the |cells|-row "
