@@ -50,26 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "star_revenue": 1,
-    "dim_surrogate": 1,
-    "dim_first_per_group": 1,
-    "assign_keys_left": 1,
-    "generated_date_dim": 1,
-    "generated_time_dim": 1,
-    "date_keys": 1,
-    "normalize_clean": 1,
-    "numeric_coercion": 1,
-    "union_by_name": 1,
-    "filter_window": 1,
-    "project_defensive": 1,
-    "q1_pricing_summary": 1,
-    "agg_rollup": 1,
-    "agg_cube": 1,
-    "agg_count_distinct": 1,
-    "topk_orders": 1,
-    "window_rank": 1,
-    "window_lag_lead": 1,
-    "window_moving_sum": 1,
     "join_inner_agg": 1,
     "join_semi": 1,
     "join_anti": 1,
@@ -172,7 +152,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_attribution": 5,
     "cdc_apply_changelog": 5,
     "window_sliding_distinct": 5,
-    "events_anomaly_bands": 5,
     "scd2_point_in_time": 5,
     "multimodal_frame_sample": 5,
     "q4_order_priority": 5,
@@ -187,47 +166,97 @@ _LAST_VERIFIED: dict[str, int] = {
     "q19_discounted_revenue": 5,
     "q21_waiting_supplier": 5,
     "q22_global_sales": 5,
+    "star_revenue": 6,
+    "dim_surrogate": 6,
+    "dim_first_per_group": 6,
+    "assign_keys_left": 6,
+    "generated_date_dim": 6,
+    "generated_time_dim": 6,
+    "date_keys": 6,
+    "normalize_clean": 6,
+    "numeric_coercion": 6,
+    "union_by_name": 6,
+    "filter_window": 6,
+    "project_defensive": 6,
+    "ingest_orc_documents": 6,
+    "dim_late_arriving": 6,
+    "q1_pricing_summary": 6,
+    "agg_rollup": 6,
+    "agg_cube": 6,
+    "agg_count_distinct": 6,
+    "agg_approx_distinct": 6,
+    "topk_orders": 6,
+    "window_rank": 6,
+    "window_lag_lead": 6,
+    "window_moving_sum": 6,
+    "agg_percentile_approx": 6,
+    "market_basket_pairs": 6,
+    "recursive_reachability": 6,
+    "join_lateral_topn": 6,
+    "json_variant_shred": 6,
+    "sketch_theta_setops": 6,
+    "sketch_bitmap_distinct": 6,
+    "graph_triangles": 6,
+    "dedup_semantic": 6,
+    "text_char_entropy": 6,
+    "embedding_gramian": 6,
+    "corpus_mix_temperature": 6,
+    "similarity_pq_encode": 6,
+    "similarity_ivfpq_topk": 6,
+    "search_bm25": 6,
+    "search_hybrid_rrf": 6,
+    "events_user_sequences": 6,
+    "sketch_kll_quantiles": 6,
+    "events_anomaly_bands": 6,
+    "layout_zorder_locality": 6,
+    "scd1_merge": 6,
+    "q12_latency_priority": 6,
+    "q2_min_cost_supplier": 6,
+    "q9_product_profit": 6,
+    "q11_important_stock": 6,
+    "q16_supplier_part_counts": 6,
+    "q20_promotion_candidates": 6,
 }
 
-# Queries that MUST carry a round-6 verdict regardless of history:
-# round-5 red rows whose fix changed code/oracle, oracle rewrites, and
-# new registrations. These lead the registry in this exact order.
-_RECHECK_R6 = (
-    "q12_latency_priority",   # r5 hash-FAIL: oracle sums now CAST AS BIGINT
-    "events_user_sequences",  # r5 ERR: array<string> seq now '|'-joined scalar
-    "agg_approx_distinct",    # rows-only → full oracle (in-query 2% band)
-    "events_anomaly_bands",   # oracle change: threshold on 6-dp-rounded z
-    "scd1_merge",             # newly registered (SCD family closeout)
-    "agg_percentile_approx",  # newly registered (sketch-percentile scale path)
-    "dedup_semantic",         # newly registered (SemDeDup cluster-blocked pairs)
-    "market_basket_pairs",    # newly registered (frequent-pair mining + lift)
-    "text_char_entropy",      # newly registered (char-entropy quality signal)
-    "recursive_reachability", # newly registered (Spark 4 recursive CTE)
-    "join_lateral_topn",      # newly registered (correlated LATERAL + LIMIT)
-    "json_variant_shred",     # newly registered (Spark 4 VARIANT type)
-    "ingest_orc_documents",   # newly registered (ORC format round trip)
-    "sketch_theta_setops",    # newly registered (Theta distinct set algebra)
-    "sketch_kll_quantiles",   # newly registered (KLL mergeable quantile state)
-    "q2_min_cost_supplier",   # newly registered (derived-partsupp TPC-H Q2)
-    "q9_product_profit",      # newly registered (derived-partsupp TPC-H Q9)
-    "q11_important_stock",    # newly registered (derived-partsupp TPC-H Q11)
-    "q16_supplier_part_counts",  # newly registered (derived-partsupp Q16)
-    "q20_promotion_candidates",  # newly registered (derived-partsupp Q20)
-    "sketch_bitmap_distinct",  # newly registered (exact bitmap distinct state)
-    "graph_triangles",        # newly registered (degree-ordered triangles)
-    "embedding_gramian",      # newly registered (distributed Gramian block)
-    "layout_zorder_locality",  # newly registered (Morton clustering key)
-    "corpus_mix_temperature",  # newly registered (τ=0.5 sampling policy)
-    "similarity_pq_encode",   # newly registered (product-quantization codes)
-    "similarity_ivfpq_topk",  # newly registered (composed IVF-PQ ANN index)
-    "dim_late_arriving",      # newly registered (inferred-member upsert)
-    "search_bm25",            # newly registered (sparse lexical retrieval)
-    "search_hybrid_rrf",      # newly registered (reciprocal-rank fusion)
+# Queries that MUST carry a round-7 verdict regardless of history:
+# the 20 queries whose only hard verdict is round 1 (the last verdict
+# debt), then every query whose implementation or oracle changed this
+# round, then new registrations. These lead the registry in this order.
+_RECHECK_R7 = (
+    # --- r1 cohort: last hard verdict is round 1 (retire the debt) ---
+    "join_inner_agg",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range",
+    "set_intersect",
+    "set_except",
+    "explode_tokens",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "pivot_orderstatus",
+    "window_range_frame",
+    "window_distribution",
+    "agg_stats",
+    "fuzzy_name_match",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    # --- changed this round: staged retrieval indexes + plan fixes ---
+    "search_bm25",            # now probes a staged posting-list table
+    "search_hybrid_rrf",      # now probes staged posting list + ANN index
+    "similarity_ivfpq_topk",  # now probes a staged IVF-PQ index table
+    "graph_triangles",        # now reads a staged bucketed edge relation
+    "layout_zorder_locality", # zvalue bits fix (ADVICE: user_id > 2^11)
+    # --- new registrations this round ---
+    "pipeline_integrated_fact",  # reference's third fact under a verdict
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R6)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R7)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
