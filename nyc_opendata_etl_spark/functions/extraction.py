@@ -45,7 +45,22 @@ class _ParseProps:
             return
         for k in sorted(obj):
             v = obj[k]
-            yield k, type(v).__name__, None if v is None else str(v)
+            # Render sval the way from_json(map<string,string>) renders
+            # JSON values, so the declarative-twin parity holds for ANY
+            # payload shape: strings stay raw, booleans lowercase, and
+            # nested objects/arrays serialize as compact JSON text —
+            # never Python reprs ('True', "{'a': 1}").
+            if v is None:
+                sval = None
+            elif isinstance(v, str):
+                sval = v
+            elif isinstance(v, bool):  # before int: bool is an int subclass
+                sval = "true" if v else "false"
+            elif isinstance(v, (dict, list)):
+                sval = json.dumps(v, separators=(",", ":"))
+            else:
+                sval = str(v)
+            yield k, type(v).__name__, sval
 
 
 def register_parse_props(spark: SparkSession, name: str = "parse_props") -> None:

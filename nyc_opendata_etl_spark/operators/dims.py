@@ -16,6 +16,7 @@ columns.
 from __future__ import annotations
 
 import datetime as dt
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,8 +128,17 @@ def infer_dim_members(
     one broadcast-able anti join against the dim, one union — the fact
     table is scanned once and never shuffled wider than its key
     column."""
+    # NULL-keyed fact rows are excluded: an inferred member with a NULL
+    # natural key would carry surrogate_key(NULL) — a stub no real
+    # dimension load ever overwrites, and the NULL-keyed facts still
+    # would not equi-join to it. NULL keys are a data-quality signal
+    # (audit_constraints territory), not a late-arriving member.
+    key_present = [F.col(k).isNotNull() for k in nat_keys]
     missing = (
-        facts.select(*nat_keys).distinct().join(dim, nat_keys, "left_anti")
+        facts.filter(reduce(lambda a, b: a & b, key_present))
+        .select(*nat_keys)
+        .distinct()
+        .join(dim, nat_keys, "left_anti")
     )
     types = dict(dim.dtypes)
     attrs = [c for c in dim.columns if c not in set(nat_keys) | {key_col}]

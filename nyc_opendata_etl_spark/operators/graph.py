@@ -134,8 +134,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
 
-    da = F.broadcast(deg).select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = F.broadcast(deg).select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # deg is O(|V|) rows — same cardinality class as the adjacency
+    # relation below, so it gets the same treatment: no broadcast hint.
+    # AQE broadcasts it while it fits executor memory and falls back to
+    # a shuffle join on graphs whose vertex set is too large to ship.
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     e = edges.join(da, "a").join(db, "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))

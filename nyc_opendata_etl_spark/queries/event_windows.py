@@ -1013,7 +1013,13 @@ def q_events_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS minute_of_day
         FROM events
     ),
-    z AS (SELECT user_id, minute_of_day, ((((user_id >> 0) & 1) << 0) | (((user_id >> 1) & 1) << 2) | (((user_id >> 2) & 1) << 4) | (((user_id >> 3) & 1) << 6) | (((user_id >> 4) & 1) << 8) | (((user_id >> 5) & 1) << 10) | (((user_id >> 6) & 1) << 12) | (((user_id >> 7) & 1) << 14) | (((user_id >> 8) & 1) << 16) | (((user_id >> 9) & 1) << 18) | (((user_id >> 10) & 1) << 20) | (((minute_of_day >> 0) & 1) << 1) | (((minute_of_day >> 1) & 1) << 3) | (((minute_of_day >> 2) & 1) << 5) | (((minute_of_day >> 3) & 1) << 7) | (((minute_of_day >> 4) & 1) << 9) | (((minute_of_day >> 5) & 1) << 11) | (((minute_of_day >> 6) & 1) << 13) | (((minute_of_day >> 7) & 1) << 15) | (((minute_of_day >> 8) & 1) << 17) | (((minute_of_day >> 9) & 1) << 19) | (((minute_of_day >> 10) & 1) << 21)) AS zv FROM m)
+    b AS (
+        SELECT user_id, minute_of_day,
+               (user_id * 2048) // ((SELECT max(user_id) FROM m) + 1)
+                   AS user_bucket
+        FROM m
+    ),
+    z AS (SELECT user_id, minute_of_day, ((((user_bucket >> 0) & 1) << 0) | (((user_bucket >> 1) & 1) << 2) | (((user_bucket >> 2) & 1) << 4) | (((user_bucket >> 3) & 1) << 6) | (((user_bucket >> 4) & 1) << 8) | (((user_bucket >> 5) & 1) << 10) | (((user_bucket >> 6) & 1) << 12) | (((user_bucket >> 7) & 1) << 14) | (((user_bucket >> 8) & 1) << 16) | (((user_bucket >> 9) & 1) << 18) | (((user_bucket >> 10) & 1) << 20) | (((minute_of_day >> 0) & 1) << 1) | (((minute_of_day >> 1) & 1) << 3) | (((minute_of_day >> 2) & 1) << 5) | (((minute_of_day >> 3) & 1) << 7) | (((minute_of_day >> 4) & 1) << 9) | (((minute_of_day >> 5) & 1) << 11) | (((minute_of_day >> 6) & 1) << 13) | (((minute_of_day >> 7) & 1) << 15) | (((minute_of_day >> 8) & 1) << 17) | (((minute_of_day >> 9) & 1) << 19) | (((minute_of_day >> 10) & 1) << 21)) AS zv FROM b)
     SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
            CAST(count(*) AS BIGINT) AS n_events,
            min(user_id) AS min_user, max(user_id) AS max_user,
@@ -1028,12 +1034,22 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     64x64-aligned box). The per-bucket min/max spans ARE the footer
     stats a z-ordered parquet write gives every file — bounded in BOTH
     dimensions, which is what lets a 2-D range predicate prune files
-    before any compute; a single-column sort bounds only one. The
-    interleave is a shift/mask/OR expression tree inside whole-stage
-    codegen (zvalue_sql emits the identical formula for the DuckDB
-    oracle, so z-values replay bit-for-bit); write_zordered applies the
-    same key as a range-repartitioned sorted parquet write, verified by
-    the file-stats pruning test in tests/test_round6_ops.py."""
+    before any compute; a single-column sort bounds only one.
+
+    user_id has an unbounded domain, so it is first scaled into the
+    11-bit budget with exact integer arithmetic —
+    ``(user_id * 2048) div (max_user + 1)`` ∈ [0, 2047] — instead of
+    letting zvalue silently mask bits above 2^11 (which would alias
+    distinct users and quietly destroy the locality being measured).
+    The max is one stats-only aggregate broadcast back, the same shape
+    write_zordered uses for its min/max bucketization. minute_of_day
+    (< 1440) fits the budget natively. The interleave is a
+    shift/mask/OR expression tree inside whole-stage codegen
+    (zvalue_sql emits the identical formula for the DuckDB oracle, so
+    z-values replay bit-for-bit — both sides use integer division);
+    write_zordered applies the same key as a range-repartitioned sorted
+    parquet write, verified by the file-stats pruning test in
+    tests/test_round6_ops.py."""
     from nyc_opendata_etl_spark.operators.layout import zvalue
 
     ev = load_table(spark, sf_dir, "events")
@@ -1041,8 +1057,13 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("minute_of_day"),
     )
-    z = m.withColumn(
-        "zv", zvalue([F.col("user_id"), F.col("minute_of_day")], 11)
+    mx = m.agg(F.max("user_id").alias("__max_user__"))
+    b = m.crossJoin(F.broadcast(mx)).withColumn(
+        "user_bucket",
+        F.expr("(user_id * 2048) div (__max_user__ + 1)"),
+    )
+    z = b.withColumn(
+        "zv", zvalue([F.col("user_bucket"), F.col("minute_of_day")], 11)
     )
     return z.groupBy(
         F.shiftright("zv", 12).cast("long").alias("z_bucket")

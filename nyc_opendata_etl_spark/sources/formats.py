@@ -69,12 +69,6 @@ def to_parquet(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """ORC scan — Spark's other native columnar format (vectorized
-    reader, predicate pushdown, column pruning, like parquet)."""
-    return normalize_headers(spark.read.orc(path))
-
-
 def write_orc(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).orc(path)
 

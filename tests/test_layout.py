@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from nyc_opendata_etl_spark.sources.layout import write_zordered
+from nyc_opendata_etl_spark.operators.layout import write_zordered
 
 
 def _file_extents(path: str, col: str):

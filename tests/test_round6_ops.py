@@ -344,7 +344,7 @@ def test_zorder_write_prunes_2d_box_queries(spark, tmp_path):
         (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("minute_of_day"),
     )
     zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
-    write_zordered(ev, ["user_id", "minute_of_day"], zdir, n_files=8)
+    write_zordered(ev, ["user_id", "minute_of_day"], zdir, num_files=8)
     (
         ev.repartitionByRange(8, "user_id")
         .sortWithinPartitions("user_id")
@@ -492,7 +492,8 @@ def test_udtf_props_extraction_matches_declarative_twin(spark):
 
     synth = spark.createDataFrame(
         [
-            (1, '{"b": true, "f": 8.5, "i": 3, "s": "x", "z": null}'),
+            (1, '{"b": true, "f": 8.5, "i": 3, "s": "x", "z": null, '
+                '"o": {"a": 1}, "l": [1, "y"]}'),
             (2, "not json"),
             (3, "[1, 2]"),
             (4, None),
@@ -503,13 +504,23 @@ def test_udtf_props_extraction_matches_declarative_twin(spark):
         (r["key"]): (r["vtype"], r["sval"])
         for r in explode_props_udtf(spark, synth).collect()
     }
+    # sval renders the way from_json(map<string,string>) renders JSON —
+    # lowercase booleans and compact JSON for nested shapes, never
+    # Python reprs — so the declarative-twin parity is shape-independent
     assert rows == {
-        "b": ("bool", "True"),
+        "b": ("bool", "true"),
         "f": ("float", "8.5"),
         "i": ("int", "3"),
         "s": ("str", "x"),
         "z": ("NoneType", None),
+        "o": ("dict", '{"a":1}'),
+        "l": ("list", '[1,"y"]'),
     }
+    # the parity itself must hold on the mixed-shape payload too
+    u2 = explode_props_udtf(spark, synth).select("event_id", "key", "sval")
+    d2 = explode_props_declarative(synth)
+    assert u2.exceptAll(d2).count() == 0
+    assert d2.exceptAll(u2).count() == 0
 
 
 def test_ivfpq_candidates_routing_and_ranking_laws(spark):
@@ -605,12 +616,23 @@ def test_inferred_members_need_no_rekey_after_real_load(spark):
     facts = load_table(spark, SF, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
+    # NULL-keyed fact rows must NOT spawn a surrogate_key(NULL) stub —
+    # nothing ever overwrites it and the NULL facts still wouldn't join
+    null_fact = spark.createDataFrame(
+        [(None,)], "c_custkey bigint"
+    )
+    facts = facts.unionByName(null_fact)
     out = infer_dim_members(dim, facts, ["c_custkey"], "cust_key")
+    assert out.filter("is_inferred AND c_custkey IS NULL").count() == 0
     inferred = {
         r["c_custkey"]: r["cust_key"]
         for r in out.filter("is_inferred").collect()
     }
-    fact_keys = {r["c_custkey"] for r in facts.distinct().collect()}
+    fact_keys = {
+        r["c_custkey"]
+        for r in facts.distinct().collect()
+        if r["c_custkey"] is not None
+    }
     assert set(inferred) == {k for k in fact_keys if k % 7 == 0}
     # the real load's surrogate for those keys must match the stub's
     real = {
