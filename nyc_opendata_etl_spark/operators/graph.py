@@ -89,7 +89,9 @@ def pagerank_int(
     return ranks.select(F.col(id_col), F.col("r").alias("rank_scaled"))
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, materialize_input: bool = True
+) -> DataFrame:
     """Exact global triangle count via degree-ordered orientation +
     neighborhood-list intersection.
 
@@ -121,8 +123,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """
     # edges feeds four consumers (degrees, edge count, both orientation
     # sides) — materialize once so an expensive upstream edge build
-    # (e.g. a basket self-join) doesn't replay per consumer.
-    edges = edges.localCheckpoint(eager=False)
+    # (e.g. a basket self-join) doesn't replay per consumer. Callers
+    # reading a staged/bucketed edge table pass materialize_input=False:
+    # replaying a clustered scan is cheaper than checkpointing it (and
+    # checkpointing would discard the scan's bucketing distribution).
+    if materialize_input:
+        edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))

@@ -608,25 +608,13 @@ def ivfpq_topk(
     the candidate codes (m rows per candidate) to the broadcast LUT and
     top-ks via TakeOrderedAndProject. Nothing quadratic, nothing
     collected."""
-    # ── coarse quantizer: assign every vector to its nearest centroid.
-    # argmax as a max(struct) hash aggregate (map-side partials), not a
-    # row_number window — no per-vector sort, one combine-friendly
-    # shuffle; ties break to the smaller cid via the negated field.
+    # ── coarse quantizer: assign every vector to its nearest centroid
+    # (shared with build_ivfpq_index — see _ivf_assign for the
+    # argmax-as-hash-aggregate shape).
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col(vec_col), F.col("cvec"))
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
-            ).alias("b")
-        )
-        .select(id_col, (-F.col("b.ncid")).alias("cid"))
-    )
+    assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
     # probes need only the query row × centroids (n_centroids rows) —
     # never re-derive them from the full N×C scored relation.
     qrow = emb.filter(F.col(id_col) == query_vec_id).select(
@@ -681,8 +669,8 @@ def ivfpq_topk(
         assigned.join(
             F.broadcast(probes), assigned.cid == F.col("probe_cid")
         )
-        .filter(F.col(id_col) != query_vec_id)
-        .select(F.col(id_col).alias("id"))
+        .filter(F.col("id") != query_vec_id)
+        .select("id")
     )
     adc = (
         codes.join(cand, "id", "left_semi")
@@ -718,4 +706,200 @@ def ivfpq_topk(
             "adc_dist2",
             F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
         )
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Staged IVF-PQ index: write-time assignment + encoding, query-time
+# probe. ivfpq_topk above rebuilds the whole index (corpus-wide IVF
+# assignment + PQ codes) inside every execution — correct, but that is
+# write-time work in a real deployment (FAISS trains/encodes once and
+# serves many queries). build_ivfpq_index persists the index as parquet;
+# ivfpq_topk_indexed probes it, reading only the probed cells' codes via
+# partition pruning on the cell id.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _ivf_assign(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cid): each vector's nearest convention centroid by cosine,
+    ties to the smaller cid — the shared coarse-quantizer math of
+    ivfpq_topk and build_ivfpq_index (argmax as a max(struct) hash
+    aggregate: map-side partials, no per-vector sort)."""
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("b")
+        )
+        .select(
+            F.col(id_col).alias("id"), (-F.col("b.ncid")).alias("cid")
+        )
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    d_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index for ivfpq_topk_indexed:
+
+    - ``codes/``: (id, m, code) PARTITIONED BY the IVF cell id — the
+      inverted-list layout: a probe reads only its cells' directories
+      (partition pruning), never the rest of the index.
+    - ``centroids/``: (cid, cvec) — n_centroids rows for query routing.
+    - ``codebook/``: (code, m, csub) — m·n_codes subvector centroids
+      for the per-query ADC lookup table.
+
+    Same deterministic convention quantizers as ivfpq_topk (lowest-id
+    vectors; production would train both with kmeans_iterations — the
+    persisted layout and probe math are identical), so an indexed probe
+    returns bit-identical rankings. Scale shape: assignment and
+    encoding are broadcast joins + map-side-combined aggregates — one
+    pass over the corpus, paid once per corpus version; the partitioned
+    write is the only wide exchange."""
+    assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
+    codes = pq_encode(
+        emb, vec_col=vec_col, id_col=id_col, m=m, d_sub=d_sub, k=n_codes
+    ).select("id", "m", "code")
+    (
+        codes.join(assigned, "id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/codes")
+    )
+    (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    c_subs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("csub"),
+        )
+        for mi in range(m)
+    ]
+    (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(F.array(*c_subs)).alias("s"),
+        )
+        .select("code", F.col("s.m").alias("m"), F.col("s.csub").alias("csub"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebook")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    query_vec_id: int,
+    n_probe: int = 2,
+    k: int = 10,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k as an INDEX PROBE against a build_ivfpq_index
+    layout — same rankings as ivfpq_topk (identical routing, LUT, and
+    9-dp DECIMAL(28,12) ADC folds), but the corpus-wide assignment and
+    encoding are read, not recomputed: the probe collects its n_probe
+    cell ids (a bounded-by-construction ≤n_probe-row collect) and scans
+    ONLY those cells' code partitions — static partition pruning, the
+    inverted-list read pattern. The exact squared-L2 top-k recall
+    boolean still rides along (it is the evaluation half of the query's
+    contract and inherently scans the raw vectors).
+
+    Query cost: n_centroids-row routing + (n_probe/n_centroids of the
+    codes) + a 128-row LUT broadcast — independent of how the rest of
+    the corpus grew since the index was written."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    qrow = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qrow))
+        .withColumn("qsim", cosine(F.col("cvec"), F.col("qv")))
+        .orderBy(F.col("qsim").desc(), "cid")
+        .limit(n_probe)
+        .select("cid")
+        .collect()  # bounded by construction: ≤ n_probe rows
+    )
+    probe_cids = [r["cid"] for r in probe_rows]
+
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cid").isin(probe_cids)  # static partition pruning
+    )
+
+    # per-query ADC LUT from the persisted codebook (m·n_codes rows)
+    q_subs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("qsub"),
+        )
+        for mi in range(m)
+    ]
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.explode(F.array(*q_subs)).alias("s")
+    ).select(F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    d2 = (
+        dot(F.col("qsub"), F.col("qsub"))
+        - 2 * dot(F.col("qsub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    lut = q.join(cb, "m").select(
+        "m", "code", F.round(d2, 9).cast("decimal(28,12)").alias("d9")
+    )
+
+    adc = (
+        codes.filter(F.col("id") != query_vec_id)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("d9").cast("double").alias("adc_dist2"))
+    )
+    top = adc.orderBy("adc_dist2", "id").limit(k)
+
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    ex_d2 = (
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("qvec"))
+        + dot(F.col("qvec"), F.col("qvec"))
+    )
+    exact_top = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col).alias("id"), F.round(ex_d2, 9).alias("ed2"))
+        .orderBy("ed2", "id")
+        .limit(k)
+        .select("id", F.lit(True).alias("hit"))
+    )
+    return top.join(F.broadcast(exact_top), "id", "left").select(
+        F.col("id").alias("vec_id"),
+        "adc_dist2",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
     )

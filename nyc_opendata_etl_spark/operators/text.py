@@ -273,3 +273,147 @@ def rrf_fuse(ranked_a, ranked_b, k: int = 60, topk: int = 20, id_col: str = "doc
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), id_col).limit(topk)
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Staged inverted index: build once at write time, probe per query.
+#
+# bm25_scores above tokenizes and explodes the ENTIRE corpus on every
+# execution to probe a handful of terms — correct, but an unpruned full
+# scan per query, which is exactly the work a real retrieval engine
+# moves to write time as a posting list. build_text_index materializes
+# that index as three parquet tables; the *_indexed probes below read
+# only the postings whose term matches the query (file-pruned by the
+# term-sorted layout + pushed predicate), so query cost is bounded by
+# |query terms| × |matching docs| — independent of corpus size.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def build_text_index(
+    docs,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_files: int = 8,
+) -> None:
+    """Materialize the inverted index for BM25/TF-IDF retrieval:
+
+    - ``postings/``: one row per (term, doc, tf), carrying the doc
+      length DENORMALIZED (``dl``) so the probe never joins an
+      N-row doc-length relation — parquet dictionary/RLE encoding makes
+      the repeated dl near-free. Range-partitioned and sorted by term,
+      so every file's footer min/max bounds a narrow term range and a
+      term-equality probe skips most files before reading a byte.
+    - ``vocab/``: (term, df) — the dictionary; |V| rows, probe-side it
+      filters to the query terms and broadcasts.
+    - ``stats/``: one row (n docs, total length) for the BM25 length
+      normalization.
+
+    All stored quantities are exact integers, so an indexed probe is
+    bit-identical to the corpus-scan formulation over the same corpus.
+    Scale shape: one explode + two map-side-combined aggregates and one
+    shuffle join on the doc id — paid once per corpus version, like any
+    lake write; the range exchange on term is the clustering the probes
+    amortize."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+    )
+    postings = tf.join(dl, id_col)
+    (
+        postings.repartitionByRange(num_files, "term")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    vocab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _probe_postings(spark, index_path: str, query_terms: list[str]):
+    """(postings ∩ terms, vocab ∩ terms, stats) — the index-probe scans.
+    The term predicate pushes into both parquet scans; on the
+    term-sorted postings layout it prunes whole files from footer
+    stats."""
+    post = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("term").isin(query_terms)
+    )
+    vocab = spark.read.parquet(f"{index_path}/vocab").filter(
+        F.col("term").isin(query_terms)
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    return post, vocab, stats
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+):
+    """BM25 top-k as an INDEX PROBE against a build_text_index layout —
+    same scores as bm25_scores (identical formula over identical exact
+    integers; each term contribution 9-dp-rounded and folded through
+    DECIMAL(28,12)), but the plan reads only the query terms' postings:
+    pushed term predicate + file pruning on the term-sorted layout,
+    |query|-row vocab broadcast, 1-row stats broadcast,
+    TakeOrderedAndProject for the top-k. Nothing scales with corpus
+    size except the pruned posting scan itself."""
+    post, vocab, stats = _probe_postings(spark, index_path, query_terms)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    contrib = F.round(idf * F.col("tf") * (k1 + 1) / denom, 9).cast(
+        "decimal(28,12)"
+    )
+    scored = (
+        post.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("double").alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+def tfidf_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+):
+    """Plain TF-IDF term-sum top-k (the second retrieval backend the
+    hybrid-RRF query fuses) as an index probe: score(d) =
+    Σ_t tf·ln(N/df), terms 9-dp-rounded through DECIMAL(28,12). Same
+    pruned-postings shape as bm25_topk_indexed."""
+    post, vocab, stats = _probe_postings(spark, index_path, query_terms)
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 9
+    ).cast("decimal(28,12)")
+    scored = (
+        post.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), id_col).limit(k)

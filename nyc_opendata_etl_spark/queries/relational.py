@@ -1843,6 +1843,48 @@ def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_copurchase_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the DISTINCT part co-purchase edge relation once per
+    lineitem version as a BUCKETED table (sources/sinks.write_bucketed,
+    hash-clustered on ``a``) — the expensive per-basket self-join +
+    DISTINCT is write-time work; graph queries read the edge set and
+    joins/aggregations on ``a`` start from the persisted clustering with
+    no Exchange on the edge side. Returns the catalog table name,
+    re-registering the existing bucketed layout when a fresh staging
+    survives from an earlier session (bucketing metadata lives in the
+    catalog, not the files)."""
+    import hashlib
+
+    from nyc_opendata_etl_spark.sources.sinks import write_bucketed
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "copurchase_edges")
+    tbl = "copurchase_edges_" + hashlib.md5(
+        sf_dir.rstrip("/").encode()
+    ).hexdigest()[:12]
+    if is_stale(path, sf_dir, "lineitem"):
+        li = load_table(spark, sf_dir, "lineitem")
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
+        edges = (
+            b.join(b2, "ok")
+            .filter(F.col("pk") < F.col("pk2"))
+            .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+            .distinct()
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        write_bucketed(edges, tbl, ["a"], 8, path)
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (a BIGINT, b BIGINT) USING PARQUET "
+            f"CLUSTERED BY (a) SORTED BY (a) INTO 8 BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return tbl
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -1875,26 +1917,22 @@ def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     part co-purchase graph (parts are adjacent iff some order contains
-    both). The operator (operators/graph.triangle_count) orients each
-    edge by the (degree, id) total order so the wedge self-join is
-    O(m^1.5) instead of Σ deg² — hub parts contribute in-edges, not
-    wedge fan-out — which is what keeps the plan runnable when the
-    co-purchase graph has power-law degrees at corpus scale. The DuckDB
-    oracle counts the same triangles declaratively (a < b < c triple
-    join); orientation changes the join sizes, never the count. All
-    outputs are exact integers except the final 6-dp-rounded single
-    double division."""
+    both). The edge relation — a DISTINCT per-basket self-join, the
+    dominant cost of the old in-query formulation — is STAGED once per
+    lineitem version as a bucketed table (_stage_copurchase_edges), so
+    the query path starts from a clustered edge scan. The operator
+    (operators/graph.triangle_count) orients each edge by the
+    (degree, id) total order so the wedge self-join is O(m^1.5) instead
+    of Σ deg² — hub parts contribute in-edges, not wedge fan-out —
+    which is what keeps the plan runnable when the co-purchase graph
+    has power-law degrees at corpus scale. The DuckDB oracle counts the
+    same triangles declaratively from lineitem (a < b < c triple join);
+    staging and orientation change join inputs and sizes, never the
+    count. All outputs are exact integers except the final
+    6-dp-rounded single double division."""
     from nyc_opendata_etl_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem", spread_input=True)
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
-    edges = (
-        b.join(b2, "ok")
-        .filter(F.col("pk") < F.col("pk2"))
-        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
-        .distinct()
-    )
-    return triangle_count(edges)
+    tbl = _stage_copurchase_edges(spark, sf_dir)
+    # the staged scan is cheap to replay — skip the operator's input
+    # materialization (it exists for expensive in-query edge builds)
+    return triangle_count(spark.table(tbl), materialize_input=False)

@@ -1,0 +1,46 @@
+"""Mtime-guarded staging of derived artifacts (indexes, materialized
+relations) keyed to a source table's version.
+
+A real lakehouse stages write-time artifacts — posting lists, ANN
+indexes, pre-joined edge relations — alongside the data and rebuilds
+them when the source version advances. This module is the minimal local
+mirror of that: a deterministic staging directory per (sf_dir, kind)
+under the system temp dir, and a freshness check comparing the staged
+_SUCCESS marker's mtime against the source parquet's. Builders run at
+most once per source version per machine; every query execution after
+that probes the staged artifact.
+
+The generalization of the `_stage_documents` pattern in
+queries/parity.py (CSV/JSONL/ORC staging), factored out because round 7
+adds three more staged artifacts (text posting list, IVF-PQ index,
+co-purchase edge relation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+
+def stage_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic staging directory for a derived artifact of
+    ``sf_dir`` (keyed by path hash so differently-located replicas —
+    e.g. the 10×/100× scale copies — never collide)."""
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stage",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+        kind,
+    )
+
+
+def is_stale(stage: str, sf_dir: str, src_table: str, marker: str = "_SUCCESS") -> bool:
+    """True if the staged artifact is missing or older than the source
+    table's parquet — the rebuild trigger."""
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    mk = os.path.join(stage, marker)
+    return not (
+        os.path.exists(mk) and os.path.getmtime(mk) > os.path.getmtime(src)
+    )

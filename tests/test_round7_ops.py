@@ -1,0 +1,141 @@
+"""Round-7 staged-index invariants: an index probe must return results
+bit-identical to the corpus-scan formulation it replaces, and the probe
+plans must actually prune — files on the term-sorted posting layout,
+partitions on the cell-partitioned IVF-PQ codes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators import similarity, text
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["hash", "join", "vector"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bm25_index_probe_matches_corpus_scan(spark, tmp_path):
+    """bm25_topk_indexed over a freshly built index must equal
+    bm25_scores run directly on the corpus — same docs, same scores to
+    the last bit (both fold identical exact integers through the same
+    9-dp DECIMAL(28,12) contributions)."""
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "text_index")
+    text.build_text_index(docs, idx)
+    probe = text.bm25_topk_indexed(spark, idx, TERMS, k=20)
+    scan = text.bm25_scores(docs, TERMS, k=20)
+    assert _rows(probe) == _rows(scan)
+
+
+def test_tfidf_index_probe_matches_corpus_scan(spark, tmp_path):
+    """The TF-IDF backend (hybrid-RRF's second ranker) probed from the
+    index must equal the corpus-scan computation."""
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "text_index")
+    text.build_text_index(docs, idx)
+    probe = text.tfidf_topk_indexed(spark, idx, TERMS, k=50)
+
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scan = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 9
+            )
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+    assert _rows(probe) == _rows(scan)
+
+
+def test_postings_probe_prunes_files_and_pushes_predicate(spark, tmp_path):
+    """The term-sorted posting layout must let a term probe skip files:
+    the probed read touches strictly fewer parquet files than the
+    layout holds, and the term predicate reaches the scan
+    (PushedFilters). This is the entire point of staging — query cost
+    bounded by the matching postings, not the corpus."""
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "text_index")
+    text.build_text_index(docs, idx, num_files=8)
+    post = spark.read.parquet(f"{idx}/postings")
+    n_files_total = post.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    probed = post.filter(F.col("term").isin(TERMS))
+    n_files_probed = probed.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_files_probed < n_files_total
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_ivfpq_index_probe_matches_inquery_build(spark, tmp_path):
+    """ivfpq_topk_indexed over a persisted index must return the exact
+    rows of ivfpq_topk's in-query build — identical routing, codes,
+    LUT, and ADC folds, only read instead of recomputed."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_index")
+    similarity.build_ivfpq_index(emb, idx)
+    probe = similarity.ivfpq_topk_indexed(spark, emb, idx, query_vec_id=42)
+    build = similarity.ivfpq_topk(emb, query_vec_id=42)
+    assert _rows(probe) == _rows(build)
+
+
+def test_ivfpq_codes_read_only_probed_cells(spark, tmp_path):
+    """The cell-partitioned codes layout must prune at the partition
+    level: a 2-cell probe reads files from exactly those 2 cid
+    directories, never the other 14."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_index")
+    similarity.build_ivfpq_index(emb, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    probed = codes.filter(F.col("cid").isin([3, 7]))
+    files = [
+        r["f"]
+        for r in probed.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert files  # both cells exist under the convention quantizer
+    assert all(("cid=3" in f) or ("cid=7" in f) for f in files)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_staged_edges_reregister_preserves_bucketing(spark):
+    """A fresh staging from an earlier session must re-register in the
+    new session's catalog as the SAME bucketed layout (bucketing
+    metadata lives in the catalog, not the parquet files): drop the
+    table, re-stage, and the bucket spec and edge set must survive."""
+    from nyc_opendata_etl_spark.queries.relational import (
+        _stage_copurchase_edges,
+    )
+
+    tbl = _stage_copurchase_edges(spark, SF)
+    before = spark.table(tbl).count()
+    assert before > 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # simulate a new session
+    tbl2 = _stage_copurchase_edges(spark, SF)
+    assert tbl2 == tbl
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    kv = {r["col_name"]: r["data_type"] for r in desc}
+    assert kv.get("Num Buckets") == "8"
+    assert "a" in kv.get("Bucket Columns", "")
+    assert spark.table(tbl).count() == before
