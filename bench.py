@@ -87,11 +87,29 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    qfile = Path(__file__).resolve().parent / "bench_queries.json"
+    here = Path(__file__).resolve().parent
+    qfile = here / "bench_queries.json"
     try:
         qfile.write_text(json.dumps(payload, indent=1))
     except OSError as e:
         print(f"bench: could not write {qfile}: {e}", file=sys.stderr)
+
+    # Round-stamped copy so per-query timings can be diffed ACROSS
+    # rounds without tail-capture archaeology: the driver records
+    # BENCH_r{N}.json after this run, so the current round is one past
+    # the newest existing round file.
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    ]
+    detail = here / f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+    try:
+        detail.write_text(json.dumps(payload, indent=1))
+    except OSError as e:
+        print(f"bench: could not write {detail}: {e}", file=sys.stderr)
 
     errors = sum(1 for v in timings.values() if v < 0)
     print(

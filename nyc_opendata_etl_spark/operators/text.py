@@ -417,3 +417,77 @@ def tfidf_topk_indexed(
         .agg(F.sum("c").cast("double").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), id_col).limit(k)
+
+
+def update_text_index(
+    spark,
+    new_docs,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_files: int = 4,
+) -> None:
+    """Incremental index maintenance — the write-time answer to "the
+    corpus grew": tokenize ONLY the new documents, append their
+    postings, and merge the (tiny) vocab and stats tables. The old
+    corpus is never re-read, so maintenance cost is O(new docs)
+    regardless of index size — at 100 TB this is the difference between
+    an hourly ingest job and a daily full rebuild.
+
+    Appended posting files are themselves term-range-sorted, so footer
+    pruning holds per batch (a real deployment compacts batches
+    periodically; probes are correct either way). The vocab merge is a
+    full-outer sum of two document-frequency relations — the old vocab
+    is small (|V| rows), so rewriting it is O(|V|), not O(corpus).
+    Callers guarantee ``new_docs`` ids are disjoint from the indexed
+    corpus (append semantics, like any fact ingest)."""
+    toks = new_docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = new_docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+    )
+    (
+        tf.join(dl, id_col)
+        .repartitionByRange(num_files, "term")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("append")
+        .parquet(f"{path}/postings")
+    )
+
+    new_vocab = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_new")
+    )
+    old_vocab = spark.read.parquet(f"{path}/vocab")
+    merged_vocab = (
+        old_vocab.join(new_vocab, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("df_new"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .localCheckpoint()  # sever lineage from vocab/ before overwrite
+    )
+    merged_vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+    new_stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl_new"),
+    )
+    old_stats = spark.read.parquet(f"{path}/stats")
+    merged_stats = (
+        old_stats.crossJoin(new_stats)
+        .select(
+            (F.col("n") + F.col("n_new")).cast("long").alias("n"),
+            (F.col("sum_dl") + F.col("sum_dl_new")).cast("long").alias("sum_dl"),
+        )
+        .localCheckpoint()
+    )
+    merged_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

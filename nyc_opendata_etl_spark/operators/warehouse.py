@@ -419,15 +419,24 @@ def build_star(
 
     need_311 = "311" in facts or "integrated" in facts
     need_parking = "parking" in facts or "integrated" in facts
+    # The integrated fact projects only (source, id, date/time keys,
+    # agency_key, location_key) — an integrated-ONLY build therefore
+    # skips the dims and FK stamps that exist solely for the full
+    # per-branch facts (complaint, vehicle, violation, parking
+    # location): same values on every column it does output, roughly
+    # half the dim builds/probes/stamp joins in the plan.
+    full_311 = "311" in facts
+    full_parking = "parking" in facts
     dims = {
         "dim_date": date_dim(spark),
         "dim_time": time_dim(spark),
         "dim_agency": build_agency_dim(agency_src),
     }
-    if need_311:
+    if full_311:
         dims["dim_complaint"] = build_complaint_dim(raw_311)
+    if need_311:
         dims["dim_location"] = build_location_dim(raw_311)
-    if need_parking:
+    if full_parking:
         dims["dim_vehicle"] = build_vehicle_dim(raw_parking)
         dims["dim_violation"] = build_violation_dim(raw_parking)
         dims["dim_parking_location"] = build_parking_location_dim(raw_parking)
@@ -465,13 +474,14 @@ def build_star(
     if need_311:
         cleaned = clean_311(raw_311)
         cleaned = stamp(cleaned, "dim_agency", AGENCY_NK, "agency_key")
-        cleaned = ensure_columns(cleaned, {"location_type": "string"})
-        cleaned = cleaned.withColumn(
-            "location_type", F.coalesce(F.col("location_type"), F.lit(""))
-        )
-        cleaned = stamp(cleaned, "dim_complaint", COMPLAINT_NK, "complaint_key")
+        if full_311:  # complaint stamp feeds only the full 311 fact
+            cleaned = ensure_columns(cleaned, {"location_type": "string"})
+            cleaned = cleaned.withColumn(
+                "location_type", F.coalesce(F.col("location_type"), F.lit(""))
+            )
+            cleaned = stamp(cleaned, "dim_complaint", COMPLAINT_NK, "complaint_key")
         cleaned = stamp(cleaned, "dim_location", LOCATION_JOIN_NK, "location_key")
-        fact_311 = project_target(cleaned, FACT_311_COLS)
+        fact_311 = project_target(cleaned, FACT_311_COLS) if full_311 else cleaned
 
     # ── parking fact ─────────────────────────────────────────────────
     fact_parking = None
@@ -480,8 +490,11 @@ def build_star(
         cleaned_p = cleaned_p.withColumnsRenamed(
             {"plate_id": "plate", "registration_state": "state", "plate_type": "license_type"}
         )
-        cleaned_p = stamp(cleaned_p, "dim_vehicle", VEHICLE_NK, "vehicle_key")
-        fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
+        if full_parking:  # vehicle stamp feeds only the full parking fact
+            cleaned_p = stamp(cleaned_p, "dim_vehicle", VEHICLE_NK, "vehicle_key")
+            fact_parking = project_target(cleaned_p, FACT_PARKING_COLS)
+        else:
+            fact_parking = cleaned_p
 
     # ── integrated fact ──────────────────────────────────────────────
     # The reference ships only a sink for this table
@@ -509,9 +522,9 @@ def build_star(
         )
 
     out = dict(dims)
-    if fact_311 is not None:
+    if full_311:
         out["fact_311_complaints"] = fact_311
-    if fact_parking is not None:
+    if full_parking:
         out["fact_parking_tickets"] = fact_parking
     if integrated is not None:
         out["integrated_fact_service_requests"] = integrated

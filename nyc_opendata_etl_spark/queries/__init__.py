@@ -252,6 +252,7 @@ _RECHECK_R7 = (
     "layout_zorder_locality", # zvalue bits fix (ADVICE: user_id > 2^11)
     # --- new registrations this round ---
     "pipeline_integrated_fact",  # reference's third fact under a verdict
+    "search_bm25_incremental",   # append/merge index-maintenance path
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -38,6 +38,29 @@ def _stage_text_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _stage_text_index_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the posting-list index by INCREMENTAL construction: build
+    from the even-doc_id half of the corpus, then update_text_index the
+    odd half — exercising the append/merge maintenance path end to end.
+    A probe over this index must equal one over a from-scratch build
+    (same corpus), which the search_bm25_incremental oracle verifies
+    against the raw documents."""
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "text_index_incr")
+    if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
+        import os
+
+        docs = load_table(spark, sf_dir, "documents")
+        text.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        text.update_text_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), path
+        )
+        with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
+            fh.write("")  # both phases completed
+    return path
+
+
 def _stage_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF-PQ index once per embeddings version; the ANN query
     probes the persisted cells. codebook/ is written last — its marker
@@ -2024,6 +2047,56 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12) folds), so the DuckDB oracle is unchanged."""
     index = _stage_text_index(spark, sf_dir)
     return text.bm25_topk_indexed(spark, index, ["hash", "join", "vector"])
+
+
+@register(
+    "search_bm25_incremental",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('scan', 'filter', 'stream')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12)) AS c
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_hit_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for {scan, filter, stream} probed from an index
+    built INCREMENTALLY (operators/text.update_text_index): the even
+    half of the corpus is indexed from scratch, the odd half appended
+    as a maintenance batch — postings appended (O(new docs), the old
+    corpus never re-tokenized), vocab merged by full-outer df sum,
+    stats added. The oracle computes BM25 over the raw full corpus, so
+    a green row proves append+merge reconstructs exactly the state a
+    from-scratch build would have — the hourly-ingest-vs-daily-rebuild
+    contract a 100 TB index depends on."""
+    index = _stage_text_index_incremental(spark, sf_dir)
+    return text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
 
 
 @register(

@@ -167,6 +167,59 @@ def _synth_311_stub(spark: SparkSession) -> DataFrame:
     return _empty(spark, _EMPTY_311_COLS)
 
 
+@register(
+    "pipeline_integrated_fact",
+    oracle=f"""
+    SELECT '311' AS source,
+           CAST(o_orderkey AS VARCHAR) AS service_request_id,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+           CAST(hour(o_orderdate) * 10000 + minute(o_orderdate) * 100 AS INT)
+               AS time_key,
+           {surrogate(norm('o_orderpriority'), norm('o_orderstatus'))}
+               AS agency_key,
+           {_LOC_NULL_KEY} AS location_key
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'parking' AS source,
+           CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+               AS service_request_id,
+           CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS date_key,
+           CAST((CASE WHEN l_orderkey % 2 = 0
+                      THEN (day(l_shipdate) % 12 + 1) % 12
+                      ELSE (day(l_shipdate) % 12 + 1) % 12 + 12 END) * 10000
+                + (l_partkey % 60) * 100 AS INT) AS time_key,
+           CAST(NULL AS BIGINT) AS agency_key,
+           {surrogate(
+               "CAST(l_suppkey % 100 AS VARCHAR)",
+               norm('l_returnflag'),
+               norm('l_linestatus'),
+               "'k'",
+               "CAST(l_partkey % 10 AS VARCHAR)",
+           )} AS location_key
+    FROM lineitem
+    """,
+)
+def q_pipeline_integrated_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD fact (load_integrated_fact.py ships only
+    its sink — the transform is this repo's definition): the conformed
+    union of both cleaned facts on the shared service-request grain
+    (source, natural id, date/time keys, agency/location FKs). Runs the
+    two-branch star build SCOPED to the integrated output — both
+    synthetic raws, both cleans, the agency and location stamps — while
+    build_star skips the dims and stamps only the per-branch facts
+    project (complaint, vehicle, violation, parking location), so one
+    driver verdict covers the union schema conformance, the branch
+    dataflows feeding it, and the null-FK policy for the branch
+    (parking) whose grain lacks an agency. The oracle is the UNION ALL
+    of the two facts' direct surrogate computations; the scoping is
+    value-preserving by construction (pinned in
+    tests/test_warehouse.py)."""
+    raw_311 = _synth_raw_311(spark, sf_dir)
+    raw_parking = _synth_raw_parking(spark, sf_dir)
+    out = build_star(spark, raw_311, raw_parking, facts=("integrated",))
+    return out["integrated_fact_service_requests"]
+
+
 # --------------------------------------------------------------------------
 # SCD Type 2 dimension merge (warehouse surface the reference lacks:
 # its dim loaders only append — etl/core/dim_loader.py:23-30)

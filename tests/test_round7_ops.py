@@ -139,3 +139,28 @@ def test_staged_edges_reregister_preserves_bucketing(spark):
     assert kv.get("Num Buckets") == "8"
     assert "a" in kv.get("Bucket Columns", "")
     assert spark.table(tbl).count() == before
+
+
+def test_incremental_index_update_equals_full_rebuild(spark, tmp_path):
+    """build_text_index on half the corpus + update_text_index with the
+    other half must reconstruct EXACTLY the state of a from-scratch
+    build over the full corpus: identical merged vocab and stats, and a
+    bit-identical BM25 ranking — the append/merge maintenance contract
+    (O(new docs), old corpus never re-read)."""
+    docs = load_table(spark, SF, "documents")
+    full_idx = str(tmp_path / "full")
+    incr_idx = str(tmp_path / "incr")
+    text.build_text_index(docs, full_idx)
+    text.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), incr_idx)
+    text.update_text_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), incr_idx
+    )
+
+    for part in ("vocab", "stats"):
+        a = spark.read.parquet(f"{full_idx}/{part}")
+        b = spark.read.parquet(f"{incr_idx}/{part}")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    ra = text.bm25_topk_indexed(spark, full_idx, TERMS, k=20)
+    rb = text.bm25_topk_indexed(spark, incr_idx, TERMS, k=20)
+    assert _rows(ra) == _rows(rb)

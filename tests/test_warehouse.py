@@ -285,3 +285,20 @@ def test_build_star_facts_scoping_preserves_values(spark):
     assert a.columns == b.columns
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+    # integrated-only scoping: skips the per-branch-fact dims/stamps
+    # (complaint, vehicle, violation, parking location) but must emit
+    # the identical integrated rows the full build derives
+    integ = W.build_star(
+        spark, _raw_311(spark), _raw_parking(spark), facts=("integrated",)
+    )
+    for absent in (
+        "fact_311_complaints", "fact_parking_tickets", "dim_complaint",
+        "dim_vehicle", "dim_violation", "dim_parking_location",
+    ):
+        assert absent not in integ
+    fa = full["integrated_fact_service_requests"]
+    fb = integ["integrated_fact_service_requests"]
+    assert fa.columns == fb.columns
+    assert fa.exceptAll(fb).count() == 0
+    assert fb.exceptAll(fa).count() == 0
