@@ -162,11 +162,13 @@ SHOWCASE = {
         "sketch-shaped data motion."
     ),
     "graph_triangles": (
-        "Degree-ordered triangle counting: the basket self-join builds "
-        "edges once (localCheckpoint), orientation joins the broadcast "
-        "degree relation, and the count joins sorted out-neighborhood "
-        "arrays onto the edge list - O(m) rows shuffled, the O(m^1.5) "
-        "wedge work stays CPU-side inside array_intersect."
+        "Degree-ordered triangle counting over the STAGED bucketed edge "
+        "table (the basket self-join is write-time work): the degree "
+        "join starts from the hash-clustered scan, orientation joins "
+        "the degree relation (AQE-broadcast while it fits), and the "
+        "count joins sorted out-neighborhood arrays onto the edge list "
+        "- O(m) rows shuffled, the O(m^1.5) wedge work stays CPU-side "
+        "inside array_intersect."
     ),
     "embedding_gramian": (
         "Normal-equation block: 44 decimal expression sums partial-"
@@ -187,10 +189,18 @@ SHOWCASE = {
         "the only exchange carries m rows per vector."
     ),
     "search_bm25": (
-        "BM25: the token explode is filtered to the query terms at the "
-        "scan stage (posting-list probe), the (term, df) and corpus-stat "
-        "relations broadcast, per-doc scores partial-aggregate map-side, "
-        "and the ranking is TakeOrderedAndProject."
+        "BM25 as a STAGED posting-list probe: the term predicate pushes "
+        "into the postings scan and prunes files on the term-sorted "
+        "layout (the corpus is never tokenized at query time), the "
+        "3-row vocab and 1-row stats broadcast, per-doc scores partial-"
+        "aggregate map-side, and the ranking is TakeOrderedAndProject."
+    ),
+    "similarity_ivfpq_topk": (
+        "IVF-PQ as a STAGED index probe: the bounded 2-cell routing "
+        "collect drives static partition pruning on the cell-"
+        "partitioned codes, the 128-row ADC LUT broadcasts, and the "
+        "ranking is TakeOrderedAndProject; only the in-plan exact-"
+        "recall evaluation touches raw vectors."
     ),
     "corpus_mix_temperature": (
         "Sampling-policy table: one corpus aggregate (map-side token "
