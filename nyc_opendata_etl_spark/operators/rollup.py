@@ -251,3 +251,84 @@ def bitmap_counts(df: DataFrame, keys: list[str], col: str) -> DataFrame:
         .alias(f"n_distinct_{col}"),
         F.sum("n").cast("long").alias("n"),
     )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Count-min frequency sketch — the FREQUENCY member of the mergeable-
+# state matrix (HLL/Theta: distinct; KLL: quantiles; bitmap: exact
+# distinct; count-min: per-item counts). d×w integer counters answer
+# "how often does item x occur?" for ANY x with est ≥ true and
+# est ≤ true + εN guarantees — heavy-hitter queries from constant-size
+# state instead of a full-cardinality group-by. The hash family is the
+# engine's md5-affine convention (functions/hashing.md5_long), so a
+# DuckDB oracle replays bucket assignment — and therefore every
+# estimate — bit-for-bit.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def countmin_batch(
+    df: DataFrame, col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-min state for one batch: each value lands in one bucket
+    per hash row (``bucket_i(v) = md5_long(i + '#' + v) mod w``), and
+    the state is the (cm_row, cm_bucket, cnt) counter relation —
+    at most d·w rows regardless of input size. Shape: a d-way
+    scan-stage-local explode, then ONE map-side-combined aggregate;
+    the only shuffle carries ≤ d·w groups."""
+    from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(d)])
+    ).alias("cm_row")
+    t = df.select(F.col(col).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).select("v", rows)
+    bucket = (
+        md5_long(F.concat_ws("#", F.col("cm_row"), F.col("v"))) % w
+    ).alias("cm_bucket")
+    return (
+        t.select("cm_row", bucket)
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_merge(state: DataFrame, batch_state: DataFrame) -> DataFrame:
+    """Fold a batch's count-min state into persisted state: counters
+    add coordinate-wise, so any batching of the input yields the
+    identical counter relation as one pass (pinned by tests) — the
+    incremental-maintenance contract shared by the whole sketch
+    family."""
+    return (
+        state.unionByName(batch_state)
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    state: DataFrame, probes: DataFrame, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Frequency estimates for a probe relation (column ``term``):
+    ``est(v) = min_i cnt[i, bucket_i(v)]`` — never an undercount, and
+    over by at most εN (ε ≈ e/w) with high probability. The state side
+    is ≤ d·w rows by construction and broadcasts (the probe relation is
+    the preserved side of the left join); absent buckets count 0."""
+    from nyc_opendata_etl_spark.functions.hashing import md5_long
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(d)])
+    ).alias("cm_row")
+    p = probes.select(F.col("term"), rows).withColumn(
+        "cm_bucket",
+        md5_long(F.concat_ws("#", F.col("cm_row"), F.col("term"))) % w,
+    )
+    return (
+        p.join(F.broadcast(state), ["cm_row", "cm_bucket"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_freq")
+        )
+    )

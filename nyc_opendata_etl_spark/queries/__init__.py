@@ -253,6 +253,7 @@ _RECHECK_R7 = (
     # --- new registrations this round ---
     "pipeline_integrated_fact",  # reference's third fact under a verdict
     "search_bm25_incremental",   # append/merge index-maintenance path
+    "sketch_countmin_freq",      # frequency member of the sketch matrix
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -2183,3 +2183,113 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
     )
     return text.rrf_fuse(ra, rb)
+
+
+_CM_PROBES = ("join", "scan", "filter", "data", "quantile")
+
+
+def _cm_bucket_sql(row_expr: str, term_expr: str, w: int = 32) -> str:
+    return (
+        md5_long_oracle_sql(f"concat_ws('#', {row_expr}, {term_expr})")
+        + f" % {w}"
+    )
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOK}) AS term FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    h AS (
+        SELECT r.i AS cm_row, {_cm_bucket_sql('r.i', 't.term')} AS cm_bucket
+        FROM tok t CROSS JOIN rows_ r
+    ),
+    cm AS (
+        SELECT cm_row, cm_bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM h GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT unnest(['join', 'scan', 'filter', 'data', 'quantile'])
+            AS term
+    ),
+    ph AS (
+        SELECT t.term, r.i AS cm_row,
+               {_cm_bucket_sql('r.i', 't.term')} AS cm_bucket
+        FROM probes t CROSS JOIN rows_ r
+    ),
+    est AS (
+        SELECT term, CAST(min(COALESCE(cm.cnt, 0)) AS BIGINT) AS est_freq
+        FROM ph LEFT JOIN cm USING (cm_row, cm_bucket)
+        GROUP BY term
+    ),
+    exact AS (
+        SELECT p.term, CAST(count(t.term) AS BIGINT) AS exact_freq
+        FROM probes p LEFT JOIN tok t ON t.term = p.term
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+    SELECT e.term, e.est_freq, x.exact_freq,
+           e.est_freq >= x.exact_freq AS never_undercounts,
+           (e.est_freq - x.exact_freq) <= (3 * n.n_tokens) // 32
+               AS within_eps
+    FROM est e JOIN exact x USING (term) CROSS JOIN n
+    """,
+)
+def q_sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/rollup.countmin_*) — the
+    FREQUENCY member of the mergeable-state matrix (HLL/Theta distinct,
+    KLL quantiles, exact bitmap, count-min item counts): 4×32 integer
+    counters answer "how often does term x occur in the corpus?" for
+    any x, with est ≥ true and est ≤ true + εN (ε = 3/w) — heavy-hitter
+    queries from constant state instead of a full-vocabulary group-by.
+    w is deliberately sized below the corpus vocabulary so buckets
+    genuinely collide and the estimates genuinely estimate. The state
+    is built as merge(batch(even docs), batch(odd docs)), so the
+    incremental re-aggregation identity rides inside the checked plan;
+    estimates for five probe terms (one absent from the corpus) are
+    compared against exact counts with the never-undercount and
+    ε-overcount laws as driver-checked booleans. The md5-affine hash
+    family replays in DuckDB, so bucket assignment — and therefore
+    every estimate — is cross-engine bit-identical. Scale shape: a
+    4-way scan-local explode, one ≤1024-group map-side-combined
+    aggregate; the probe side broadcasts 20 rows."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        countmin_batch,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    state = countmin_merge(
+        countmin_batch(toks.filter(F.col("doc_id") % 2 == 0), "term", w=32),
+        countmin_batch(toks.filter(F.col("doc_id") % 2 == 1), "term", w=32),
+    )
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "term string")
+    est = countmin_estimate(state, probes, w=32)
+    exact = (
+        probes.join(toks, "term", "left")
+        .groupBy("term")
+        .agg(F.count(F.col("doc_id")).cast("long").alias("exact_freq"))
+    )
+    n = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        est.join(exact, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "est_freq",
+            "exact_freq",
+            (F.col("est_freq") >= F.col("exact_freq")).alias(
+                "never_undercounts"
+            ),
+            (
+                (F.col("est_freq") - F.col("exact_freq"))
+                <= F.expr("(3 * n_tokens) div 32")
+            ).alias("within_eps"),
+        )
+    )

@@ -164,3 +164,42 @@ def test_incremental_index_update_equals_full_rebuild(spark, tmp_path):
     ra = text.bm25_topk_indexed(spark, full_idx, TERMS, k=20)
     rb = text.bm25_topk_indexed(spark, incr_idx, TERMS, k=20)
     assert _rows(ra) == _rows(rb)
+
+
+def test_countmin_merge_identity_and_laws(spark):
+    """Count-min contracts: (1) merge(batch(A), batch(B)) produces the
+    IDENTICAL counter relation as batch(A ∪ B) — counters add, so any
+    batching yields one state; (2) est ≥ exact for EVERY distinct term
+    in the corpus (the never-undercount law, checked exhaustively, not
+    just on probes); (3) state size is bounded by d·w rows whatever the
+    input size."""
+    from nyc_opendata_etl_spark.operators.rollup import (
+        countmin_batch,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    one_pass = countmin_batch(toks, "term", d=4, w=32)
+    merged = countmin_merge(
+        countmin_batch(toks.filter(F.col("doc_id") % 2 == 0), "term", d=4, w=32),
+        countmin_batch(toks.filter(F.col("doc_id") % 2 == 1), "term", d=4, w=32),
+    )
+    assert one_pass.exceptAll(merged).count() == 0
+    assert merged.exceptAll(one_pass).count() == 0
+    assert one_pass.count() <= 4 * 32
+
+    vocab = toks.select("term").distinct()
+    est = countmin_estimate(one_pass, vocab, d=4, w=32)
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_freq")
+    )
+    bad = (
+        est.join(exact, "term")
+        .filter(F.col("est_freq") < F.col("exact_freq"))
+        .count()
+    )
+    assert bad == 0
