@@ -393,3 +393,54 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"max_iter hops would otherwise be silently split)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def substring_dup_groups(
+    docs: DataFrame,
+    length: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication: find character sequences of
+    ``length`` repeated across documents — the signal behind
+    suffix-array substring dedup in LLM corpus curation (memorizable
+    boilerplate, licenses, templated passages survive document-level
+    dedup because the containing docs differ). Each doc's canonical
+    text is cut into char shingles every ``stride`` positions, shingles
+    hash through the engine's md5-affine convention (DuckDB-replayable),
+    and hash groups spanning >= min_docs distinct docs are the
+    duplicated sequences: (shingle_hash, n_occurrences, n_docs,
+    first_doc_id).
+
+    Scale shape: the shingle explode is scan-stage-local (~chars/stride
+    rows per doc) into ONE map-side-combined aggregate keyed by hash —
+    embarrassingly parallel, no joins. Production corpora run this as
+    two phases (coarse stride to find candidate regions, stride-1
+    verify inside candidates — same operator, two calls) or a true
+    suffix array per shard; the single-call form here is the verify
+    kernel. stride > 1 detects repeats whose copies are stride-aligned
+    (full-document copies and append-only edits; arbitrary-offset
+    repeats need the stride-1 pass)."""
+    t = canon_text(F.col(text_col))
+    shingles = F.when(
+        F.length(t) >= length,
+        F.expr(
+            f"transform(sequence(1, length(__t__) - {length - 1}, {stride}),"
+            f" p -> substring(__t__, p, {length}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.withColumn("__t__", t)
+        .select(F.col(id_col), F.explode(shingles).alias("s"))
+    )
+    return (
+        sh.groupBy(md5_long(F.col("s")).alias("shingle_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -254,6 +254,7 @@ _RECHECK_R7 = (
     "pipeline_integrated_fact",  # reference's third fact under a verdict
     "search_bm25_incremental",   # append/merge index-maintenance path
     "sketch_countmin_freq",      # frequency member of the sketch matrix
+    "dedup_substring_exact",     # passage-level dedup granularity
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -2293,3 +2293,43 @@ def q_sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_CANON} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 39, 10),
+                   p -> substr(t, p, 40))) AS s
+        FROM d WHERE len(t) >= 40
+    ),
+    g AS (
+        SELECT {md5_long_oracle_sql('s')} AS shingle_hash,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc_id
+        FROM sh GROUP BY 1
+    )
+    SELECT shingle_hash, n_occurrences, n_docs, first_doc_id
+    FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, shingle_hash LIMIT 100
+    """,
+)
+def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication
+    (operators/dedup.substring_dup_groups): 40-char shingles every 10
+    positions of the canonical text, md5-affine hashed, groups spanning
+    >= 2 distinct docs surfaced (top-100 by spread) — the
+    suffix-array-style signal that catches boilerplate/templated
+    passages document-level dedup misses, because the CONTAINING docs
+    differ. Completes the dedup matrix's granularity axis: document
+    (exact/minhash/simhash/semantic) -> passage (this) -> token
+    (text_repetition). One scan-local explode into one
+    map-side-combined hash aggregate; no joins, no all-pairs
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    g = dedup.substring_dup_groups(docs, length=40, stride=10, min_docs=2)
+    return g.orderBy(F.col("n_docs").desc(), "shingle_hash").limit(100)

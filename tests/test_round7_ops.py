@@ -203,3 +203,42 @@ def test_countmin_merge_identity_and_laws(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_substring_dedup_detects_shared_passage(spark):
+    """A 40+ char passage embedded in otherwise-different docs must be
+    detected: at stride 1 regardless of insertion offset; at stride 10
+    when the copies are stride-aligned. Docs without shared passages
+    must produce no groups."""
+    from nyc_opendata_etl_spark.operators.dedup import substring_dup_groups
+
+    passage = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "unique prefix one " + passage + " unique suffix alpha"),
+            (2, "another beginning text " + passage + " other ending"),
+            (3, "totally unrelated content with no shared passages at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # stride 1: offset-independent detection
+    g1 = substring_dup_groups(docs, length=40, stride=1).collect()
+    assert len(g1) > 0
+    assert all(r["n_docs"] == 2 and r["first_doc_id"] == 1 for r in g1)
+
+    # disjoint docs: nothing detected
+    solo = spark.createDataFrame(
+        [(1, "completely distinct text number one right here"),
+         (2, "and a second document sharing nothing with the first")],
+        "doc_id long, text string",
+    )
+    assert substring_dup_groups(solo, length=40, stride=1).count() == 0
+
+    # stride 10 with aligned copies (identical texts): detected
+    twins = spark.createDataFrame(
+        [(7, passage + " with a common tail of words"),
+         (8, passage + " with a common tail of words")],
+        "doc_id long, text string",
+    )
+    g10 = substring_dup_groups(twins, length=40, stride=10).collect()
+    assert len(g10) > 0 and all(r["n_docs"] == 2 for r in g10)
