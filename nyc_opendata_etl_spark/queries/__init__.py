@@ -255,6 +255,7 @@ _RECHECK_R7 = (
     "search_bm25_incremental",   # append/merge index-maintenance path
     "sketch_countmin_freq",      # frequency member of the sketch matrix
     "dedup_substring_exact",     # passage-level dedup granularity
+    "layout_zorder_pruned_scan", # staged z-ordered layout, read side
 )
 
 def _ordered() -> dict[str, QueryDef]:

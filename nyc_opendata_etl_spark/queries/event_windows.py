@@ -1074,3 +1074,69 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("minute_of_day").alias("min_minute"),
         F.max("minute_of_day").alias("max_minute"),
     )
+
+
+def _stage_events_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a Z-ORDERED parquet layout on (user_id,
+    minute_of_day) once per events version (operators/layout.
+    write_zordered: min/max bucketization into the 11-bit budget, one
+    range exchange, sorted files). Every staged file's footer then
+    bounds BOTH dimensions, so a 2-D box predicate prunes most files
+    before any compute — the read-side payoff the layout exists for,
+    here under a registered query instead of only a test pin."""
+    from nyc_opendata_etl_spark.operators.layout import write_zordered
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "events_zordered")
+    if is_stale(path, sf_dir, "events"):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "minute_of_day",
+            (F.hour("ts") * 60 + F.minute("ts")).cast("long"),
+        )
+        write_zordered(
+            ev, ["user_id", "minute_of_day"], path, bits=11, num_files=16
+        )
+    return path
+
+
+@register(
+    "layout_zorder_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 120
+      AND (hour(ts) * 60 + minute(ts)) BETWEEN 540 AND 779
+    GROUP BY event_type
+    """,
+)
+def q_layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query over the STAGED z-ordered events layout
+    (_stage_events_zordered): morning activity (minutes 540-779) of a
+    user band (10-120, non-empty at every SF), aggregated per event type. The predicates push
+    into the parquet scan and meet footer min/max stats that the Morton
+    layout keeps TIGHT IN BOTH dimensions — most files never open
+    (pruning pinned in tests/test_round7_ops.py; a single-column sort
+    would bound only one dimension). Values are layout-independent
+    (exact filters + decimal-folded sum), so the oracle runs the same
+    predicates against the raw table — a green row proves the layout
+    changed the read cost, never the answer."""
+    path = _stage_events_zordered(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            F.col("user_id").between(10, 120)
+            & F.col("minute_of_day").between(540, 779)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
