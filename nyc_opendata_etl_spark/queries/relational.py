@@ -1936,3 +1936,80 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the staged scan is cheap to replay — skip the operator's input
     # materialization (it exists for expensive in-query edge builds)
     return triangle_count(spark.table(tbl), materialize_input=False)
+
+
+# --------------------------------------------------------------------------
+# Deterministic bloom-prefiltered join (portable runtime-filter semantics)
+# --------------------------------------------------------------------------
+
+def _bloom_oracle() -> str:
+    from nyc_opendata_etl_spark.operators.bloom import bloom_position_sql
+
+    p = [bloom_position_sql(i, "l_suppkey", 32) for i in range(2)]
+    b = [bloom_position_sql(i, "bk", 32) for i in range(2)]
+    return f"""
+    WITH bkeys AS (
+        SELECT DISTINCT s_suppkey AS bk FROM supplier
+        WHERE s_nationkey = 3 AND s_suppkey IS NOT NULL
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {b[0]} AS pos FROM bkeys
+            UNION ALL
+            SELECT {b[1]} AS pos FROM bkeys
+        )
+    ),
+    cand AS (
+        SELECT l_suppkey, l_quantity FROM lineitem
+        WHERE {p[0]} IN (SELECT pos FROM bits)
+          AND {p[1]} IN (SELECT pos FROM bits)
+    )
+    SELECT (SELECT count(*) FROM bkeys) AS n_build_keys,
+           (SELECT count(*) FROM bits) AS n_bits_set,
+           count(*) AS n_candidates,
+           count(CASE WHEN bk IS NOT NULL THEN 1 END) AS n_matched,
+           count(CASE WHEN bk IS NULL THEN 1 END) AS n_false_positives,
+           round(sum(CASE WHEN bk IS NOT NULL THEN l_quantity END), 2)
+               AS sum_matched_qty
+    FROM cand LEFT JOIN bkeys ON cand.l_suppkey = bkeys.bk
+    """
+
+
+@register("join_bloom_prefiltered", oracle=_bloom_oracle())
+def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join with the false-positive math
+    itself under the differential gate.
+
+    Spark's native runtime bloom injection is engine-private (pinned in
+    tests/test_plans.py); this query builds the same reduction from the
+    portable md5-affine family (operators/bloom.py) so DuckDB replays the
+    EXACT candidate set — m=32/k=2 is deliberately undersized so false
+    positives genuinely occur and are counted. The probe-side prefilter
+    is a scan-local ``forall`` over a broadcast bitmap: at 100 TB the
+    fact never shuffles its non-candidate complement, and the exact
+    semi-join that removes false positives shuffles only the candidate
+    sliver (~3% here). Build side: one distinct+explode aggregate over
+    the dim."""
+    from nyc_opendata_etl_spark.operators.bloom import bloom_prefilter, build_bloom_bitmap
+
+    m, k = 32, 2
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    bitmap = build_bloom_bitmap(sup, "s_suppkey", m=m, k=k)
+    cand = bloom_prefilter(li, "l_suppkey", bitmap, m=m, k=k)
+    keys = sup.select(F.col("s_suppkey").alias("bk")).where(F.col("s_suppkey").isNotNull()).distinct()
+    agg = cand.join(F.broadcast(keys), cand["l_suppkey"] == F.col("bk"), "left").agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.col("bk").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("bk").isNull(), 1)).alias("n_false_positives"),
+        F.round(F.sum(F.when(F.col("bk").isNotNull(), F.col("l_quantity"))), 2)
+        .alias("sum_matched_qty"),
+    )
+    return agg.crossJoin(
+        F.broadcast(
+            bitmap.select(F.col("n_keys").cast("long").alias("n_build_keys"), "n_bits_set")
+        )
+    ).select(
+        "n_build_keys", "n_bits_set", "n_candidates",
+        "n_matched", "n_false_positives", "sum_matched_qty",
+    )
