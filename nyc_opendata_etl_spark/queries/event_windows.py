@@ -1140,3 +1140,60 @@ def q_layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling: OHLC downsample (min_by/max_by selection aggs)
+# --------------------------------------------------------------------------
+
+# Total order over events within a bar: (ts, event_id) encoded as one
+# sortable string so open/close selection is deterministic under ts ties
+# and portable (Spark min_by/max_by == DuckDB arg_min/arg_max).
+_OHLC_ORD_SQL = (
+    "strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@register(
+    "events_resample_ohlc",
+    oracle=f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS bar_date,
+           arg_min(value, {_OHLC_ORD_SQL}) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, {_OHLC_ORD_SQL}) AS close,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to daily OHLC bars per event type —
+    the canonical time-series resample. open/close are SELECTION
+    aggregates (min_by/max_by over a total (ts, event_id) order), not
+    window functions: one hash aggregate with map-side partials, no
+    per-partition sort, no shuffle of the raw stream beyond the bar
+    keys — the shape that survives 100 TB of ticks. The (ts, event_id)
+    order is encoded as a zero-padded string so ties in ts resolve
+    identically in Spark (min_by/max_by) and DuckDB (arg_min/arg_max).
+    Volume folds through DECIMAL(18,2) so the sum is order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("bar_date")
+    ).agg(
+        F.min_by("value", ord_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -2013,3 +2013,46 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_build_keys", "n_bits_set", "n_candidates",
         "n_matched", "n_false_positives", "sum_matched_qty",
     )
+
+
+@register(
+    "join_null_safe",
+    oracle=f"""
+    WITH f AS (
+        SELECT nullif(o_orderkey % 7, 0) AS k1, o_totalprice FROM orders
+    ),
+    d AS (
+        SELECT unnest([NULL, 1, 2, 3, 4, 5, 6]) AS k,
+               unnest(['grp_null', 'grp_1', 'grp_2', 'grp_3',
+                       'grp_4', 'grp_5', 'grp_6']) AS dim_val
+    )
+    SELECT dim_val, count(*) AS n, {money_sum('o_totalprice')} AS revenue
+    FROM f JOIN d ON f.k1 IS NOT DISTINCT FROM d.k
+    GROUP BY dim_val
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` / SQL ``IS NOT DISTINCT
+    FROM``): NULL keys MATCH each other instead of silently dropping —
+    the semantic corner every late-arriving / unknown-member pipeline
+    hits. A seventh of the fact's keys are nulled via NULLIF and still
+    land on the dim's NULL member; a plain equi-join would lose the
+    whole grp_null row. Null-safe equality remains hash-joinable (NULL
+    is just another key value under ``<=>``), so the plan is the same
+    broadcast hash join as the plain-key case — no fallback to
+    nested-loop."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("nullif(o_orderkey % 7, 0)").alias("k1"), "o_totalprice"
+    )
+    dim = spark.createDataFrame(
+        [(None, "grp_null")] + [(i, f"grp_{i}") for i in range(1, 7)],
+        "k long, dim_val string",
+    )
+    return (
+        orders.join(F.broadcast(dim), orders["k1"].eqNullSafe(dim["k"]))
+        .groupBy("dim_val")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_money("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
