@@ -444,3 +444,70 @@ def substring_dup_groups(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ t,
+    A ≠ B — the asymmetric near-dup axis Jaccard misses. A short
+    document quoted verbatim inside a long one has tiny Jaccard (the
+    union is dominated by B) but containment ≈ 1; this is the
+    doc-inside-doc / quotation / boilerplate-envelope signal a corpus
+    dedup pass needs alongside the symmetric measures.
+
+    Prefix filtering adapts to the asymmetric predicate: if
+    |A∩B| ≥ t·|A| then at most |A| − ⌈t·|A|⌉ of A's shingles fall
+    outside B, so A's first |A| − ⌈t·|A|⌉ + 1 canonically-sorted
+    hashes MUST hit B (pigeonhole) — only the contained side explodes
+    a prefix; the container side posts its full shingle index (no size
+    bound exists on B for containment, unlike Jaccard's length-ratio
+    prune). Candidates then verify exactly via array_intersect on the
+    compact per-doc arrays. Candidate cost is Σ_s c_s·p_s over shared
+    shingles (p_s = prefix postings, a small fraction of c_s); at
+    corpus scale the container index would additionally be pruned
+    rarest-first by document frequency before posting.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(word_shingles(text_col, n)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
+    pref = docs.select("id", F.explode(F.slice(F.col("sh"), 1, prefix_len)).alias("ph"))
+    full = docs.select("id", F.explode("sh").alias("ph"))
+
+    cand = (
+        pref.alias("a")
+        .join(full.alias("b"), (F.col("a.ph") == F.col("b.ph")) & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a").cast("double"), 6
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "containment",
+        )
+    )

@@ -2333,3 +2333,38 @@ def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     g = dedup.substring_dup_groups(docs, length=40, stride=10, min_docs=2)
     return g.orderBy(F.col("n_docs").desc(), "shingle_hash").limit(100)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id != b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a
+    WHERE round(n_common / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs (|A∩B| / |A| ≥ 0.9, A ≠ B) —
+    the asymmetric dedup axis: a short doc quoted inside a long one has
+    near-zero Jaccard but containment ≈ 1. Prefix-filtered on the
+    contained side (pigeonhole bound), full inverted index on the
+    container side, exact array_intersect verify
+    (operators/dedup.containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return dedup.containment_pairs(docs, threshold=0.9)

@@ -2056,3 +2056,86 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_money("o_totalprice")), 2).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           arg_max(l_quantity, cnt * 1024 - l_quantity) AS mode_qty,
+           max(cnt) AS n_mode,
+           (SELECT round(median(l_quantity), 6) FROM lineitem i
+            WHERE i.l_returnflag = counts.l_returnflag) AS median_qty
+    FROM counts
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group with a DETERMINISTIC mode tie-break
+    (highest count, then smallest value — engines' built-in mode() picks
+    an arbitrary tied value, so it can never sit under a differential
+    gate). Mode is two hash aggregates — (group, value) counts, then an
+    arg-max selection — both map-side combinable; median is the exact
+    interpolating percentile. At 100 TB the exact median becomes the KLL
+    sketch (sketch_kll_quantiles); mode's shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    # (cnt, -qty) lexicographic order packed into one scalar: valid while
+    # 0 <= l_quantity < 1024 (TPC-H quantities are 1..50); DuckDB's
+    # arg_max has no composite-key form, so both engines use the packing.
+    mode = counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", F.col("cnt") * 1024 - F.col("l_quantity")).alias(
+            "mode_qty"
+        ),
+        F.max("cnt").alias("n_mode"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty")
+    )
+    return mode.join(med, "l_returnflag")
+
+
+@register(
+    "stats_equidepth_bins",
+    oracle="""
+    WITH binned AS (
+        SELECT o_totalprice,
+               ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS bin_total
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def q_stats_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram via ntile — the optimizer's
+    own statistics shape, and the right binning for skewed money
+    columns where equi-WIDTH bins put 99% of rows in one bucket. The
+    ntile order is total (price, orderkey) so bin edges are
+    deterministic. Note the single-partition window sort: exact global
+    ntile fundamentally serializes the order — at 100 TB the engine
+    swaps in approx_percentile cut points (agg_percentile_approx /
+    sketch_kll_quantiles) and bins by range instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = orders.select(
+        "o_totalprice", F.ntile(8).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("bin_total"),
+    )
