@@ -267,3 +267,134 @@ def test_staged_zordered_events_prune_2d_box(spark):
     # in PushedFilters plus the file-count drop proves the layout+
     # pushdown combination works end to end)
     assert "GreaterThanOrEqual(user_id,10)" in plan
+
+
+# --------------------------------------------------------------------------
+# Round-7 widening: bloom prefilter, containment, OHLC, null-safe join
+# --------------------------------------------------------------------------
+
+def test_bloom_prefilter_candidates_superset_of_matches(spark):
+    """The bloom candidate set must contain EVERY true match (no false
+    negatives — the bloom contract) while the bitmap stays a bounded
+    broadcast array."""
+    from nyc_opendata_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        build_bloom_bitmap,
+    )
+
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    build = spark.range(0, 2000, 37).select(F.col("id").alias("k"))
+    bitmap = build_bloom_bitmap(build, "k", m=64, k=3)
+    cand = set(r["k"] for r in bloom_prefilter(probe, "k", bitmap, m=64, k=3).collect())
+    true_keys = set(r["k"] for r in build.collect())
+    assert true_keys <= cand  # zero false negatives
+    row = bitmap.collect()[0]
+    assert row["n_keys"] == len(true_keys)
+    assert row["n_bits_set"] <= 64 and row["bits"] == sorted(row["bits"])
+
+
+def test_bloom_position_matches_duckdb(spark):
+    """Portable hash family: Spark bit positions == DuckDB replay."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.operators.bloom import (
+        bloom_position,
+        bloom_position_sql,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id"), *[bloom_position(i, "id", 97).alias(f"p{i}") for i in range(3)]
+    )
+    got = {r["id"]: (r["p0"], r["p1"], r["p2"]) for r in df.collect()}
+    con = duckdb.connect()
+    sql = ", ".join(bloom_position_sql(i, "id", 97) for i in range(3))
+    for v, *tup in con.execute(
+        f"SELECT id, {sql} FROM range(50) t(id)"
+    ).fetchall():
+        assert got[v] == tuple(tup)
+
+
+def test_containment_finds_doc_inside_doc_jaccard_misses(spark):
+    """A short doc verbatim inside a much longer one: containment ≈ 1
+    while Jaccard is far below threshold — the asymmetric axis."""
+    from nyc_opendata_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "entirely different words here now")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["contained_id"], r["container_id"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_prefix_filter_lossless(spark):
+    """Prefix filtering must be lossless vs the naive all-pairs exact
+    computation on a corpus with heavy shingle overlap."""
+    from nyc_opendata_etl_spark.operators.dedup import containment_pairs, word_shingles
+
+    base = [f"tok{i}" for i in range(12)]
+    rows = []
+    for d in range(10):
+        # sliding windows over a shared vocabulary → overlapping shingles
+        rows.append((d, " ".join(base[d % 4 : d % 4 + 8])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", F.array_distinct(word_shingles("text")).alias("sh")
+        ).collect()
+    }
+    want = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa:
+                c = round(len(sa & sb) / len(sa), 6)
+                if c >= 0.5:
+                    want[(a, b)] = c
+    assert got == want
+
+
+def test_ohlc_open_close_tie_break_deterministic(spark):
+    """Two events at the IDENTICAL timestamp: open/close must pick by
+    event_id order, not partition luck."""
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 5, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(2, ts, "a", 99.0), (1, ts, "a", 5.0), (3, ts, "a", 7.0)],
+        "event_id long, ts timestamp_ntz, event_type string, value double",
+    ).repartition(3)
+    ord_key = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    row = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max_by("value", ord_key).alias("close"),
+        )
+        .collect()[0]
+    )
+    assert row["open"] == 5.0 and row["close"] == 7.0
+
+
+def test_null_safe_join_keeps_null_keys(spark):
+    """eqNullSafe must match NULL==NULL; a plain equi-join drops them."""
+    left = spark.createDataFrame([(None,), (1,), (2,)], "k int")
+    right = spark.createDataFrame([(None, "n"), (1, "a")], "k int, v string")
+    ns = left.join(right, left["k"].eqNullSafe(right["k"]), "inner")
+    assert ns.count() == 2
+    plain = left.join(right, left["k"] == right["k"], "inner")
+    assert plain.count() == 1
