@@ -256,6 +256,12 @@ _RECHECK_R7 = (
     "sketch_countmin_freq",      # frequency member of the sketch matrix
     "dedup_substring_exact",     # passage-level dedup granularity
     "layout_zorder_pruned_scan", # staged z-ordered layout, read side
+    "join_bloom_prefiltered",    # portable bloom semi-join reduction
+    "events_resample_ohlc",      # min_by/max_by time-series downsample
+    "join_null_safe",            # <=> / IS NOT DISTINCT FROM semantics
+    "dedup_containment",         # asymmetric doc-in-doc near-dup axis
+    "agg_mode_median",           # deterministic mode + exact median
+    "stats_equidepth_bins",      # ntile equal-frequency histogram
 )
 
 def _ordered() -> dict[str, QueryDef]:
