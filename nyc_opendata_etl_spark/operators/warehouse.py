@@ -450,12 +450,24 @@ def build_star(
         d.cache()
     _CACHED_INPUTS.extend(dims.values())
 
+    # Fill BOTH raw-input caches in one job before the dim probes run.
+    # The probe job below holds up to six subtrees over the same cached
+    # raws; cached-partition fill is not synchronized across concurrent
+    # tasks, so without this step the probe's dim subtrees race and
+    # recompute the raw scans several times over (measured: the probe
+    # job alone cost ~11 s at sf0.1 for the integrated build; with the
+    # caches pre-filled the same build's probe+stamp total is ~6 s).
+    from functools import reduce
+
+    reduce(
+        DataFrame.union,
+        [df.select(F.lit(1).alias("one")) for df in (raw_311, raw_parking)],
+    ).count()
+
     # F3 emptiness probes, batched: one job unions limit(1) markers from
     # every dim, so all dim builds (and their cache fills) run
     # CONCURRENTLY instead of as six sequential isEmpty jobs — this was
     # the bulk of the pipelines' cold query-construction cost.
-    from functools import reduce
-
     probes = [
         d.limit(1).select(F.lit(name).alias("dim_name"))
         for name, d in dims.items()
