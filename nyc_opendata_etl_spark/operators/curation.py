@@ -267,3 +267,68 @@ def temperature_mix(
         F.round(w, 6).alias("w_temperature"),
         F.round(w / p, 6).alias("oversample_factor"),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): a weighted sample of k
+    docs whose Horvitz–Thompson estimates ``max(w_i, τ)`` sum to a
+    near-optimal unbiased estimate of any weighted subset total — the
+    principled way to downsample a corpus by token mass while keeping
+    token-count accounting correct.
+
+    Each doc draws priority ``q_i = w_i / u_i`` (w = token count + 1,
+    u ∈ (0,1] a deterministic md5-derived uniform); the sample is the
+    top-k by priority and τ is the (k+1)-th priority. Classic A-ES
+    weighted reservoir sampling orders by ``u^(1/w)`` — a transcendental
+    ``pow`` whose last-ulp rounding is engine-dependent; priority
+    sampling needs only one multiply and one divide (both correctly
+    rounded per IEEE 754), so the scores — and hence the sample — are
+    bit-identical on any engine, which is what makes the DuckDB oracle
+    exact.
+
+    Scale shape: scoring is expression-only map work; the top-(k+1) is
+    a TakeOrderedAndProject (per-partition heaps, k+1 rows cross the
+    exchange); τ broadcasts back as a 1-row relation. No full sort, no
+    full shuffle.
+
+    Reference scope: the reference has no sampler; this is engine
+    surface for the 100 TB curation path (SURVEY §2 Part B).
+    """
+    from nyc_opendata_etl_spark.functions.hashing import MOD
+
+    w = (token_count(text_col) + F.lit(1)).cast("long")
+    scored = docs.select(
+        F.col(id_col),
+        (w - 1).alias("n_tokens"),
+        (
+            (w.cast("double") * F.lit(float(MOD + 1)))
+            / (md5_long(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    top = scored.orderBy(F.desc("priority"), F.col(id_col)).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("__tau__"))
+    return (
+        top.orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("priority"), F.col(id_col))
+            ),
+        )
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            id_col,
+            "n_tokens",
+            F.round("priority", 6).alias("priority"),
+            F.round(
+                F.greatest((F.col("n_tokens") + 1).cast("double"), F.col("__tau__")), 6
+            ).alias("est_weight"),
+        )
+    )

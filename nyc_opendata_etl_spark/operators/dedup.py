@@ -511,3 +511,64 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 3,
+    threshold: float = 0.5,
+    block_len: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM): sort
+    each block of the corpus by canonical text and compare every doc
+    only to its ``window`` successors, verifying candidates with exact
+    n-gram Jaccard ≥ ``threshold``.
+
+    The third blocking family next to LSH banding (minhash_lsh_pairs)
+    and prefix filtering (ngram_jaccard_pairs): work is O(rows × window)
+    instead of all-pairs, and near-dups that share a canonical prefix
+    land adjacent in sort order. Pairs whose texts diverge in the first
+    ``block_len`` characters are out of scope by contract (the recall
+    knob every SNM deployment tunes).
+
+    Scale shape: one shuffle on the block key; each block sorts
+    independently (Window.partitionBy — NOT a global orderBy window,
+    which would serialize the corpus through one task). The lead()
+    comparisons stay inside the sorted partition, so no self-join and
+    no candidate explosion; a hot block bounds the worst task at
+    O(block × window) comparisons.
+    """
+    canon = canon_text(text_col)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        canon.alias("canon"),
+        F.array_sort(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.substring("canon", 1, block_len)).orderBy("canon", "id")
+    neighbors = docs.select(
+        "id",
+        "sh",
+        *[F.lead("id", i).over(w).alias(f"nid_{i}") for i in range(1, window + 1)],
+        *[F.lead("sh", i).over(w).alias(f"nsh_{i}") for i in range(1, window + 1)],
+    )
+    pairs = None
+    for i in range(1, window + 1):
+        inter = F.size(F.array_intersect("sh", f"nsh_{i}"))
+        union = F.size("sh") + F.size(f"nsh_{i}") - inter
+        p = (
+            neighbors.filter(F.col(f"nid_{i}").isNotNull())
+            .select(
+                F.least("id", f"nid_{i}").alias("id_a"),
+                F.greatest("id", f"nid_{i}").alias("id_b"),
+                F.round(inter / union.cast("double"), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs

@@ -66,3 +66,41 @@ def two_phase_count_distinct(
         .groupBy(*group_cols)
         .agg(F.count(distinct_col).alias(out_col))
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/aggregation key: the
+    ``top`` most frequent key values with their row count, share of the
+    table, and skew ratio (count ÷ mean count per key).
+
+    This is the diagnostic run before choosing a skew mitigation — a
+    skew_ratio near 1 says hash partitioning balances; a large one says
+    the hot keys need salting (salted_join) or AQE skew-join splitting,
+    and the listed keys are exactly the ones to salt.
+
+    Scale shape: one map-side-combined count aggregate on the key, a
+    1-row global stats relation broadcast back, and a top-k that plans
+    as TakeOrderedAndProject — per-partition heaps, only ``top`` rows
+    cross the final exchange. Nothing here materializes the full key
+    distribution on one node.
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.sum("cnt").alias("__total__"), F.count("*").alias("__nkeys__")
+    )
+    return (
+        per_key.orderBy(F.desc("cnt"), "key")
+        .limit(top)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total__"), 6).alias("frac"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys__") / F.col("__total__"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+    )

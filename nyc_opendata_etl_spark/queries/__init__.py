@@ -262,6 +262,9 @@ _RECHECK_R7 = (
     "dedup_containment",         # asymmetric doc-in-doc near-dup axis
     "agg_mode_median",           # deterministic mode + exact median
     "stats_equidepth_bins",      # ntile equal-frequency histogram
+    "corpus_sample_priority",    # DLT weighted sample + HT estimates
+    "dedup_sorted_neighborhood", # SNM blocking family, window lead()
+    "profile_key_skew",          # pre-join heavy-hitter diagnostic
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1197,3 +1197,35 @@ def q_events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys
+        FROM per_key
+    )
+    SELECT key, cnt,
+           round(cnt / CAST(total AS DOUBLE), 6) AS frac,
+           round(cnt * nkeys / CAST(total AS DOUBLE), 6) AS skew_ratio
+    FROM per_key, stats
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of events.user_id as a join key: top-10
+    values with row share and skew ratio (count ÷ mean per key) — the
+    pre-join diagnostic that decides between plain hash partitioning,
+    AQE skew splitting, and salted_join, naming the keys to salt.
+    Map-side-combined count, broadcast 1-row stats, TakeOrderedAndProject
+    top-k."""
+    from nyc_opendata_etl_spark.operators.skew import key_skew_profile
+
+    events = load_table(spark, sf_dir, "events", spread_input=True)
+    return key_skew_profile(events, "user_id", top=10)

@@ -2368,3 +2368,97 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.containment_pairs)."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.containment_pairs(docs, threshold=0.9)
+
+
+_TOKN = f"len(list_filter(regexp_split_to_array(text, '{_WS}'), x -> x <> ''))"
+
+
+@register(
+    "corpus_sample_priority",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST({_TOKN} AS BIGINT) AS n_tokens FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               (CAST(n_tokens + 1 AS DOUBLE) * 1000000001.0)
+                   / CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} + 1
+                          AS DOUBLE) AS priority
+        FROM t
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+        FROM s
+    )
+    SELECT CAST(rk AS INT) AS rk, doc_id, n_tokens,
+           round(priority, 6) AS priority,
+           round(greatest(CAST(n_tokens + 1 AS DOUBLE),
+                          (SELECT priority FROM r WHERE rk = 41)), 6)
+               AS est_weight
+    FROM r WHERE rk <= 40
+    """,
+)
+def q_corpus_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted sample of 40 docs via priority sampling
+    (top-k by w/u with deterministic md5 uniforms) plus each kept doc's
+    Horvitz–Thompson weight estimate max(w, τ). The integer-ratio
+    scoring makes the sample bit-reproducible across engines — the
+    oracle replays it exactly."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.priority_sample(docs, k=40)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS id, canon,
+               list_sort(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS sh
+        FROM (SELECT doc_id, {_CANON} AS canon,
+                     string_split({_CANON}, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    nb AS (
+        SELECT id, sh,
+               lead(id, 1) OVER w AS nid_1, lead(sh, 1) OVER w AS nsh_1,
+               lead(id, 2) OVER w AS nid_2, lead(sh, 2) OVER w AS nsh_2,
+               lead(id, 3) OVER w AS nid_3, lead(sh, 3) OVER w AS nsh_3
+        FROM d
+        WINDOW w AS (PARTITION BY substr(canon, 1, 3) ORDER BY canon, id)
+    ),
+    legs AS (
+        SELECT least(id, nid_1) AS id_a, greatest(id, nid_1) AS id_b,
+               round(len(list_intersect(sh, nsh_1))
+                     / CAST(len(sh) + len(nsh_1)
+                            - len(list_intersect(sh, nsh_1)) AS DOUBLE), 6)
+                   AS jaccard
+        FROM nb WHERE nid_1 IS NOT NULL
+        UNION ALL
+        SELECT least(id, nid_2), greatest(id, nid_2),
+               round(len(list_intersect(sh, nsh_2))
+                     / CAST(len(sh) + len(nsh_2)
+                            - len(list_intersect(sh, nsh_2)) AS DOUBLE), 6)
+        FROM nb WHERE nid_2 IS NOT NULL
+        UNION ALL
+        SELECT least(id, nid_3), greatest(id, nid_3),
+               round(len(list_intersect(sh, nsh_3))
+                     / CAST(len(sh) + len(nsh_3)
+                            - len(list_intersect(sh, nsh_3)) AS DOUBLE), 6)
+        FROM nb WHERE nid_3 IS NOT NULL
+    )
+    SELECT id_a, id_b, jaccard FROM legs WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: per-block canonical sort,
+    window-of-3 lead() comparisons, exact trigram Jaccard ≥ 0.5 verify.
+    The third blocking family beside LSH bands and prefix filtering —
+    O(rows × window) comparisons, one shuffle on the block key."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return dedup.sorted_neighborhood_pairs(docs, threshold=0.5)

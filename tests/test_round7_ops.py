@@ -398,3 +398,96 @@ def test_null_safe_join_keeps_null_keys(spark):
     assert ns.count() == 2
     plain = left.join(right, left["k"] == right["k"], "inner")
     assert plain.count() == 1
+
+
+# ── round-7 coverage additions: sampling / SNM dedup / skew profile ──
+
+
+def test_priority_sample_matches_brute_force(spark):
+    """The distributed top-k-by-priority must equal a driver-side brute
+    force over the same deterministic scores, and every HT estimate is
+    bounded below by the doc's own weight (the estimator's defining
+    clamp)."""
+    from nyc_opendata_etl_spark.functions.hashing import MOD
+    from nyc_opendata_etl_spark.operators.curation import priority_sample
+
+    docs = load_table(spark, SF, "documents")
+    out = priority_sample(docs, k=25).collect()
+    assert len(out) == 25
+    assert [r.rk for r in out] == list(range(1, 26))
+
+    # brute force: recompute scores in Python from collected inputs
+    from nyc_opendata_etl_spark.operators.text import token_count
+
+    rows = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    ).collect()
+    import hashlib
+
+    def md5_long_py(s: str) -> int:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        x = int(hx[0:8], 16) % MOD
+        for i in (8, 16, 24):
+            x = (x * ((1 << 32) % MOD) + int(hx[i : i + 8], 16)) % MOD
+        return x
+
+    scored = sorted(
+        (
+            (-(r.n_tokens + 1) * float(MOD + 1) / (md5_long_py(str(r.doc_id)) + 1), r.doc_id)
+            for r in rows
+        )
+    )
+    expect_ids = [doc_id for _, doc_id in scored[:25]]
+    assert [r.doc_id for r in out] == expect_ids
+    tau = -scored[25][0]
+    for r in out:
+        assert r.est_weight >= r.n_tokens + 1
+        assert r.est_weight == round(max(r.n_tokens + 1, tau), 6)
+
+
+def test_sorted_neighborhood_finds_adjacent_dups(spark):
+    """Near-identical texts sharing a canonical prefix must pair; docs
+    more than `window` positions apart in their block must not (the
+    documented SNM recall contract)."""
+    from nyc_opendata_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " mu"),          # near-dup of 1, adjacent in sort
+        (3, "alp xx yy zz ww vv uu tt ss rr"),  # same block prefix, dissimilar
+        (10, "zulu yankee xray whiskey victor uniform tango sierra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(df, window=3, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+    for r in out.collect():
+        assert 0.0 <= r.jaccard <= 1.0
+
+    # window contract: 5 identical-prefix docs, dup planted 4 apart
+    far = [(i, f"alpha beta gamma doc{i} w{i} x{i} y{i} z{i}") for i in range(4)]
+    far += [(99, "alpha beta gamma doc0 w0 x0 y0 z0 extra")]  # pairs with 0
+    df2 = spark.createDataFrame(far, "doc_id long, text string")
+    # with window=1 the (0, 99) pair is ≥2 positions apart in sort order
+    out2 = {(r.id_a, r.id_b) for r in
+            sorted_neighborhood_pairs(df2, window=1, threshold=0.3).collect()}
+    out3 = {(r.id_a, r.id_b) for r in
+            sorted_neighborhood_pairs(df2, window=4, threshold=0.3).collect()}
+    assert out2 <= out3  # widening the window only adds pairs
+
+
+def test_key_skew_profile_exact(spark):
+    """Counts, fractions, and skew ratios on a hand-built skewed table."""
+    from nyc_opendata_etl_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+    )
+    out = {r.key: r for r in key_skew_profile(df, "k", top=2).collect()}
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"].cnt == 6
+    assert out["hot"].frac == 0.6
+    assert out["hot"].skew_ratio == round(6 * 3 / 10, 6)
+    assert out["warm"].skew_ratio == round(3 * 3 / 10, 6)
