@@ -332,3 +332,41 @@ def priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def realize_mix(
+    docs: DataFrame,
+    n_target: int = 200,
+    by: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the temperature-mix policy into an actual document
+    sample: each (lang, source) cell gets quota ``max(1, ⌊w_cell ·
+    n_target⌋)`` docs, drawn deterministically by md5 rank within the
+    cell — the step that turns :func:`temperature_mix`'s weight table
+    into the epoch's training set.
+
+    Scale shape: the policy table is |cells| rows and broadcasts onto
+    the corpus (no shuffle for the quota lookup); the only shuffle is
+    the per-cell rank window, keyed on the same columns as the policy
+    aggregate. Quotas clamp at cell size implicitly (rank ≤ quota keeps
+    at most the cell's rows).
+    """
+    policy = temperature_mix(docs, by=by, text_col=text_col).select(
+        *by,
+        F.greatest(
+            F.lit(1), F.floor(F.col("w_temperature") * n_target)
+        ).cast("int").alias("quota"),
+    )
+    w = Window.partitionBy(*by).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = docs.select(*by, id_col).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(policy), list(by))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(*by, id_col, F.col("rk").cast("int").alias("rk"), "quota")
+    )

@@ -2462,3 +2462,103 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rows × window) comparisons, one shuffle on the block key."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.sorted_neighborhood_pairs(docs, threshold=0.5)
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_CANON}, ' ') AS toks
+               FROM documents),
+    g AS (
+        SELECT doc_id,
+               greatest(len(toks) - 1, 0) AS tot2,
+               len(list_distinct([
+                   array_to_string(toks[i:i+1], ' ')
+                   FOR i IN range(1, len(toks))
+               ])) AS dis2,
+               greatest(len(toks) - 2, 0) AS tot3,
+               len(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS dis3
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN tot2 > 0
+                THEN round(1.0 - dis2 / CAST(tot2 AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN tot3 > 0
+                THEN round(1.0 - dis3 / CAST(tot3 AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_trigram_frac,
+           (CASE WHEN tot2 > 0
+                 THEN round(1.0 - dis2 / CAST(tot2 AS DOUBLE), 6)
+                 ELSE 0.0 END) >= 0.2
+           OR (CASE WHEN tot3 > 0
+                    THEN round(1.0 - dis3 / CAST(tot3 AS DOUBLE), 6)
+                    ELSE 0.0 END) >= 0.1 AS is_repetitive
+    FROM g
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-n-gram mass (Gopher repetition rules): the
+    fraction of bigram/trigram occurrences that repeat within the doc,
+    and the boilerplate flag at the published-style thresholds. Pure
+    projection — no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    dup2 = text.repetition_score("text", 2)
+    dup3 = text.repetition_score("text", 3)
+    return docs.select(
+        "doc_id",
+        dup2.alias("dup_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        ((dup2 >= 0.2) | (dup3 >= 0.1)).alias("is_repetitive"),
+    )
+
+
+@register(
+    "corpus_mix_realize",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, source,
+               CAST(sum(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM c),
+    term AS (
+        SELECT c.lang, c.source,
+               CAST(round(sqrt(c.n_tokens / CAST(tot.t AS DOUBLE)), 9)
+                    AS DECIMAL(28,12)) AS s
+        FROM c CROSS JOIN tot
+    ),
+    den AS (SELECT sum(s) AS d FROM term),
+    quota AS (
+        SELECT term.lang, term.source,
+               CAST(greatest(1, floor(
+                   round(CAST(term.s AS DOUBLE) / CAST(den.d AS DOUBLE), 6)
+                   * 200)) AS INT) AS quota
+        FROM term CROSS JOIN den
+    ),
+    ranked AS (
+        SELECT lang, source, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.lang, r.source, r.doc_id, CAST(r.rk AS INT) AS rk, q.quota
+    FROM ranked r JOIN quota q ON r.lang = q.lang AND r.source = q.source
+    WHERE r.rk <= q.quota
+    """,
+)
+def q_corpus_mix_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature policy made concrete: per-(lang, source) quotas
+    ⌊w·200⌋ (min 1) filled by deterministic md5-ranked draws — the
+    epoch-sample materialization step downstream of
+    corpus_mix_temperature. Broadcast policy lookup + one rank shuffle
+    on the cell key."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.realize_mix(docs, n_target=200)

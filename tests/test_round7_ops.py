@@ -491,3 +491,49 @@ def test_key_skew_profile_exact(spark):
     assert out["hot"].frac == 0.6
     assert out["hot"].skew_ratio == round(6 * 3 / 10, 6)
     assert out["warm"].skew_ratio == round(3 * 3 / 10, 6)
+
+
+def test_repetition_score_hand_cases(spark):
+    """Known repetition fractions: fully repeated text, unique text,
+    and too-short text."""
+    from nyc_opendata_etl_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
+            (2, "one two three four five"),    # all bigrams distinct
+            (3, "solo"),                       # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", repetition_score("text", 2).alias("d2")
+        ).collect()
+    }
+    assert out[1].d2 == 0.75
+    assert out[2].d2 == 0.0
+    assert out[3].d2 == 0.0
+
+
+def test_realize_mix_quota_invariants(spark):
+    """Every cell appears with ≥1 doc, no cell exceeds its quota, rank
+    sequences are 1..n dense, and draws are deterministic."""
+    from nyc_opendata_etl_spark.operators.curation import realize_mix
+
+    docs = load_table(spark, SF, "documents")
+    out = realize_mix(docs, n_target=100)
+    rows = out.collect()
+    cells = docs.select("lang", "source").distinct().count()
+    got_cells = {(r.lang, r.source) for r in rows}
+    assert len(got_cells) == cells
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault((r.lang, r.source), []).append(r)
+    for cell, rs in by_cell.items():
+        quota = rs[0].quota
+        assert len(rs) <= quota
+        assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
+    again = {(r.lang, r.source, r.doc_id) for r in realize_mix(docs, n_target=100).collect()}
+    assert again == {(r.lang, r.source, r.doc_id) for r in rows}
