@@ -492,21 +492,3 @@ def update_text_index(
     )
     merged_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
-
-def repetition_score(col: Column | str, n: int = 2) -> Column:
-    """Fraction of n-gram occurrences that are repeats of an n-gram
-    already seen in the same document — the Gopher-rules repetition
-    signal (Rae et al. 2021 §A1.3: high duplicate-n-gram mass marks
-    boilerplate/spam for removal). 0.0 for docs too short to have any
-    n-gram. Pure expression work (no shuffle, no UDF): the shingle
-    array and its distinct count stay inside one projection."""
-    from nyc_opendata_etl_spark.operators.dedup import word_shingles
-
-    sh = word_shingles(col, n)
-    total = F.size(sh)
-    return F.when(
-        total > 0,
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(sh)) / total.cast("double"), 6
-        ),
-    ).otherwise(F.lit(0.0))

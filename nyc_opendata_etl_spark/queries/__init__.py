@@ -265,7 +265,6 @@ _RECHECK_R7 = (
     "corpus_sample_priority",    # DLT weighted sample + HT estimates
     "dedup_sorted_neighborhood", # SNM blocking family, window lead()
     "profile_key_skew",          # pre-join heavy-hitter diagnostic
-    "text_repetition_score",     # Gopher duplicate-n-gram mass filter
     "corpus_mix_realize",        # temperature policy → epoch sample
 )
 

@@ -2465,57 +2465,6 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_repetition_score",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split({_CANON}, ' ') AS toks
-               FROM documents),
-    g AS (
-        SELECT doc_id,
-               greatest(len(toks) - 1, 0) AS tot2,
-               len(list_distinct([
-                   array_to_string(toks[i:i+1], ' ')
-                   FOR i IN range(1, len(toks))
-               ])) AS dis2,
-               greatest(len(toks) - 2, 0) AS tot3,
-               len(list_distinct([
-                   array_to_string(toks[i:i+2], ' ')
-                   FOR i IN range(1, len(toks) - 1)
-               ])) AS dis3
-        FROM t
-    )
-    SELECT doc_id,
-           CASE WHEN tot2 > 0
-                THEN round(1.0 - dis2 / CAST(tot2 AS DOUBLE), 6)
-                ELSE 0.0 END AS dup_bigram_frac,
-           CASE WHEN tot3 > 0
-                THEN round(1.0 - dis3 / CAST(tot3 AS DOUBLE), 6)
-                ELSE 0.0 END AS dup_trigram_frac,
-           (CASE WHEN tot2 > 0
-                 THEN round(1.0 - dis2 / CAST(tot2 AS DOUBLE), 6)
-                 ELSE 0.0 END) >= 0.2
-           OR (CASE WHEN tot3 > 0
-                    THEN round(1.0 - dis3 / CAST(tot3 AS DOUBLE), 6)
-                    ELSE 0.0 END) >= 0.1 AS is_repetitive
-    FROM g
-    """,
-)
-def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicate-n-gram mass (Gopher repetition rules): the
-    fraction of bigram/trigram occurrences that repeat within the doc,
-    and the boilerplate flag at the published-style thresholds. Pure
-    projection — no shuffle, no UDF."""
-    docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    dup2 = text.repetition_score("text", 2)
-    dup3 = text.repetition_score("text", 3)
-    return docs.select(
-        "doc_id",
-        dup2.alias("dup_bigram_frac"),
-        dup3.alias("dup_trigram_frac"),
-        ((dup2 >= 0.2) | (dup3 >= 0.1)).alias("is_repetitive"),
-    )
-
-
-@register(
     "corpus_mix_realize",
     oracle=f"""
     WITH c AS (

@@ -493,30 +493,6 @@ def test_key_skew_profile_exact(spark):
     assert out["warm"].skew_ratio == round(3 * 3 / 10, 6)
 
 
-def test_repetition_score_hand_cases(spark):
-    """Known repetition fractions: fully repeated text, unique text,
-    and too-short text."""
-    from nyc_opendata_etl_spark.operators.text import repetition_score
-
-    df = spark.createDataFrame(
-        [
-            (1, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
-            (2, "one two three four five"),    # all bigrams distinct
-            (3, "solo"),                       # no bigrams
-        ],
-        "doc_id long, text string",
-    )
-    out = {
-        r.doc_id: r
-        for r in df.select(
-            "doc_id", repetition_score("text", 2).alias("d2")
-        ).collect()
-    }
-    assert out[1].d2 == 0.75
-    assert out[2].d2 == 0.0
-    assert out[3].d2 == 0.0
-
-
 def test_realize_mix_quota_invariants(spark):
     """Every cell appears with ≥1 doc, no cell exceeds its quota, rank
     sequences are 1..n dense, and draws are deterministic."""
