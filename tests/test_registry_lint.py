@@ -76,3 +76,19 @@ def test_spark_outputs_are_scalar_typed(spark):
         "registered queries emitting non-scalar columns (driver pandas "
         f"canonicalizer dies on unhashable values): {offenders}"
     )
+
+
+def test_recheck_and_verified_names_exist():
+    """Every name in the rotation inputs (_RECHECK_* prefix list and
+    _LAST_VERIFIED ledger) must be a registered query — a typo here
+    silently drops a query from the driver's verification prefix."""
+    import nyc_opendata_etl_spark.queries as q
+
+    q._load_all()
+    recheck = next(
+        v for k, v in vars(q).items() if k.startswith("_RECHECK_R")
+    )
+    missing = [n for n in recheck if n not in q.REGISTRY]
+    assert not missing, f"_RECHECK names not in registry: {missing}"
+    stale = [n for n in q._LAST_VERIFIED if n not in q.REGISTRY]
+    assert not stale, f"_LAST_VERIFIED names not in registry: {stale}"
