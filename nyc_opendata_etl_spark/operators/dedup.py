@@ -452,6 +452,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Directed shingle-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ t,
     A ≠ B — the asymmetric near-dup axis Jaccard misses. A short
@@ -471,13 +472,40 @@ def containment_pairs(
     shingles (p_s = prefix postings, a small fraction of c_s); at
     corpus scale the container index would additionally be pruned
     rarest-first by document frequency before posting.
+
+    ``collapse_exact`` (default True) first collapses byte-identical
+    canonical texts to one min-id representative — the exact-dedup-first
+    pipeline ordering every production near-dup pass uses. Without it,
+    a group of g identical docs contributes g·(g−1) containment-1.0
+    pairs (already exact_dedup_groups' territory) and the shared-shingle
+    candidate term c_s·p_s grows quadratically in g: on a corpus with
+    100-copy duplicate groups the candidate join OOMed a 32-thread
+    executor, while the collapsed run is flat (BASELINE.md round-7
+    table).
     """
+    src = df.select(
+        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
+    )
+    if collapse_exact:
+        # keyed on full 128-bit md5 (not the 10^9-fold — a 500k-doc
+        # corpus would expect ~100 fold collisions, silently merging
+        # distinct texts) so only (hash, id) pairs cross the shuffle;
+        # the join back on id fetches each representative's text
+        # without moving the corpus (AQE broadcasts the rep-id side
+        # while it fits, and degrades to an id-keyed shuffle — one
+        # linear pass — when most docs are unique).
+        rep_ids = (
+            src.groupBy(F.md5("__canon__").alias("__ch__"))
+            .agg(F.min("id").alias("id"))
+            .select("id")
+        )
+        src = src.join(rep_ids, "id")
     docs = (
-        df.select(
-            F.col(id_col).alias("id"),
+        src.select(
+            "id",
             F.array_sort(
                 F.transform(
-                    F.array_distinct(word_shingles(text_col, n)),
+                    F.array_distinct(word_shingles("__canon__", n)),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("sh"),

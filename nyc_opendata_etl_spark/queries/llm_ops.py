@@ -2338,13 +2338,17 @@ def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id AS id,
+    WITH reps AS (
+        SELECT {_CANON} AS canon, min(doc_id) AS id
+        FROM documents GROUP BY 1
+    ),
+    sh AS (
+        SELECT id,
                unnest(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, len(toks) - 1)
                ])) AS shingle
-        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        FROM (SELECT id, string_split(canon, ' ') AS toks FROM reps)
         WHERE len(toks) >= 3
     ),
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
@@ -2362,9 +2366,13 @@ def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment pairs (|A∩B| / |A| ≥ 0.9, A ≠ B) —
     the asymmetric dedup axis: a short doc quoted inside a long one has
-    near-zero Jaccard but containment ≈ 1. Prefix-filtered on the
-    contained side (pigeonhole bound), full inverted index on the
-    container side, exact array_intersect verify
+    near-zero Jaccard but containment ≈ 1. Byte-identical canonical
+    texts collapse to one min-id representative FIRST (the
+    exact-dedup-first ordering — identical-copy groups are
+    exact_dedup_groups' territory and would otherwise grow the
+    shared-shingle candidate join quadratically in group size); then
+    prefix-filtered on the contained side (pigeonhole bound), full
+    inverted index on the container side, exact array_intersect verify
     (operators/dedup.containment_pairs)."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.containment_pairs(docs, threshold=0.9)

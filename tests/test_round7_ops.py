@@ -347,7 +347,9 @@ def test_containment_prefix_filter_lossless(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r["contained_id"], r["container_id"]): r["containment"]
-        for r in containment_pairs(docs, threshold=0.5).collect()
+        for r in containment_pairs(
+            docs, threshold=0.5, collapse_exact=False
+        ).collect()
     }
     sh = {
         r["doc_id"]: set(r["sh"])
@@ -363,6 +365,19 @@ def test_containment_prefix_filter_lossless(spark):
                 if c >= 0.5:
                     want[(a, b)] = c
     assert got == want
+
+    # default collapse_exact=True: identical texts (doc_id ≡ mod 4 here)
+    # reduce to their min-id representative, so only representative ids
+    # appear and every surviving pair value matches the brute force.
+    collapsed = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    reps = {0, 1, 2, 3}
+    assert collapsed  # cross-text containment pairs survive
+    assert {i for pair in collapsed for i in pair} <= reps
+    for pair, c in collapsed.items():
+        assert want[pair] == c
 
 
 def test_ohlc_open_close_tie_break_deterministic(spark):
