@@ -255,6 +255,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above a threshold, via
     PREFIX FILTERING (AllPairs/PPJoin family) — lossless for the
@@ -273,13 +274,32 @@ def ngram_jaccard_pairs(
     O(prefix·|sh|) array-duplication blowup through the explode/join.
     A length-ratio filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before
     the exact array_intersect verify.
+
+    ``collapse_exact=True`` first reduces byte-identical canonical texts
+    to one min-id representative (see :func:`containment_pairs` — a
+    group of g identical docs otherwise multiplies every shared-shingle
+    posting count by g, turning the candidate join quadratic in g; a
+    100-copy-group corpus ground >10 min where the collapsed run is
+    scan-bound). Off by default because pair CONSUMERS that must see
+    every member (duplicate_clusters, keep-best) do their own
+    collapse + expand instead.
     """
+    src = df.select(
+        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
+    )
+    if collapse_exact:
+        rep_ids = (
+            src.groupBy(F.md5("__canon__").alias("__ch__"))
+            .agg(F.min("id").alias("id"))
+            .select("id")
+        )
+        src = src.join(rep_ids, "id")
     docs = (
-        df.select(
-            F.col(id_col).alias("id"),
+        src.select(
+            "id",
             F.array_sort(
                 F.transform(
-                    F.array_distinct(word_shingles(text_col, n)),
+                    F.array_distinct(word_shingles("__canon__", n)),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("sh"),
@@ -393,6 +413,75 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"max_iter hops would otherwise be silently split)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over exact-Jaccard near-dup pairs, computed
+    the scale-correct way: collapse byte-identical canonical texts to
+    min-id representatives, cluster the REPRESENTATIVE pair graph, then
+    expand membership back to every doc. Output is IDENTICAL to
+    ``duplicate_clusters(ngram_jaccard_pairs(df))`` — the driver's
+    unchanged recursive-CTE oracle is the equivalence proof — because:
+
+    - Jaccard is a function of the shingle set, hence of the canonical
+      text: every member of a group has exactly its representative's
+      edges, so full-graph components are the expansion of rep-graph
+      components.
+    - A group of g ≥ 2 identical docs (with ≥ 1 shingle) is internally
+      complete (jaccard 1.0 ≥ t), so it forms a cluster even when its
+      rep is isolated in the rep graph — the second output leg.
+    - cluster_id = min member id = min rep id in the component, since
+      each rep is already its group's minimum.
+
+    Cost: the pair join and the propagation loop run on distinct texts
+    only — a g-copy group contributes g rows to two linear joins
+    instead of multiplying every shared-shingle posting count by g
+    (quadratic candidates; a 100-copy-group corpus ground >10 min
+    before this rewrite, BASELINE.md round-7 100× table).
+    """
+    src = df.select(
+        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
+    )
+    mem = src.select("id", F.md5("__canon__").alias("__ch__"))
+    grp = mem.groupBy("__ch__").agg(
+        F.min("id").alias("rep"), F.count("*").alias("g")
+    )
+    mem = mem.join(grp, "__ch__").select("id", "rep", "g")
+    rep_docs = src.join(grp.select(F.col("rep").alias("id")), "id")
+    rep_pairs = ngram_jaccard_pairs(
+        rep_docs, text_col="__canon__", id_col="id", n=n, threshold=threshold
+    )
+    rep_clusters = duplicate_clusters(rep_pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("rep"), "cluster_id"
+    )
+    linked = mem.join(rep_clusters, "rep").select("id", "cluster_id")
+    # groups of ≥2 identical docs whose rep pairs with nothing else
+    # still form their own cluster (internally complete at jaccard 1.0)
+    # — but only if the text has at least one shingle (shingle-less
+    # docs never pair in the full formulation either).
+    has_sh = rep_docs.select(
+        F.col("id").alias("rep"),
+        (F.size(F.array_distinct(word_shingles("__canon__", n))) > 0).alias(
+            "__has_sh__"
+        ),
+    )
+    self_groups = (
+        mem.join(rep_clusters.select("rep"), "rep", "left_anti")
+        .filter(F.col("g") >= 2)
+        .join(has_sh.filter(F.col("__has_sh__")).select("rep"), "rep")
+        .select("id", F.col("rep").alias("cluster_id"))
+    )
+    return (
+        linked.unionByName(self_groups)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
 
 
 def substring_dup_groups(

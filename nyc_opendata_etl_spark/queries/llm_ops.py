@@ -128,11 +128,53 @@ _JACCARD_SQL = f"""
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+# collapsed variant for the standalone pair query: byte-identical
+# canonical texts reduce to one min-id representative before pairing
+# (the exact-dedup-first ordering; identical-copy pairs are
+# dedup_exact's output, and without the collapse a g-copy group makes
+# the shared-shingle candidate join quadratic in g). The cluster /
+# keep-best oracles keep the UNCOLLAPSED pair definition because their
+# outputs enumerate every member.
+_JACCARD_COLLAPSED_SQL = f"""
+    WITH reps AS (
+        SELECT {_CANON} AS canon, min(doc_id) AS id
+        FROM documents GROUP BY 1
+    ),
+    sh AS (
+        SELECT id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT id, string_split(canon, ' ') AS toks FROM reps)
+        WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+          >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_COLLAPSED_SQL)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.8 near-dup pairs via inverted index."""
+    """Exact 3-gram Jaccard ≥ 0.8 near-dup pairs via inverted index,
+    after collapsing byte-identical canonical texts to one min-id
+    representative (exact-dedup-first: identical-copy pairs belong to
+    dedup_exact, and collapsing keeps the prefix-filter candidate join
+    linear in duplicate-group size — BASELINE.md round-7 100× table)."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, collapse_exact=True)
 
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -566,11 +608,13 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (iterative min-label
     propagation with lineage checkpoints) over the exact-Jaccard near-dup
-    pairs; cluster id = min member id. Oracle: recursive-CTE transitive
-    closure over the same pairs."""
+    pairs; cluster id = min member id. Computed collapse-first (pair
+    graph over distinct canonical texts, membership expanded back —
+    operators/dedup.duplicate_clusters_collapsed); the oracle stays the
+    recursive-CTE closure over the FULL pair relation, so the driver
+    verifies the collapse+expand is output-identical."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
-    return dedup.duplicate_clusters(pairs)
+    return dedup.duplicate_clusters_collapsed(docs, threshold=0.8)
 
 
 @register(
@@ -1173,8 +1217,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
-    clusters = dedup.duplicate_clusters(pairs)
+    clusters = dedup.duplicate_clusters_collapsed(docs, threshold=0.8)
     quality = docs.select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
