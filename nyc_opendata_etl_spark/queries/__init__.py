@@ -266,6 +266,8 @@ _RECHECK_R7 = (
     "dedup_sorted_neighborhood", # SNM blocking family, window lead()
     "profile_key_skew",          # pre-join heavy-hitter diagnostic
     "corpus_mix_realize",        # temperature policy → epoch sample
+    "dedup_clusters",            # rewritten collapse+expand, full-pair oracle
+    "dedup_keep_best",           # consumes the rewritten cluster path
 )
 
 def _ordered() -> dict[str, QueryDef]:
