@@ -268,6 +268,7 @@ _RECHECK_R7 = (
     "corpus_mix_realize",        # temperature policy → epoch sample
     "dedup_clusters",            # rewritten collapse+expand, full-pair oracle
     "dedup_keep_best",           # consumes the rewritten cluster path
+    "events_pattern_match",      # MATCH_RECOGNIZE-style row patterns
 )
 
 def _ordered() -> dict[str, QueryDef]:

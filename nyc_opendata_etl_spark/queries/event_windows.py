@@ -1229,3 +1229,61 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events", spread_input=True)
     return key_skew_profile(events, "user_id", top=10)
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+               AS n_conversions
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'vc*p')) > 0
+    """,
+)
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection, the SQL:2016
+    row-pattern feature Spark lacks: per-user chronological event
+    sequences are reduced to a one-char-per-event string (type initials
+    are distinct here) and the conversion pattern ``view click* purchase``
+    is counted as non-overlapping regex matches — the pattern-automaton
+    semantics MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW gives.
+    Unlike events_funnel (ordered-stage counts) this detects every
+    REPEATED occurrence with arbitrary noise tolerance encoded in the
+    pattern. One hash aggregate builds the sequences (order imposed by
+    sort_array on (ts, event_id) structs after the shuffle — collect_list
+    alone has no deterministic order); the regex scan is per-row
+    expression work. Per-key state is bounded by events-per-user — at
+    production scale the same query runs on sessionized windows
+    (events_sessionize) instead of whole-user histories."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n_conv = F.size(F.regexp_extract_all("s", F.lit("vc*p"), F.lit(0)))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        n_conv.cast("long").alias("n_conversions"),
+    ).filter(F.col("n_conversions") > 0)

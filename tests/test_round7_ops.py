@@ -528,3 +528,37 @@ def test_realize_mix_quota_invariants(spark):
         assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
     again = {(r.lang, r.source, r.doc_id) for r in realize_mix(docs, n_target=100).collect()}
     assert again == {(r.lang, r.source, r.doc_id) for r in rows}
+
+
+def test_pattern_match_semantics(spark):
+    """Non-overlapping greedy matches, noise tolerance inside the
+    pattern, and timestamp-order determinism across partitions."""
+    from datetime import datetime, timedelta
+    from nyc_opendata_etl_spark.queries.event_windows import (
+        q_events_pattern_match,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    # user 1: v c c p | v p | e v c s p → 2 conversions ('s' breaks #3)
+    types_1 = ["view", "click", "click", "purchase", "view", "purchase",
+               "error", "view", "click", "signup", "purchase"]
+    # user 2: p v c → 0 conversions (never completes)
+    types_2 = ["purchase", "view", "click"]
+    rows = []
+    eid = 0
+    for uid, types in ((1, types_1), (2, types_2)):
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + timedelta(minutes=i), uid, ty, 1.0, "{}"))
+            eid += 1
+    import tempfile, os
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).repartition(4)
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.user_id: r for r in q_events_pattern_match(spark, tmp).collect()}
+    assert set(out) == {1}
+    assert out[1].n_conversions == 2
+    assert out[1].n_events == len(types_1)
