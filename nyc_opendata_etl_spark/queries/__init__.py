@@ -269,6 +269,7 @@ _RECHECK_R7 = (
     "dedup_clusters",            # rewritten collapse+expand, full-pair oracle
     "dedup_keep_best",           # consumes the rewritten cluster path
     "events_pattern_match",      # MATCH_RECOGNIZE-style row patterns
+    "stats_regression",          # exact-moment OLS per group
 )
 
 def _ordered() -> dict[str, QueryDef]:

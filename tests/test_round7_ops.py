@@ -562,3 +562,27 @@ def test_pattern_match_semantics(spark):
     assert set(out) == {1}
     assert out[1].n_conversions == 2
     assert out[1].n_events == len(types_1)
+
+
+def test_regression_recovers_exact_line(spark, tmp_path):
+    """OLS on y = 3x + 7 with zero noise must return slope 3,
+    intercept 7, r2 = 1 for every group."""
+    import os
+    rows = [(i, "A" if i % 2 else "B", float(i % 50 + 1), 3.0 * (i % 50 + 1) + 7.0,
+             0.0, "x", "x", "x", "x", 1, 1, 1, "1996-01-01")
+            for i in range(200)]
+    # build a minimal lineitem-shaped parquet with the columns the query reads
+    df = spark.createDataFrame(
+        [(r[1], r[2], r[3]) for r in rows],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    tmp = str(tmp_path / "sf")
+    os.makedirs(tmp, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "lineitem.parquet"))
+    from nyc_opendata_etl_spark.queries.relational import q_stats_regression
+
+    out = {r.l_returnflag: r for r in q_stats_regression(spark, tmp).collect()}
+    for g in ("A", "B"):
+        assert out[g].slope == 3.0
+        assert out[g].intercept == 7.0
+        assert out[g].r2 == 1.0
