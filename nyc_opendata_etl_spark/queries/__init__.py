@@ -270,6 +270,7 @@ _RECHECK_R7 = (
     "dedup_keep_best",           # consumes the rewritten cluster path
     "events_pattern_match",      # MATCH_RECOGNIZE-style row patterns
     "stats_regression",          # exact-moment OLS per group
+    "stats_chi2_contingency",    # independence screening cells
 )
 
 def _ordered() -> dict[str, QueryDef]:

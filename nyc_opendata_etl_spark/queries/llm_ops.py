@@ -2562,3 +2562,65 @@ def q_corpus_mix_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return curation.realize_mix(docs, n_target=200)
+
+
+@register(
+    "stats_chi2_contingency",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS s FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+    SELECT c.lang, c.source,
+           CAST(c.o AS BIGINT) AS n_obs,
+           round(CAST(rt.r AS DOUBLE) * CAST(ct.s AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE), 6) AS expected,
+           round((CAST(c.o AS DOUBLE)
+                  - CAST(rt.r AS DOUBLE) * CAST(ct.s AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE))
+                 * (CAST(c.o AS DOUBLE)
+                    - CAST(rt.r AS DOUBLE) * CAST(ct.s AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE))
+                 / (CAST(rt.r AS DOUBLE) * CAST(ct.s AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE)), 6) AS chi2_contrib
+    FROM c
+    JOIN rt ON rt.lang = c.lang
+    JOIN ct ON ct.source = c.source
+    CROSS JOIN tot
+    """,
+)
+def q_stats_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for lang × source independence: per
+    cell the observed count, expected count under independence
+    (row·col/N), and the χ² contribution (o−e)²/e — the screening test
+    for whether a metadata dimension is informative before stratifying
+    on it. Marginals derive from one map-side-combined count aggregate;
+    the |langs|- and |sources|-row marginal relations broadcast back
+    onto the |cells| relation. Exact integer counts; the doubles
+    appear only in (identical-tree, correctly-rounded) divisions, so
+    cells hash-match across engines."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = c.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = c.groupBy("source").agg(F.sum("o").cast("long").alias("s"))
+    tot = c.agg(F.sum("o").cast("long").alias("n"))
+    exp = (
+        F.col("r").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("o").cast("double") - exp
+    return (
+        c.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("n_obs"),
+            F.round(exp, 6).alias("expected"),
+            F.round(dev * dev / exp, 6).alias("chi2_contrib"),
+        )
+    )
