@@ -249,6 +249,31 @@ def simhash_signatures(
     return votes.select(F.col("id").alias(id_col), sig.cast("long").alias("simhash"))
 
 
+def _canon_src(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __canon__): the canonical-text projection every
+    collapse-aware dedup operator starts from."""
+    return df.select(
+        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
+    )
+
+
+def _collapse_to_reps(src: DataFrame) -> DataFrame:
+    """Reduce byte-identical canonical texts to their min-id
+    representative rows. Keyed on the full 128-bit md5 (not the
+    10^9-fold — a 500k-doc corpus would expect ~100 fold collisions,
+    silently merging distinct texts) so only (hash, id) pairs cross the
+    shuffle; the join back on id fetches each representative's text
+    without moving the corpus (AQE broadcasts the rep-id side while it
+    fits, and degrades to an id-keyed shuffle — one linear pass — when
+    most docs are unique)."""
+    rep_ids = (
+        src.groupBy(F.md5("__canon__").alias("__ch__"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    return src.join(rep_ids, "id")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -284,16 +309,9 @@ def ngram_jaccard_pairs(
     every member (duplicate_clusters, keep-best) do their own
     collapse + expand instead.
     """
-    src = df.select(
-        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
-    )
+    src = _canon_src(df, text_col, id_col)
     if collapse_exact:
-        rep_ids = (
-            src.groupBy(F.md5("__canon__").alias("__ch__"))
-            .agg(F.min("id").alias("id"))
-            .select("id")
-        )
-        src = src.join(rep_ids, "id")
+        src = _collapse_to_reps(src)
     docs = (
         src.select(
             "id",
@@ -446,9 +464,7 @@ def duplicate_clusters_collapsed(
     (quadratic candidates; a 100-copy-group corpus ground >10 min
     before this rewrite, BASELINE.md round-7 100× table).
     """
-    src = df.select(
-        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
-    )
+    src = _canon_src(df, text_col, id_col)
     mem = src.select("id", F.md5("__canon__").alias("__ch__"))
     grp = mem.groupBy("__ch__").agg(
         F.min("id").alias("rep"), F.count("*").alias("g")
@@ -572,23 +588,9 @@ def containment_pairs(
     executor, while the collapsed run is flat (BASELINE.md round-7
     table).
     """
-    src = df.select(
-        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
-    )
+    src = _canon_src(df, text_col, id_col)
     if collapse_exact:
-        # keyed on full 128-bit md5 (not the 10^9-fold — a 500k-doc
-        # corpus would expect ~100 fold collisions, silently merging
-        # distinct texts) so only (hash, id) pairs cross the shuffle;
-        # the join back on id fetches each representative's text
-        # without moving the corpus (AQE broadcasts the rep-id side
-        # while it fits, and degrades to an id-keyed shuffle — one
-        # linear pass — when most docs are unique).
-        rep_ids = (
-            src.groupBy(F.md5("__canon__").alias("__ch__"))
-            .agg(F.min("id").alias("id"))
-            .select("id")
-        )
-        src = src.join(rep_ids, "id")
+        src = _collapse_to_reps(src)
     docs = (
         src.select(
             "id",
