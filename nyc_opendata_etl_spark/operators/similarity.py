@@ -247,9 +247,19 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH-bucket candidate
     generation + exact cosine verify.
+
+    ``collapse_exact`` (default True) first reduces byte-identical
+    vectors to one min-id representative (a plain groupBy on the array
+    column — exact float equality, groupable on both engines): a
+    g-copy identical group otherwise lands all g members in the SAME
+    bucket and inflates the |b|² matmul by g² — on a 100-copy replica
+    the 4-bucket test configuration built a ~50k-row bucket whose
+    sims matrix (20 GB) killed the Python worker. Identical-copy pairs
+    are exact dedup's output, not near-dup's.
 
     This is the sub-quadratic path :func:`cosine_neardup_pairs`
     documents: the only pairwise work happens WITHIN a bucket (uniformly
@@ -271,6 +281,12 @@ def lsh_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    if collapse_exact:
+        embeddings = (
+            embeddings.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, vec_col)
+        )
     b = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -304,6 +320,7 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means cluster
     assignment as the blocking stage, exact cosine verify within each
@@ -335,6 +352,17 @@ def semantic_neardup_pairs(
 
     from pyspark.sql import Window
 
+    if collapse_exact:
+        # identical vectors → one min-id representative (see
+        # lsh_neardup_pairs): a g-copy group inflates its cluster's
+        # |c|² verify by g² for pairs exact dedup already owns. The
+        # collapse runs BEFORE centroid seeding, so the oracle's reps
+        # CTE must match.
+        embeddings = (
+            embeddings.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, vec_col)
+        )
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("__cent_id__"), F.col(vec_col).alias("__cent_vec__")
     )

@@ -271,6 +271,7 @@ _RECHECK_R7 = (
     "events_pattern_match",      # MATCH_RECOGNIZE-style row patterns
     "stats_regression",          # exact-moment OLS per group
     "stats_chi2_contingency",    # independence screening cells
+    "dedup_semantic",            # vector-collapse-first, oracle updated
 )
 
 def _ordered() -> dict[str, QueryDef]:

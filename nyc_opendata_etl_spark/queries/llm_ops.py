@@ -897,12 +897,16 @@ def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
-    WITH b AS (
+    WITH reps AS (
+        SELECT CAST(min(vec_id) AS BIGINT) AS vec_id, embedding
+        FROM embeddings GROUP BY embedding
+    ),
+    b AS (
         SELECT vec_id, embedding,
                (CASE WHEN CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
              + (CASE WHEN CAST(embedding[3] AS DOUBLE) - CAST(embedding[4] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
                AS bucket
-        FROM embeddings
+        FROM reps
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
@@ -1711,14 +1715,18 @@ _PAIR_COS = (
 @register(
     "dedup_semantic",
     oracle=f"""
-    WITH cents AS (
+    WITH reps AS (
+        SELECT CAST(min(vec_id) AS BIGINT) AS vec_id, embedding
+        FROM embeddings GROUP BY embedding
+    ),
+    cents AS (
         SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-        FROM embeddings WHERE vec_id < 8
+        FROM reps WHERE vec_id < 8
     ),
     scored AS (
         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cent_id,
                {_COS_CENT} AS sim
-        FROM embeddings e, cents c
+        FROM reps e, cents c
     ),
     assigned AS (
         SELECT cent_id, vec_id, v
