@@ -586,3 +586,24 @@ def test_regression_recovers_exact_line(spark, tmp_path):
         assert out[g].slope == 3.0
         assert out[g].intercept == 7.0
         assert out[g].r2 == 1.0
+
+
+def test_embedding_collapse_immune_to_copy_groups(spark):
+    """lsh_neardup_pairs on a corpus with 50 identical copies of each
+    vector must emit exactly the pairs of the distinct-vector corpus —
+    the duplicate-skew immunity contract that kept 100× from OOMing."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    distinct = [(i, base[i]) for i in range(6)]
+    copies = [(100 * (c + 1) + i, base[i]) for i in range(6) for c in range(50)]
+    planes = [[1.0, -1.0] + [0.0] * 6]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    a = {(r.id_a, r.id_b) for r in similarity.lsh_neardup_pairs(
+        mk(distinct), planes, threshold=0.2).collect()}
+    b = {(r.id_a, r.id_b) for r in similarity.lsh_neardup_pairs(
+        mk(distinct + copies), planes, threshold=0.2).collect()}
+    assert a == b  # copies collapse to the min-id (distinct) reps
