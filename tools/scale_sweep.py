@@ -81,6 +81,16 @@ def main() -> None:
                 res = {"query": name, "status": "error", "detail": err[:300]}
         except subprocess.TimeoutExpired:
             res = {"query": name, "status": "timeout", "sec": timeout}
+        if res["status"] != "ok":
+            # a killed/crashed child leaves orphaned shuffle dirs that
+            # would eat the disk for every subsequent query (the round-7
+            # sweep lost 77 GB to one); safe to clear between children
+            # because the sweep runs them strictly sequentially.
+            import glob
+            import shutil
+
+            for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+                shutil.rmtree(d, ignore_errors=True)
         results.append(res)
         print(json.dumps(res), flush=True)
 
