@@ -93,6 +93,54 @@ def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def _chunked_sim_pairs(
+    ids,
+    mat,
+    threshold: float,
+    round_digits: int,
+    chunk_target_bytes: int = 1 << 29,
+):
+    """Emit (id_a, id_b, sim) for every ordered pair (ids[i] < ids[j])
+    with rounded cosine ≥ threshold, WITHOUT materializing the full
+    |b|×|b| similarity matrix.
+
+    The belt-and-braces kernel for huge NON-identical buckets (the
+    identical-vector case is handled upstream by exact collapse): the
+    matmul runs in row chunks sized so each chunk's float64 sims slab
+    stays under ``chunk_target_bytes`` (default 512 MiB), making
+    per-task memory O(chunk · |b| · 8) instead of O(|b|²·8) — a 500k-row
+    bucket peaks at ~0.5 GB per slab instead of the 2 TB full matrix.
+    Each dot product is the same float64 GEMM accumulation whichever
+    chunk its row lands in, so the emitted set is identical to the
+    one-shot matmul (pinned by tests/test_round7b_ops.py).
+
+    Returns (id_a, id_b, sim) numpy arrays.
+    """
+    import numpy as np
+
+    n = len(ids)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    # chunk rows so chunk*n float64 ≈ chunk_target_bytes (≥64 rows so
+    # tiny targets cannot degrade to row-at-a-time)
+    chunk = max(64, int(chunk_target_bytes // max(1, n * 8)))
+    out_a, out_b, out_s = [], [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sims = mat[lo:hi] @ mat.T
+        sims /= np.outer(norms[lo:hi], norms)
+        np.round(sims, round_digits, out=sims)
+        keep = (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        out_a.append(ids[lo:hi][ai])
+        out_b.append(ids[bj])
+        out_s.append(sims[ai, bj])
+    return (
+        np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64),
+        np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64),
+        np.concatenate(out_s) if out_s else np.empty(0, dtype=np.float64),
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -275,8 +323,10 @@ def lsh_neardup_pairs(
     self-join: at 10× data the expression-level join form took 35× the
     time (per-pair interpreted array folds); the vectorized kernel keeps
     the same emitted set while doing the |b|² work at BLAS speed.
-    Per-task memory is O(max bucket size · d); raise the plane count if
-    buckets outgrow executors.
+    The matmul runs through :func:`_chunked_sim_pairs`, so the sims slab
+    is capped (~512 MiB) even for pathological buckets; resident
+    per-task memory is then O(max bucket size · d) for the input rows
+    themselves — raise the plane count if THAT outgrows executors.
     """
     import numpy as np
     import pandas as pd
@@ -300,13 +350,8 @@ def lsh_neardup_pairs(
                 {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
             )
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_digits)
-        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        ai, bj = np.nonzero(keep)
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bj], "cosine_sim": sims[ai, bj]}
-        )
+        id_a, id_b, sim = _chunked_sim_pairs(ids, mat, threshold, round_digits)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": sim})
 
     return b.groupBy("__bucket__").applyInPandas(
         verify_bucket, "id_a long, id_b long, cosine_sim double"
@@ -390,16 +435,13 @@ def semantic_neardup_pairs(
                 }
             )
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_digits)
-        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        ai, bj = np.nonzero(keep)
+        id_a, id_b, sim = _chunked_sim_pairs(ids, mat, threshold, round_digits)
         return pd.DataFrame(
             {
-                "cent_id": np.full(len(ai), int(key[0]), dtype=np.int64),
-                "id_a": ids[ai],
-                "id_b": ids[bj],
-                "cosine_sim": sims[ai, bj],
+                "cent_id": np.full(len(id_a), int(key[0]), dtype=np.int64),
+                "id_a": id_a,
+                "id_b": id_b,
+                "cosine_sim": sim,
             }
         )
 
