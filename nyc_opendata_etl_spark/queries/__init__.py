@@ -272,6 +272,8 @@ _RECHECK_R7 = (
     "stats_regression",          # exact-moment OLS per group
     "stats_chi2_contingency",    # independence screening cells
     "dedup_semantic",            # vector-collapse-first, oracle updated
+    # --- third-session additions ---
+    "linkage_fellegi_sunter",    # FS agreement-pattern log-weights
 )
 
 def _ordered() -> dict[str, QueryDef]:

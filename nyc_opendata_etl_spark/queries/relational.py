@@ -894,6 +894,103 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi–Sunter field priors for linkage_fellegi_sunter: column -> (m, u)
+# where m = P(agree | same entity), u = P(agree | different entities).
+# Fixed documented priors (NOT estimated here — the emitted pattern table
+# is the EM sufficient statistic, see operators/linkage.py); dict order
+# fixes the float summation order on both engines.
+_FS_FIELDS = {
+    "agree_name": (0.95, 0.25),
+    "agree_type": (0.90, 0.17),
+    "agree_size": (0.85, 0.10),
+    "agree_price": (0.90, 0.01),
+}
+
+
+def _fs_oracle() -> str:
+    from nyc_opendata_etl_spark.operators.linkage import fs_score_sql
+
+    return f"""
+    WITH c AS (
+        SELECT p_partkey AS key, p_brand AS blk_brand,
+               split_part(p_name, ' ', 1) AS blk_tok,
+               p_name, p_type, p_size,
+               CAST(floor(p_retailprice) AS INT) AS price_band
+        FROM part
+    ), pairs AS (
+        SELECT CAST(levenshtein(a.p_name, b.p_name) <= 3 AS INT) AS agree_name,
+               CAST(a.p_type = b.p_type AS INT) AS agree_type,
+               CAST(abs(a.p_size - b.p_size) <= 2 AS INT) AS agree_size,
+               CAST(a.price_band = b.price_band AS INT) AS agree_price
+        FROM c a JOIN c b
+          ON a.blk_brand = b.blk_brand AND a.blk_tok = b.blk_tok
+         AND a.key < b.key
+    ), pat AS (
+        SELECT agree_name, agree_type, agree_size, agree_price,
+               count(*) AS n_pairs,
+               round({fs_score_sql(_FS_FIELDS)}, 4) AS fs_score
+        FROM pairs GROUP BY 1, 2, 3, 4
+    )
+    SELECT agree_name, agree_type, agree_size, agree_price, n_pairs,
+           fs_score,
+           CASE WHEN fs_score >= 6.0 THEN 'match'
+                WHEN fs_score >= 0.0 THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM pat
+    """
+
+
+@register("linkage_fellegi_sunter", oracle=_fs_oracle())
+def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part catalog
+    (the classical extension of fuzzy_name_match's blocked pairs): the
+    same (brand, first-name-token) blocking generates candidate pairs,
+    each pair is compared on four fields (name edit distance ≤ 3, type
+    equality, size within ±2, integer price band), and every field
+    contributes a log₂(m/u) agreement / log₂((1-m)/(1-u)) disagreement
+    weight under fixed documented priors. Output is the agreement-
+    PATTERN table (≤2⁴ rows: pattern, pair count, summed score,
+    match/possible/nonmatch decision at thresholds 6.0/0.0) — constant-
+    size however large the pair set, and exactly the sufficient
+    statistic EM needs to refine m/u without re-touching pairs.
+
+    Scale shape: Σ per-block |b|² expression-only comparison work on a
+    skew-free composite shuffle key (the fuzzy_name_match analysis),
+    then a 4-column hash aggregate with map-side partials; scores are
+    constant arithmetic inlined as double literals, so the DuckDB
+    oracle replays them bit-for-bit. See operators/linkage.py."""
+    from nyc_opendata_etl_spark.operators.linkage import fs_pattern_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_brand").alias("blk_brand"),
+        F.split(F.col("p_name"), " ")[0].alias("blk_tok"),
+        "p_name",
+        "p_type",
+        "p_size",
+        F.floor("p_retailprice").cast("int").alias("price_band"),
+    )
+    a, b = part.alias("a"), part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk_brand") == F.col("b.blk_brand"))
+        & (F.col("a.blk_tok") == F.col("b.blk_tok"))
+        & (F.col("a.key") < F.col("b.key")),
+    ).select(
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .cast("int")
+        .alias("agree_name"),
+        (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("agree_type"),
+        (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2)
+        .cast("int")
+        .alias("agree_size"),
+        (F.col("a.price_band") == F.col("b.price_band"))
+        .cast("int")
+        .alias("agree_price"),
+    )
+    return fs_pattern_table(pairs, _FS_FIELDS, upper=6.0, lower=0.0)
+
+
 # --------------------------------------------------------------------------
 # Multi-join star queries (TPC-H Q3/Q5 shapes) — join-order/broadcast
 # planning exercise: Catalyst broadcasts every sub-threshold dimension and
