@@ -311,7 +311,17 @@ def priority_sample(
         ).alias("priority"),
     )
     top = scored.orderBy(F.desc("priority"), F.col(id_col)).limit(k + 1)
-    tau = top.agg(F.min("priority").alias("__tau__"))
+    # τ is the (k+1)-th priority — defined only when the corpus actually
+    # has more than k docs. On an undersized corpus min(priority) over
+    # the whole sample would INFLATE est_weight (priority > w by
+    # construction), so fall back to 0 ⇒ est_weight = w, matching the
+    # DLT estimator (and the oracle, whose rk = k+1 scalar subquery
+    # returns NULL there and greatest() yields w).
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("__tau__")
+    )
     return (
         top.orderBy(F.desc("priority"), F.col(id_col))
         .limit(k)

@@ -50,29 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "join_inner_agg": 1,
-    "join_semi": 1,
-    "join_anti": 1,
-    "join_full_outer": 1,
-    "join_range": 1,
-    "set_intersect": 1,
-    "set_except": 1,
-    "explode_tokens": 1,
-    "agg_grouping_sets": 1,
-    "agg_percentile": 1,
-    "pivot_orderstatus": 1,
-    "window_range_frame": 1,
-    "window_distribution": 1,
-    "agg_stats": 1,
-    "fuzzy_name_match": 1,
-    "dedup_exact": 1,
-    "dedup_fingerprint": 1,
-    "dedup_ngram_jaccard": 1,
-    "similarity_cosine_topk": 1,
-    "similarity_ann_lsh": 1,
-    "time_keys": 4,
-    "ampm_parse_time": 4,
-    "bool_flag": 4,
     "join_asof": 4,
     "json_extract": 4,
     "json_agg_by_key": 4,
@@ -89,7 +66,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "dedup_embedding_cosine": 4,
     "similarity_ann_ivf": 4,
     "text_tfidf_top": 4,
-    "dedup_clusters": 4,
     "join_skew_salted": 4,
     "corpus_curation": 4,
     "corpus_split": 4,
@@ -137,7 +113,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "text_repetition": 5,
     "text_ngram_topk": 5,
     "corpus_domain_mix": 5,
-    "dedup_keep_best": 5,
     "embedding_kmeans_update": 5,
     "outlier_robust_z": 5,
     "text_boilerplate_ngrams": 5,
@@ -196,19 +171,13 @@ _LAST_VERIFIED: dict[str, int] = {
     "json_variant_shred": 6,
     "sketch_theta_setops": 6,
     "sketch_bitmap_distinct": 6,
-    "graph_triangles": 6,
-    "dedup_semantic": 6,
     "text_char_entropy": 6,
     "embedding_gramian": 6,
     "corpus_mix_temperature": 6,
     "similarity_pq_encode": 6,
-    "similarity_ivfpq_topk": 6,
-    "search_bm25": 6,
-    "search_hybrid_rrf": 6,
     "events_user_sequences": 6,
     "sketch_kll_quantiles": 6,
     "events_anomaly_bands": 6,
-    "layout_zorder_locality": 6,
     "scd1_merge": 6,
     "q12_latency_priority": 6,
     "q2_min_cost_supplier": 6,
@@ -216,69 +185,120 @@ _LAST_VERIFIED: dict[str, int] = {
     "q11_important_stock": 6,
     "q16_supplier_part_counts": 6,
     "q20_promotion_candidates": 6,
+    "time_keys": 7,
+    "ampm_parse_time": 7,
+    "bool_flag": 7,
+    "join_inner_agg": 7,
+    "join_semi": 7,
+    "join_anti": 7,
+    "join_full_outer": 7,
+    "join_range": 7,
+    "set_intersect": 7,
+    "set_except": 7,
+    "explode_tokens": 7,
+    "agg_grouping_sets": 7,
+    "agg_percentile": 7,
+    "pivot_orderstatus": 7,
+    "window_range_frame": 7,
+    "window_distribution": 7,
+    "agg_stats": 7,
+    "fuzzy_name_match": 7,
+    "linkage_fellegi_sunter": 7,
+    "graph_triangles": 7,
+    "join_bloom_prefiltered": 7,
+    "join_null_safe": 7,
+    "agg_mode_median": 7,
+    "stats_equidepth_bins": 7,
+    "stats_regression": 7,
+    "dedup_exact": 7,
+    "dedup_fingerprint": 7,
+    "dedup_ngram_jaccard": 7,
+    "similarity_cosine_topk": 7,
+    "similarity_ann_lsh": 7,
+    "dedup_clusters": 7,
+    "dedup_keep_best": 7,
+    "dedup_semantic": 7,
+    "similarity_ivfpq_topk": 7,
+    "search_bm25": 7,
+    "search_bm25_incremental": 7,
+    "search_hybrid_rrf": 7,
+    "sketch_countmin_freq": 7,
+    "dedup_substring_exact": 7,
+    "dedup_containment": 7,
+    "corpus_sample_priority": 7,
+    "dedup_sorted_neighborhood": 7,
+    "corpus_mix_realize": 7,
+    "stats_chi2_contingency": 7,
+    "layout_zorder_locality": 7,
+    "layout_zorder_pruned_scan": 7,
+    "events_resample_ohlc": 7,
+    "profile_key_skew": 7,
+    "events_pattern_match": 7,
+    "pipeline_integrated_fact": 7,
 }
 
-# Queries that MUST carry a round-7 verdict regardless of history:
-# the 20 queries whose only hard verdict is round 1 (the last verdict
-# debt), then every query whose implementation or oracle changed this
-# round, then new registrations. These lead the registry in this order.
-_RECHECK_R7 = (
-    # --- r1 cohort: last hard verdict is round 1 (retire the debt) ---
-    "join_inner_agg",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range",
-    "set_intersect",
-    "set_except",
-    "explode_tokens",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "pivot_orderstatus",
-    "window_range_frame",
-    "window_distribution",
-    "agg_stats",
-    "fuzzy_name_match",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
-    # --- changed this round: staged retrieval indexes + plan fixes ---
-    "search_bm25",            # now probes a staged posting-list table
-    "search_hybrid_rrf",      # now probes staged posting list + ANN index
-    "similarity_ivfpq_topk",  # now probes a staged IVF-PQ index table
-    "graph_triangles",        # now reads a staged bucketed edge relation
-    "layout_zorder_locality", # zvalue bits fix (ADVICE: user_id > 2^11)
-    # --- new registrations this round ---
-    "pipeline_integrated_fact",  # reference's third fact under a verdict
-    "search_bm25_incremental",   # append/merge index-maintenance path
-    "sketch_countmin_freq",      # frequency member of the sketch matrix
-    "dedup_substring_exact",     # passage-level dedup granularity
-    "layout_zorder_pruned_scan", # staged z-ordered layout, read side
-    "join_bloom_prefiltered",    # portable bloom semi-join reduction
-    "events_resample_ohlc",      # min_by/max_by time-series downsample
-    "join_null_safe",            # <=> / IS NOT DISTINCT FROM semantics
-    "dedup_containment",         # asymmetric doc-in-doc near-dup axis
-    "agg_mode_median",           # deterministic mode + exact median
-    "stats_equidepth_bins",      # ntile equal-frequency histogram
-    "corpus_sample_priority",    # DLT weighted sample + HT estimates
-    "dedup_sorted_neighborhood", # SNM blocking family, window lead()
-    "profile_key_skew",          # pre-join heavy-hitter diagnostic
-    "corpus_mix_realize",        # temperature policy → epoch sample
-    "dedup_clusters",            # rewritten collapse+expand, full-pair oracle
-    "dedup_keep_best",           # consumes the rewritten cluster path
-    "events_pattern_match",      # MATCH_RECOGNIZE-style row patterns
-    "stats_regression",          # exact-moment OLS per group
-    "stats_chi2_contingency",    # independence screening cells
-    "dedup_semantic",            # vector-collapse-first, oracle updated
-    # --- third-session additions ---
-    "linkage_fellegi_sunter",    # FS agreement-pattern log-weights
+# Queries that MUST carry a round-8 verdict regardless of history:
+# the r4 cohort (45 queries — the stalest verdicts on record after the
+# r1 debt was retired in round 7), then every query whose
+# implementation or oracle changed this round, then new registrations.
+# These lead the registry in this order.
+_RECHECK_R8 = (
+    # --- r4 cohort: stalest verdicts, rotate back through the prefix ---
+    "join_asof",
+    "json_extract",
+    "json_agg_by_key",
+    "map_props_agg",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "unpivot_measures",
+    "profile_columns",
+    "array_hof_pipeline",
+    "join_interval_bucketed",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "dedup_embedding_cosine",
+    "similarity_ann_ivf",
+    "text_tfidf_top",
+    "join_skew_salted",
+    "corpus_curation",
+    "corpus_split",
+    "dedup_incremental",
+    "text_pii_scan",
+    "dedup_embedding_lsh",
+    "text_unigram_logprob",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "corpus_chunk_docs",
+    "corpus_sample_stratified",
+    "window_tumbling",
+    "window_session",
+    "stream_tumbling_backfill",
+    "stream_stateful_dedup",
+    "stream_watermark_dedup",
+    "stream_interval_join",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_ewma",
+    "quality_validation",
+    "events_sessionize",
+    "rollup_incremental",
+    "rollup_hll_distinct",
+    "pipeline_311_fact",
+    "pipeline_parking_fact",
+    "scd2_merge",
+    "multimodal_features",
+    "multimodal_metadata_agg",
+    # --- changed this round ---
+    "corpus_sample_priority",    # tau fix: undersized corpus ⇒ τ=0 (ADVICE)
+    # --- new registrations this round (scale-path twins) ---
+    "market_basket_pairs_relative",  # relative min-support re-engages apriori prune at scale
+    "stats_equidepth_bins_approx",   # KLL cut points + range binning, no global sort
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R7)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R8)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:

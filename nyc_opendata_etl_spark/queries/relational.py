@@ -1627,6 +1627,102 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "market_basket_pairs_relative",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+    sup AS (
+        SELECT n, greatest(CAST(3 AS BIGINT), (n + 4999) // 5000) AS min_sup
+        FROM tot
+    ),
+    freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY pk),
+    fitems AS (
+        SELECT f.pk, f.c FROM freq f CROSS JOIN sup s WHERE f.c >= s.min_sup
+    ),
+    fb AS (SELECT b.ok, b.pk FROM b JOIN fitems fi ON fi.pk = b.pk),
+    pairs AS (
+        SELECT b1.pk AS part_a, b2.pk AS part_b,
+               CAST(count(*) AS BIGINT) AS pair_orders
+        FROM fb b1 JOIN fb b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT p.* FROM pairs p CROSS JOIN sup s
+        WHERE p.pair_orders >= s.min_sup
+    )
+    SELECT fp.part_a, fp.part_b, fp.pair_orders,
+           round(CAST(fp.pair_orders * s.n AS DOUBLE)
+                 / CAST(fa.c * fc.c AS DOUBLE), 6) AS lift
+    FROM fp
+    JOIN fitems fa ON fa.pk = fp.part_a
+    JOIN fitems fc ON fc.pk = fp.part_b
+    CROSS JOIN sup s
+    """,
+)
+def q_market_basket_pairs_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """market_basket_pairs' 100 TB twin: min-support scales with the
+    order count — ``max(3, ceil(|orders| / 5000))``, all-integer
+    arithmetic so both engines compute the identical threshold — and
+    the a-priori ITEM prune runs before pair generation (an item below
+    min-support can't appear in any frequent pair, so dropping its
+    basket rows first is provably lossless; at sf0.01 the threshold
+    floors at 3 and this query's output is exactly
+    market_basket_pairs').
+
+    Why the twin exists: the absolute-support anchor stops pruning as
+    data grows — the round-7 100× sweep spilled 77 GB of pair state
+    (BASELINE.md round-7 basket finding). Relative support keeps the
+    surviving item vocabulary (and hence the pair key space) roughly
+    scale-invariant: the frequent-item list broadcasts onto the basket
+    scan (no shuffle for the prune), pair counts partial-aggregate
+    map-side, and the support filter still runs before the lift join so
+    item frequencies broadcast onto surviving pairs only."""
+    li = load_table(spark, sf_dir, "lineitem", spread_input=True)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sup = b.agg(F.count_distinct("ok").alias("n")).select(
+        "n",
+        F.greatest(
+            F.lit(3).cast("long"), F.expr("(n + 4999) div 5000")
+        ).alias("min_sup"),
+    )
+    freq = b.groupBy("pk").agg(F.count("*").alias("c"))
+    fitems = freq.crossJoin(F.broadcast(sup)).filter(
+        F.col("c") >= F.col("min_sup")
+    ).select("pk", "c")
+    fb = b.join(F.broadcast(fitems.select("pk")), "pk")
+    fb2 = fb.select(F.col("ok"), F.col("pk").alias("pk2"))
+    pairs = (
+        fb.join(fb2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"))
+        .agg(F.count("*").alias("pair_orders"))
+    )
+    fp = pairs.crossJoin(F.broadcast(sup)).filter(
+        F.col("pair_orders") >= F.col("min_sup")
+    )
+    fa = fitems.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    fc = fitems.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        fp.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fc), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.round(
+                (F.col("pair_orders") * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 _REACH_EDGES = """
 edges AS (
     SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
@@ -2235,6 +2331,63 @@ def q_stats_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("bin_total"),
+    )
+
+
+@register(
+    "stats_equidepth_bins_approx",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+    SELECT CAST(range AS INT) AS bin,
+           CAST(floor((n_total / 8.0) * 0.98) AS BIGINT) AS n_lo,
+           CAST(ceil((n_total / 8.0) * 1.02) AS BIGINT) AS n_hi,
+           true AS depth_in_band
+    FROM range(1, 9) CROSS JOIN t
+    """,
+)
+def q_stats_equidepth_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_equidepth_bins' 100 TB twin: approx_percentile cut points
+    (mergeable Greenwald–Khanna sketch, accuracy=10000 → rank error
+    ≤ 0.01%·N per cut) + range binning by the 7 interior octile cuts —
+    one map-side-combined aggregate for the cuts, a broadcast of the
+    7-value array back onto the scan, and one 8-group aggregate. NO
+    global sort: this replaces the exact twin's single-partition ntile
+    window, the documented 50×-at-100× wall (VERDICT r7 wrong-list #2).
+
+    Verification (the agg_percentile_approx technique): sketch cut
+    values differ across engines, so the driver-hashed surface is the
+    deterministic part — 8 bins must exist (row-count match), the
+    tolerance bounds n_lo/n_hi = N/8 ± 2% are exact integer/IEEE
+    arithmetic on both engines, and depth_in_band asserts each bin's
+    count lands inside the band, 100× looser than the sketch's rank
+    guarantee (two cuts × 0.01%·N ≈ 0.16% of a bin) yet failing loudly
+    if the sketch or the binning breaks. An empty or out-of-band bin
+    surfaces as a row-count or hash mismatch."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"
+    cuts = orders.agg(
+        F.expr(f"approx_percentile(o_totalprice, {probs}, 10000)").alias("cuts"),
+        F.count("*").alias("n_total"),
+    )
+    binned = orders.select("o_totalprice").crossJoin(F.broadcast(cuts))
+    bins = (
+        binned.select(
+            F.expr(
+                "1 + aggregate(cuts, 0, (acc, c) -> "
+                "acc + CASE WHEN o_totalprice > c THEN 1 ELSE 0 END)"
+            ).cast("int").alias("bin"),
+            "n_total",
+        )
+        .groupBy("bin", "n_total")
+        .agg(F.count("*").alias("n"))
+    )
+    n_lo = F.floor((F.col("n_total") / F.lit(8.0)) * F.lit(0.98)).cast("long")
+    n_hi = F.ceil((F.col("n_total") / F.lit(8.0)) * F.lit(1.02)).cast("long")
+    return bins.select(
+        "bin",
+        n_lo.alias("n_lo"),
+        n_hi.alias("n_hi"),
+        F.col("n").between(n_lo, n_hi).alias("depth_in_band"),
     )
 
 

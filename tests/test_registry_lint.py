@@ -85,10 +85,12 @@ def test_recheck_and_verified_names_exist():
     import nyc_opendata_etl_spark.queries as q
 
     q._load_all()
-    recheck = next(
-        v for k, v in vars(q).items() if k.startswith("_RECHECK_R")
-    )
-    missing = [n for n in recheck if n not in q.REGISTRY]
-    assert not missing, f"_RECHECK names not in registry: {missing}"
+    recheck_lists = {
+        k: v for k, v in vars(q).items() if k.startswith("_RECHECK_R")
+    }
+    assert recheck_lists, "no _RECHECK_R* list found in queries/__init__"
+    for attr, recheck in recheck_lists.items():
+        missing = [n for n in recheck if n not in q.REGISTRY]
+        assert not missing, f"{attr} names not in registry: {missing}"
     stale = [n for n in q._LAST_VERIFIED if n not in q.REGISTRY]
     assert not stale, f"_LAST_VERIFIED names not in registry: {stale}"

@@ -24,8 +24,11 @@ a defect.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import subprocess
 import sys
+import tempfile
 
 _CHILD = r"""
 import json, sys, time
@@ -43,11 +46,24 @@ print("SWEEP_RESULT " + json.dumps(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     timeout = 600
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--timeout"):
-            timeout = int(a.split("=", 1)[1]) if "=" in a else timeout
+            if "=" in a:
+                timeout = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                timeout = int(argv[i])
+            else:
+                print("--timeout needs a value", file=sys.stderr)
+                sys.exit(2)
+        else:
+            args.append(a)
+        i += 1
     if not args:
         print("usage: scale_sweep.py SF_DIR [query ...]", file=sys.stderr)
         sys.exit(2)
@@ -59,12 +75,18 @@ def main() -> None:
 
     results = []
     for name in names:
+        # Scope all of the child's Spark scratch (blockmgr-*, spark-*)
+        # to a per-child local dir so post-mortem cleanup can't touch
+        # any other Spark session's live shuffle dirs on this host.
+        child_tmp = tempfile.mkdtemp(prefix=f"sweep-{name[:40]}-")
+        child_env = dict(os.environ, SPARK_LOCAL_DIRS=child_tmp, TMPDIR=child_tmp)
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", _CHILD, name, sf_dir],
                 capture_output=True,
                 text=True,
                 timeout=timeout,
+                env=child_env,
             )
             line = next(
                 (l for l in proc.stdout.splitlines() if l.startswith("SWEEP_RESULT ")),
@@ -81,16 +103,14 @@ def main() -> None:
                 res = {"query": name, "status": "error", "detail": err[:300]}
         except subprocess.TimeoutExpired:
             res = {"query": name, "status": "timeout", "sec": timeout}
-        if res["status"] != "ok":
-            # a killed/crashed child leaves orphaned shuffle dirs that
-            # would eat the disk for every subsequent query (the round-7
-            # sweep lost 77 GB to one); safe to clear between children
-            # because the sweep runs them strictly sequentially.
-            import glob
-            import shutil
-
-            for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
-                shutil.rmtree(d, ignore_errors=True)
+        finally:
+            # A killed/crashed child leaves orphaned shuffle dirs that
+            # would eat the disk for every subsequent query (the
+            # round-7 sweep lost 77 GB to one). Because the child's
+            # SPARK_LOCAL_DIRS/TMPDIR were pinned to child_tmp, deleting
+            # exactly that dir reclaims its scratch without touching any
+            # other Spark session's live temp dirs on the host.
+            shutil.rmtree(child_tmp, ignore_errors=True)
         results.append(res)
         print(json.dumps(res), flush=True)
 
