@@ -75,3 +75,63 @@ def bloom_prefilter(probe: DataFrame, key: str, bitmap: DataFrame, *, m: int, k:
         .where(F.forall(probes, lambda p: F.array_contains(F.col("bits"), p)))
         .drop("bits")
     )
+
+
+def build_bloom_bitset(build: DataFrame, key: str, *, m: int, k: int) -> DataFrame:
+    """The PRODUCTION physical form of :func:`build_bloom_bitmap`: a
+    packed long-array bitset — 1 row of ``(bitset: array<bigint> of
+    ⌈m/64⌉ words, LSB-first within a word, n_keys, n_bits_set)``.
+
+    Same md5-affine positions as the sorted-array form, so a SQL oracle
+    still replays the exact candidate set (including false positives)
+    from position membership; only the representation changes. At
+    production m the packed array is m/8 bytes broadcast once (1 MiB
+    for m=2²³) versus 8 bytes PER SET BIT for the sorted array, and the
+    probe is two arithmetic ops + one word load instead of a binary
+    search. Build: positions fold into sparse (word, bits) pairs via a
+    map-side-combinable bit_or aggregate — constant state per word —
+    then one row assembles the dense array.
+    """
+    nwords = (m + 63) // 64
+    keys = build.select(F.col(key).alias("__bk__")).where(F.col(key).isNotNull()).distinct()
+    pos = keys.select(
+        F.explode(F.array(*[bloom_position(i, "__bk__", m) for i in range(k)])).alias("pos")
+    )
+    sparse = pos.select(
+        F.floor(F.col("pos") / 64).cast("int").alias("w"),
+        F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")).alias("mask"),
+    ).groupBy("w").agg(F.bit_or("mask").alias("word"))
+    packed = sparse.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("_wm"),
+        F.sum(F.bit_count("word")).cast("long").alias("n_bits_set"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.try_element_at(F.col("_wm"), i), F.lit(0).cast("long")),
+        ).alias("bitset"),
+        "n_bits_set",
+    )
+    return packed.crossJoin(keys.agg(F.count("*").alias("n_keys")))
+
+
+def bloom_prefilter_packed(
+    probe: DataFrame, key: str, bitset: DataFrame, *, m: int, k: int
+) -> DataFrame:
+    """Rows of `probe` passing all k probes against the packed bitset:
+    per probe, one word index (pos ≫ 6), one shift, one AND — stays
+    scan-local whole-stage codegen over the broadcast word array."""
+    probes = F.array(*[bloom_position(i, key, m) for i in range(k)])
+    return (
+        probe.crossJoin(F.broadcast(bitset.select("bitset")))
+        .where(
+            F.forall(
+                probes,
+                lambda p: (
+                    F.get(F.col("bitset"), F.floor(p / 64).cast("int"))
+                    .bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")))
+                    != 0
+                ),
+            )
+        )
+        .drop("bitset")
+    )

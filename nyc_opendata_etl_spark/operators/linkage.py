@@ -103,3 +103,40 @@ def fs_pattern_table(
             decision.alias("decision"),
         )
     )
+
+
+def fs_pattern_table_weighted(
+    pairs: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    weight_col: str = "n_pairs",
+    upper: float = 6.0,
+    lower: float = 0.0,
+    score_digits: int = 4,
+) -> DataFrame:
+    """:func:`fs_pattern_table` for COLLAPSED candidate pairs, where each
+    row already represents ``weight_col`` identical-record pairs (the
+    exact-collapse-first rewrite: byte-identical records on every
+    compared field reduce to one representative with a count; a
+    cross-representative pair stands for cnt_a·cnt_b record pairs and a
+    within-representative row for C(cnt, 2)). Agreement functions are
+    symmetric and depend only on the compared fields, so summing the
+    weights reproduces the full-pair pattern counts exactly — the same
+    collapse+expand equivalence the dedup family uses, applied to
+    linkage, which turns duplicate-skewed Σ|block|² pair work into
+    Σ|distinct-block|² + one collapse aggregate."""
+    score = F.round(fs_score(fields), score_digits)
+    decision = (
+        F.when(score >= upper, F.lit("match"))
+        .when(score >= lower, F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+    )
+    return (
+        pairs.groupBy(*fields.keys())
+        .agg(F.sum(weight_col).cast("long").alias("n_pairs"))
+        .select(
+            *fields.keys(),
+            "n_pairs",
+            score.alias("fs_score"),
+            decision.alias("decision"),
+        )
+    )

@@ -294,6 +294,8 @@ _RECHECK_R8 = (
     # --- new registrations this round (scale-path twins) ---
     "market_basket_pairs_relative",  # relative min-support re-engages apriori prune at scale
     "stats_equidepth_bins_approx",   # KLL cut points + range binning, no global sort
+    "linkage_fs_collapsed",          # collapse-first weighted FS pattern table
+    "join_bloom_packed",             # packed long-array bitset bloom, production form
 )
 
 def _ordered() -> dict[str, QueryDef]:

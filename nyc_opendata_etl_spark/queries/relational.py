@@ -991,6 +991,118 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_pattern_table(pairs, _FS_FIELDS, upper=6.0, lower=0.0)
 
 
+def _fs_collapsed_oracle() -> str:
+    from nyc_opendata_etl_spark.operators.linkage import fs_score_sql
+
+    return f"""
+    WITH c AS (
+        SELECT p_partkey AS key, p_brand AS blk_brand,
+               split_part(p_name, ' ', 1) AS blk_tok,
+               p_name, p_type, p_size,
+               CAST(floor(p_retailprice) AS INT) AS price_band
+        FROM part
+    ), reps AS (
+        SELECT blk_brand, blk_tok, p_name, p_type, p_size, price_band,
+               CAST(count(*) AS BIGINT) AS cnt, min(key) AS rep_key
+        FROM c GROUP BY 1, 2, 3, 4, 5, 6
+    ), cross_pairs AS (
+        SELECT CAST(levenshtein(a.p_name, b.p_name) <= 3 AS INT) AS agree_name,
+               CAST(a.p_type = b.p_type AS INT) AS agree_type,
+               CAST(abs(a.p_size - b.p_size) <= 2 AS INT) AS agree_size,
+               CAST(a.price_band = b.price_band AS INT) AS agree_price,
+               a.cnt * b.cnt AS w
+        FROM reps a JOIN reps b
+          ON a.blk_brand = b.blk_brand AND a.blk_tok = b.blk_tok
+         AND a.rep_key < b.rep_key
+    ), within_pairs AS (
+        SELECT CAST(1 AS INT) AS agree_name, CAST(1 AS INT) AS agree_type,
+               CAST(1 AS INT) AS agree_size, CAST(1 AS INT) AS agree_price,
+               cnt * (cnt - 1) // 2 AS w
+        FROM reps WHERE cnt >= 2
+    ), pairs AS (
+        SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
+    ), pat AS (
+        SELECT agree_name, agree_type, agree_size, agree_price,
+               CAST(sum(w) AS BIGINT) AS n_pairs,
+               round({fs_score_sql(_FS_FIELDS)}, 4) AS fs_score
+        FROM pairs GROUP BY 1, 2, 3, 4
+    )
+    SELECT agree_name, agree_type, agree_size, agree_price, n_pairs,
+           fs_score,
+           CASE WHEN fs_score >= 6.0 THEN 'match'
+                WHEN fs_score >= 0.0 THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM pat
+    """
+
+
+@register("linkage_fs_collapsed", oracle=_fs_collapsed_oracle())
+def q_linkage_fs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linkage_fellegi_sunter's duplicate-skew-immune twin: the
+    exact-collapse-first rewrite the dedup family got in round 7,
+    applied to record linkage. Records byte-identical on every compared
+    field collapse to one representative with a count BEFORE pairing;
+    a cross-representative candidate pair stands for cnt_a·cnt_b record
+    pairs and each representative with cnt ≥ 2 contributes C(cnt, 2)
+    all-agree within-group pairs. Agreement functions are symmetric and
+    field-determined, so the weighted pattern table is EXACTLY the
+    full-pair version's output (the unchanged-oracle equivalence
+    argument) — but per-block join work is Σ|distinct(block)|² instead
+    of Σ|block|², so a corpus that is 100× copies of the same entities
+    costs one collapse aggregate more, not 10000× the pair work.
+
+    Scale shape: collapse is a map-side-combinable hash aggregate on
+    the compared fields; reps carry (cnt, min-key) — constant-size
+    state; everything downstream is the fs pattern-table shape
+    (operators/linkage.py fs_pattern_table_weighted)."""
+    from nyc_opendata_etl_spark.operators.linkage import (
+        fs_pattern_table_weighted,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_brand").alias("blk_brand"),
+        F.split(F.col("p_name"), " ")[0].alias("blk_tok"),
+        "p_name",
+        "p_type",
+        "p_size",
+        F.floor("p_retailprice").cast("int").alias("price_band"),
+    )
+    reps = part.groupBy(
+        "blk_brand", "blk_tok", "p_name", "p_type", "p_size", "price_band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("key").alias("rep_key"))
+    a, b = reps.alias("a"), reps.alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.blk_brand") == F.col("b.blk_brand"))
+        & (F.col("a.blk_tok") == F.col("b.blk_tok"))
+        & (F.col("a.rep_key") < F.col("b.rep_key")),
+    ).select(
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .cast("int")
+        .alias("agree_name"),
+        (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("agree_type"),
+        (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2)
+        .cast("int")
+        .alias("agree_size"),
+        (F.col("a.price_band") == F.col("b.price_band"))
+        .cast("int")
+        .alias("agree_price"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+    )
+    within = reps.filter(F.col("cnt") >= 2).select(
+        F.lit(1).cast("int").alias("agree_name"),
+        F.lit(1).cast("int").alias("agree_type"),
+        F.lit(1).cast("int").alias("agree_size"),
+        F.lit(1).cast("int").alias("agree_price"),
+        F.expr("cnt * (cnt - 1) div 2").alias("w"),
+    )
+    pairs = cross.unionByName(within)
+    return fs_pattern_table_weighted(
+        pairs, _FS_FIELDS, weight_col="w", upper=6.0, lower=0.0
+    )
+
+
 # --------------------------------------------------------------------------
 # Multi-join star queries (TPC-H Q3/Q5 shapes) — join-order/broadcast
 # planning exercise: Catalyst broadcasts every sub-threshold dimension and
@@ -2201,6 +2313,89 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(
         F.broadcast(
             bitmap.select(F.col("n_keys").cast("long").alias("n_build_keys"), "n_bits_set")
+        )
+    ).select(
+        "n_build_keys", "n_bits_set", "n_candidates",
+        "n_matched", "n_false_positives", "sum_matched_qty",
+    )
+
+
+def _bloom_packed_oracle() -> str:
+    from nyc_opendata_etl_spark.operators.bloom import bloom_position_sql
+
+    m, k = 65536, 3
+    p = [bloom_position_sql(i, "l_suppkey", m) for i in range(k)]
+    b = [bloom_position_sql(i, "bk", m) for i in range(k)]
+    bits_union = "\n            UNION ALL\n            ".join(
+        f"SELECT {e} AS pos FROM bkeys" for e in b
+    )
+    cand_pred = "\n          AND ".join(f"{e} IN (SELECT pos FROM bits)" for e in p)
+    return f"""
+    WITH bkeys AS (
+        SELECT DISTINCT s_suppkey AS bk FROM supplier
+        WHERE s_nationkey = 3 AND s_suppkey IS NOT NULL
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {bits_union}
+        )
+    ),
+    cand AS (
+        SELECT l_suppkey, l_quantity FROM lineitem
+        WHERE {cand_pred}
+    )
+    SELECT (SELECT count(*) FROM bkeys) AS n_build_keys,
+           (SELECT count(*) FROM bits) AS n_bits_set,
+           count(*) AS n_candidates,
+           count(CASE WHEN bk IS NOT NULL THEN 1 END) AS n_matched,
+           count(CASE WHEN bk IS NULL THEN 1 END) AS n_false_positives,
+           round(sum(CASE WHEN bk IS NOT NULL THEN l_quantity END), 2)
+               AS sum_matched_qty
+    FROM cand LEFT JOIN bkeys ON cand.l_suppkey = bkeys.bk
+    """
+
+
+@register("join_bloom_packed", oracle=_bloom_packed_oracle())
+def q_join_bloom_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_bloom_prefiltered's production physical form: the same
+    md5-affine bloom logic over a PACKED long-array bitset
+    (operators/bloom.py build_bloom_bitset) at production-shaped
+    parameters — m=65536 bits (1024 words, 8 KiB broadcast), k=3.
+    The sorted-position-array twin exists so the oracle replays the
+    false-positive set at deliberately-undersized m; this query pins
+    the representation you'd actually broadcast at 100 TB: m/8 bytes
+    total rather than 8 bytes per set bit, probe = shift+AND+word-load
+    in whole-stage codegen (plan-pinned scan-local in
+    tests/test_plans.py), build = map-side-combinable per-word bit_or.
+    The oracle replays candidates from position membership — identical
+    logic, representation-independent — and Spark's own runtime bloom
+    injection (engine-private hashing) is separately pinned in
+    tests/test_plans.py."""
+    from nyc_opendata_etl_spark.operators.bloom import (
+        bloom_prefilter_packed,
+        build_bloom_bitset,
+    )
+
+    m, k = 65536, 3
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    bitset = build_bloom_bitset(sup, "s_suppkey", m=m, k=k)
+    cand = bloom_prefilter_packed(li, "l_suppkey", bitset, m=m, k=k)
+    keys = (
+        sup.select(F.col("s_suppkey").alias("bk"))
+        .where(F.col("s_suppkey").isNotNull())
+        .distinct()
+    )
+    agg = cand.join(F.broadcast(keys), cand["l_suppkey"] == F.col("bk"), "left").agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.col("bk").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("bk").isNull(), 1)).alias("n_false_positives"),
+        F.round(F.sum(F.when(F.col("bk").isNotNull(), F.col("l_quantity"))), 2)
+        .alias("sum_matched_qty"),
+    )
+    return agg.crossJoin(
+        F.broadcast(
+            bitset.select(F.col("n_keys").cast("long").alias("n_build_keys"), "n_bits_set")
         )
     ).select(
         "n_build_keys", "n_bits_set", "n_candidates",

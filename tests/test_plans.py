@@ -477,3 +477,29 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_packed_bloom_probe_is_scan_local(spark):
+    """join_bloom_packed's probe must filter the fact BEFORE any
+    fact-side Exchange: the packed-bitset word-load test (get + shift
+    + AND inside forall) rides the BroadcastNestedLoopJoin condition
+    directly over the lineitem FileScan, so non-candidates never
+    shuffle. A regression that materializes the probe after an
+    exchange (or falls back to a non-broadcast join for the 1-row
+    bitset) defeats the whole reduction at 100 TB."""
+    df = queries()["join_bloom_packed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe expression (shiftleft word test) appears as a join
+    # condition over the scan, not as a post-shuffle filter
+    probe_at = plan.find("shiftleft")
+    scan_at = plan.find("FileScan parquet [l_suppkey")
+    assert probe_at != -1 and scan_at != -1
+    # between the probe condition and the fact scan there is no
+    # Exchange: the first Exchange in the plan text after the probe
+    # node must come after the scan (plan prints children below
+    # parents, so text order follows execution nesting)
+    between = plan[probe_at:scan_at]
+    assert "Exchange" not in between.replace("BroadcastExchange", ""), between
+    # and the bitset side arrives by broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not pi.uses_sort_merge_join(df)
