@@ -296,6 +296,7 @@ _RECHECK_R8 = (
     "stats_equidepth_bins_approx",   # KLL cut points + range binning, no global sort
     "linkage_fs_collapsed",          # collapse-first weighted FS pattern table
     "join_bloom_packed",             # packed long-array bitset bloom, production form
+    "dedup_snm_adaptive",            # collapse-first SNM, count-driven block split
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -2524,6 +2524,81 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_snm_adaptive",
+    oracle=f"""
+    WITH r AS (
+        SELECT min(doc_id) AS id, canon
+        FROM (SELECT doc_id, {_CANON} AS canon FROM documents)
+        GROUP BY canon
+    ),
+    d AS (
+        SELECT id, canon,
+               list_sort(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS sh
+        FROM (SELECT id, canon, string_split(canon, ' ') AS toks FROM r)
+        WHERE len(toks) >= 3
+    ),
+    bc AS (
+        SELECT substr(canon, 1, 3) AS blk_base, count(*) AS blk_n
+        FROM d GROUP BY 1
+    ),
+    k AS (
+        SELECT d.id, d.canon, d.sh,
+               CASE WHEN bc.blk_n > 20 THEN substr(d.canon, 1, 6)
+                    ELSE substr(d.canon, 1, 3) END AS blk
+        FROM d JOIN bc ON substr(d.canon, 1, 3) = bc.blk_base
+    ),
+    nb AS (
+        SELECT id, sh,
+               lead(id, 1) OVER w AS nid_1, lead(sh, 1) OVER w AS nsh_1,
+               lead(id, 2) OVER w AS nid_2, lead(sh, 2) OVER w AS nsh_2,
+               lead(id, 3) OVER w AS nid_3, lead(sh, 3) OVER w AS nsh_3
+        FROM k
+        WINDOW w AS (PARTITION BY blk ORDER BY canon, id)
+    ),
+    legs AS (
+        SELECT least(id, nid_1) AS id_a, greatest(id, nid_1) AS id_b,
+               round(len(list_intersect(sh, nsh_1))
+                     / CAST(len(sh) + len(nsh_1)
+                            - len(list_intersect(sh, nsh_1)) AS DOUBLE), 6)
+                   AS jaccard
+        FROM nb WHERE nid_1 IS NOT NULL
+        UNION ALL
+        SELECT least(id, nid_2), greatest(id, nid_2),
+               round(len(list_intersect(sh, nsh_2))
+                     / CAST(len(sh) + len(nsh_2)
+                            - len(list_intersect(sh, nsh_2)) AS DOUBLE), 6)
+        FROM nb WHERE nid_2 IS NOT NULL
+        UNION ALL
+        SELECT least(id, nid_3), greatest(id, nid_3),
+               round(len(list_intersect(sh, nsh_3))
+                     / CAST(len(sh) + len(nsh_3)
+                            - len(list_intersect(sh, nsh_3)) AS DOUBLE), 6)
+        FROM nb WHERE nid_3 IS NOT NULL
+    )
+    SELECT id_a, id_b, jaccard FROM legs WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_snm_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_sorted_neighborhood with the hot-block sort bounded by
+    measurement: byte-identical canonical texts collapse to min-id
+    representatives first (the round-7 exact-collapse-first ordering),
+    then per-block rep counts at the 3-char base prefix are measured
+    and blocks over 20 reps re-block at 6 chars, splitting the hot
+    block's single-task window sort by construction. The block-length
+    knob the fixed variant exposes as configuration
+    (BASELINE.md round-7 10× SNM note) is here derived from the data —
+    the same profile-then-act pattern as profile_key_skew. See
+    operators/dedup.sorted_neighborhood_pairs_adaptive."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return dedup.sorted_neighborhood_pairs_adaptive(
+        docs, threshold=0.5, block_cap=20
+    )
+
+
+@register(
     "corpus_mix_realize",
     oracle=f"""
     WITH c AS (

@@ -1,0 +1,116 @@
+"""Mechanical per-query bench comparison across rounds.
+
+The box's measured inter-session drift is ±60% on identical code
+(BASELINE.md; re-measured round 7: 228.7 → 309.9 s two hours apart), so
+ROUND TOTALS never support a regression claim — only per-query ratios
+read against that band do. This tool does the archaeology the judge and
+builder previously did by hand: it pairs the two most recent
+``BENCH_DETAIL_r*.json`` files (or any two passed explicitly) and
+reports, per query, the new/old ratio classified against the drift
+band:
+
+- ``REGRESSED``  ratio > drift_hi   (outside the band — investigate)
+- ``IMPROVED``   ratio < drift_lo   (genuinely faster, or fixed)
+- ``~``          inside the band    (not distinguishable from drift)
+- ``NEW`` / ``GONE``                (present on only one side)
+
+Usage:
+    python tools/bench_diff.py                    # latest two rounds
+    python tools/bench_diff.py OLD.json NEW.json  # explicit files
+    python tools/bench_diff.py --band=0.6         # override drift band
+
+Output: one human table (sorted worst ratio first) + one JSON summary
+line for scripts. Exit code 0 always — drift classification is a
+reading aid, not a gate; the correctness gate is check_correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _latest_two() -> tuple[Path, Path]:
+    files = sorted(
+        ROOT.glob("BENCH_DETAIL_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p.stem).group(1)),
+    )
+    if len(files) < 2:
+        print(
+            f"need two BENCH_DETAIL_r*.json files, found {len(files)}",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    return files[-2], files[-1]
+
+
+def main() -> int:
+    band = 0.6
+    paths = []
+    for a in sys.argv[1:]:
+        if a.startswith("--band"):
+            band = float(a.split("=", 1)[1])
+        else:
+            paths.append(Path(a))
+    if len(paths) == 2:
+        old_p, new_p = paths
+    elif not paths:
+        old_p, new_p = _latest_two()
+    else:
+        print("usage: bench_diff.py [OLD.json NEW.json] [--band=0.6]", file=sys.stderr)
+        return 2
+
+    old = json.loads(old_p.read_text())["queries"]
+    new = json.loads(new_p.read_text())["queries"]
+    lo, hi = 1.0 / (1.0 + band), 1.0 + band
+
+    rows = []
+    for q in sorted(set(old) | set(new)):
+        o, n = old.get(q), new.get(q)
+        if o is None:
+            rows.append((float("inf"), q, o, n, "NEW"))
+        elif n is None:
+            rows.append((-1.0, q, o, n, "GONE"))
+        elif o <= 0 or n <= 0:
+            rows.append((float("inf"), q, o, n, "ERRORED"))
+        else:
+            r = n / o
+            cls = "REGRESSED" if r > hi else "IMPROVED" if r < lo else "~"
+            rows.append((r, q, o, n, cls))
+
+    rows.sort(key=lambda t: -t[0])
+    print(f"# {old_p.name} -> {new_p.name}  (drift band ratio [{lo:.2f}, {hi:.2f}])")
+    print(f"{'query':<34} {'old_s':>8} {'new_s':>8} {'ratio':>6}  class")
+    for r, q, o, n, cls in rows:
+        if cls == "~" and len(rows) > 40:
+            continue  # big suites: print only the signal
+        ratio = "" if o is None or n is None or o <= 0 or n <= 0 else f"{r:.2f}"
+        print(
+            f"{q:<34} {o if o is not None else '':>8} "
+            f"{n if n is not None else '':>8} {ratio:>6}  {cls}"
+        )
+    in_band = sum(1 for r in rows if r[4] == "~")
+    print(
+        json.dumps(
+            {
+                "summary": "bench_diff",
+                "old": old_p.name,
+                "new": new_p.name,
+                "n": len(rows),
+                "in_band": in_band,
+                "regressed": [q for _, q, _, _, c in rows if c == "REGRESSED"],
+                "improved": [q for _, q, _, _, c in rows if c == "IMPROVED"],
+                "added": [q for _, q, _, _, c in rows if c == "NEW"],
+                "removed": [q for _, q, _, _, c in rows if c == "GONE"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
