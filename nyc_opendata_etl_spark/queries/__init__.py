@@ -50,51 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "join_asof": 4,
-    "json_extract": 4,
-    "json_agg_by_key": 4,
-    "map_props_agg": 4,
-    "q3_shipping_priority": 4,
-    "q5_local_supplier_volume": 4,
-    "unpivot_measures": 4,
-    "profile_columns": 4,
-    "array_hof_pipeline": 4,
-    "join_interval_bucketed": 4,
-    "text_token_stats": 4,
-    "text_quality": 4,
-    "text_lang_id": 4,
-    "dedup_embedding_cosine": 4,
-    "similarity_ann_ivf": 4,
-    "text_tfidf_top": 4,
-    "join_skew_salted": 4,
-    "corpus_curation": 4,
-    "corpus_split": 4,
-    "dedup_incremental": 4,
-    "text_pii_scan": 4,
-    "dedup_embedding_lsh": 4,
-    "text_unigram_logprob": 4,
-    "corpus_decontaminate": 4,
-    "corpus_pack_sequences": 4,
-    "corpus_chunk_docs": 4,
-    "corpus_sample_stratified": 4,
-    "window_tumbling": 4,
-    "window_session": 4,
-    "stream_tumbling_backfill": 4,
-    "stream_stateful_dedup": 4,
-    "stream_watermark_dedup": 4,
-    "stream_interval_join": 4,
-    "events_funnel": 4,
-    "events_cohort_retention": 4,
-    "events_ewma": 4,
-    "quality_validation": 4,
-    "events_sessionize": 4,
-    "rollup_incremental": 4,
-    "rollup_hll_distinct": 4,
-    "pipeline_311_fact": 4,
-    "pipeline_parking_fact": 4,
-    "scd2_merge": 4,
-    "multimodal_features": 4,
-    "multimodal_metadata_agg": 4,
     "ingest_csv_documents": 5,
     "ingest_jsonl_documents": 5,
     "set_except_all": 5,
@@ -225,7 +180,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "sketch_countmin_freq": 7,
     "dedup_substring_exact": 7,
     "dedup_containment": 7,
-    "corpus_sample_priority": 7,
     "dedup_sorted_neighborhood": 7,
     "corpus_mix_realize": 7,
     "stats_chi2_contingency": 7,
@@ -235,73 +189,122 @@ _LAST_VERIFIED: dict[str, int] = {
     "profile_key_skew": 7,
     "events_pattern_match": 7,
     "pipeline_integrated_fact": 7,
+    "join_asof": 8,
+    "json_extract": 8,
+    "json_agg_by_key": 8,
+    "map_props_agg": 8,
+    "linkage_fs_collapsed": 8,
+    "q3_shipping_priority": 8,
+    "q5_local_supplier_volume": 8,
+    "unpivot_measures": 8,
+    "profile_columns": 8,
+    "array_hof_pipeline": 8,
+    "join_interval_bucketed": 8,
+    "market_basket_pairs_relative": 8,
+    "join_bloom_packed": 8,
+    "stats_equidepth_bins_approx": 8,
+    "text_token_stats": 8,
+    "text_quality": 8,
+    "text_lang_id": 8,
+    "dedup_embedding_cosine": 8,
+    "similarity_ann_ivf": 8,
+    "text_tfidf_top": 8,
+    "join_skew_salted": 8,
+    "corpus_curation": 8,
+    "corpus_split": 8,
+    "dedup_incremental": 8,
+    "text_pii_scan": 8,
+    "dedup_embedding_lsh": 8,
+    "text_unigram_logprob": 8,
+    "corpus_decontaminate": 8,
+    "corpus_pack_sequences": 8,
+    "corpus_chunk_docs": 8,
+    "corpus_sample_stratified": 8,
+    "corpus_sample_priority": 8,
+    "window_tumbling": 8,
+    "window_session": 8,
+    "stream_tumbling_backfill": 8,
+    "stream_stateful_dedup": 8,
+    "stream_watermark_dedup": 8,
+    "stream_interval_join": 8,
+    "events_funnel": 8,
+    "events_cohort_retention": 8,
+    "events_ewma": 8,
+    "quality_validation": 8,
+    "events_sessionize": 8,
+    "rollup_incremental": 8,
+    "rollup_hll_distinct": 8,
+    "pipeline_311_fact": 8,
+    "pipeline_parking_fact": 8,
+    "scd2_merge": 8,
+    "multimodal_features": 8,
+    "multimodal_metadata_agg": 8,
 }
 
-# Queries that MUST carry a round-8 verdict regardless of history:
-# the r4 cohort (45 queries — the stalest verdicts on record after the
-# r1 debt was retired in round 7), then every query whose
-# implementation or oracle changed this round, then new registrations.
-# These lead the registry in this order.
-_RECHECK_R8 = (
-    # --- r4 cohort: stalest verdicts, rotate back through the prefix ---
-    "join_asof",
-    "json_extract",
-    "json_agg_by_key",
-    "map_props_agg",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "unpivot_measures",
-    "profile_columns",
-    "array_hof_pipeline",
-    "join_interval_bucketed",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "dedup_embedding_cosine",
-    "similarity_ann_ivf",
-    "text_tfidf_top",
-    "join_skew_salted",
-    "corpus_curation",
-    "corpus_split",
-    "dedup_incremental",
-    "text_pii_scan",
-    "dedup_embedding_lsh",
-    "text_unigram_logprob",
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "corpus_chunk_docs",
-    "corpus_sample_stratified",
-    "window_tumbling",
-    "window_session",
-    "stream_tumbling_backfill",
-    "stream_stateful_dedup",
-    "stream_watermark_dedup",
-    "stream_interval_join",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_ewma",
-    "quality_validation",
-    "events_sessionize",
-    "rollup_incremental",
-    "rollup_hll_distinct",
-    "pipeline_311_fact",
-    "pipeline_parking_fact",
-    "scd2_merge",
-    "multimodal_features",
-    "multimodal_metadata_agg",
-    # --- changed this round ---
-    "corpus_sample_priority",    # tau fix: undersized corpus ⇒ τ=0 (ADVICE)
-    # --- new registrations this round (scale-path twins) ---
-    "market_basket_pairs_relative",  # relative min-support re-engages apriori prune at scale
-    "stats_equidepth_bins_approx",   # KLL cut points + range binning, no global sort
-    "linkage_fs_collapsed",          # collapse-first weighted FS pattern table
-    "join_bloom_packed",             # packed long-array bitset bloom, production form
-    "dedup_snm_adaptive",            # collapse-first SNM, count-driven block split
+# Queries that MUST carry a round-9 verdict regardless of history:
+# the never-checked dedup_snm_adaptive LEADS (registered after the r8
+# driver check ran), then the r5 cohort (46 queries — the stalest
+# verdicts on record after the r4 debt was retired in round 8), then
+# every query whose implementation or oracle changed this round:
+# both bloom queries (probe positions moved to the shared-fold affine
+# family) and linkage_fellegi_sunter (re-pointed at the collapse-first
+# weighted kernel, oracle unchanged as the equivalence gate).
+_RECHECK_R9 = (
+    "dedup_snm_adaptive",
+    "ingest_csv_documents",
+    "ingest_jsonl_documents",
+    "set_except_all",
+    "set_intersect_all",
+    "q18_large_volume_customer",
+    "graph_pagerank_trade",
+    "agg_listagg_ordered",
+    "audit_constraints",
+    "profile_drift",
+    "join_asof_forward",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_rolling_hash",
+    "agg_distinct_twophase",
+    "text_length_histogram",
+    "text_repetition",
+    "text_ngram_topk",
+    "corpus_domain_mix",
+    "embedding_kmeans_update",
+    "outlier_robust_z",
+    "text_boilerplate_ngrams",
+    "corpus_sample_weighted",
+    "text_bigram_logprob",
+    "similarity_ann_recall",
+    "embedding_kmeans_iterate",
+    "corpus_vocab_stats",
+    "window_sliding",
+    "events_transitions",
+    "events_gapfill_locf",
+    "events_attribution",
+    "cdc_apply_changelog",
+    "window_sliding_distinct",
+    "scd2_point_in_time",
+    "multimodal_frame_sample",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "join_bloom_prefiltered",
+    "join_bloom_packed",
+    "linkage_fellegi_sunter",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R8)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R9)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
