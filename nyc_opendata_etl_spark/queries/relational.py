@@ -2248,24 +2248,35 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _bloom_oracle() -> str:
+    from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
     from nyc_opendata_etl_spark.operators.bloom import bloom_position_sql
 
-    p = [bloom_position_sql(i, "l_suppkey", 32) for i in range(2)]
-    b = [bloom_position_sql(i, "bk", 32) for i in range(2)]
+    # mirror the Spark shape: ONE md5 fold per row (the `h` columns),
+    # then k affine maps — the oracle replays the shared-fold family
+    # value-for-value.
+    p = [bloom_position_sql(i, "h", 32, prehashed=True) for i in range(2)]
     return f"""
     WITH bkeys AS (
         SELECT DISTINCT s_suppkey AS bk FROM supplier
         WHERE s_nationkey = 3 AND s_suppkey IS NOT NULL
     ),
+    bhash AS (
+        SELECT bk, {md5_long_oracle_sql("bk")} AS h FROM bkeys
+    ),
     bits AS (
         SELECT DISTINCT pos FROM (
-            SELECT {b[0]} AS pos FROM bkeys
+            SELECT {p[0]} AS pos FROM bhash
             UNION ALL
-            SELECT {b[1]} AS pos FROM bkeys
+            SELECT {p[1]} AS pos FROM bhash
         )
     ),
+    lhash AS (
+        SELECT l_suppkey, l_quantity,
+               {md5_long_oracle_sql("l_suppkey")} AS h
+        FROM lineitem
+    ),
     cand AS (
-        SELECT l_suppkey, l_quantity FROM lineitem
+        SELECT l_suppkey, l_quantity FROM lhash
         WHERE {p[0]} IN (SELECT pos FROM bits)
           AND {p[1]} IN (SELECT pos FROM bits)
     )
@@ -2321,27 +2332,35 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_packed_oracle() -> str:
+    from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
     from nyc_opendata_etl_spark.operators.bloom import bloom_position_sql
 
     m, k = 65536, 3
-    p = [bloom_position_sql(i, "l_suppkey", m) for i in range(k)]
-    b = [bloom_position_sql(i, "bk", m) for i in range(k)]
+    pos = [bloom_position_sql(i, "h", m, prehashed=True) for i in range(k)]
     bits_union = "\n            UNION ALL\n            ".join(
-        f"SELECT {e} AS pos FROM bkeys" for e in b
+        f"SELECT {e} AS pos FROM bhash" for e in pos
     )
-    cand_pred = "\n          AND ".join(f"{e} IN (SELECT pos FROM bits)" for e in p)
+    cand_pred = "\n          AND ".join(f"{e} IN (SELECT pos FROM bits)" for e in pos)
     return f"""
     WITH bkeys AS (
         SELECT DISTINCT s_suppkey AS bk FROM supplier
         WHERE s_nationkey = 3 AND s_suppkey IS NOT NULL
+    ),
+    bhash AS (
+        SELECT bk, {md5_long_oracle_sql("bk")} AS h FROM bkeys
     ),
     bits AS (
         SELECT DISTINCT pos FROM (
             {bits_union}
         )
     ),
+    lhash AS (
+        SELECT l_suppkey, l_quantity,
+               {md5_long_oracle_sql("l_suppkey")} AS h
+        FROM lineitem
+    ),
     cand AS (
-        SELECT l_suppkey, l_quantity FROM lineitem
+        SELECT l_suppkey, l_quantity FROM lhash
         WHERE {cand_pred}
     )
     SELECT (SELECT count(*) FROM bkeys) AS n_build_keys,

@@ -494,6 +494,10 @@ def test_packed_bloom_probe_is_scan_local(spark):
     probe_at = plan.find("shiftleft")
     scan_at = plan.find("FileScan parquet [l_suppkey")
     assert probe_at != -1 and scan_at != -1
+    # the probe must print BEFORE the scan (parent above child) — a
+    # reversed order would make the between-window empty and the
+    # no-Exchange assertion below vacuous (ADVICE r8)
+    assert probe_at < scan_at, (probe_at, scan_at)
     # between the probe condition and the fact scan there is no
     # Exchange: the first Exchange in the plan text after the probe
     # node must come after the scan (plan prints children below
