@@ -666,96 +666,15 @@ def sorted_neighborhood_pairs(
         canon.alias("canon"),
         F.array_sort(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
     ).filter(F.size("sh") > 0)
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(F.substring("canon", 1, block_len)).orderBy("canon", "id")
-    neighbors = docs.select(
-        "id",
-        "sh",
-        *[F.lead("id", i).over(w).alias(f"nid_{i}") for i in range(1, window + 1)],
-        *[F.lead("sh", i).over(w).alias(f"nsh_{i}") for i in range(1, window + 1)],
-    )
-    pairs = None
-    for i in range(1, window + 1):
-        inter = F.size(F.array_intersect("sh", f"nsh_{i}"))
-        union = F.size("sh") + F.size(f"nsh_{i}") - inter
-        p = (
-            neighbors.filter(F.col(f"nid_{i}").isNotNull())
-            .select(
-                F.least("id", f"nid_{i}").alias("id_a"),
-                F.greatest("id", f"nid_{i}").alias("id_b"),
-                F.round(inter / union.cast("double"), 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs
+    keyed = docs.withColumn("blk", F.substring("canon", 1, block_len))
+    return _snm_window_pairs(keyed, window, threshold)
 
 
-def sorted_neighborhood_pairs_adaptive(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    window: int = 3,
-    threshold: float = 0.5,
-    block_len: int = 3,
-    block_cap: int = 20,
-) -> DataFrame:
-    """:func:`sorted_neighborhood_pairs` with the hot-block sort bounded
-    by MEASUREMENT instead of configuration — the two round-7 scale
-    lessons composed:
-
-    1. **exact-collapse-first**: byte-identical canonical texts reduce
-       to one min-id representative before anything sorts, so a block
-       that is hot because the corpus holds 100k copies of one document
-       (the skew real corpora have) collapses to size 1; within-group
-       identical pairs are exact_dedup_groups' territory, as in the
-       jaccard/containment rewrites.
-    2. **count-driven prefix extension**: per-block representative
-       counts at the base ``block_len`` are measured (one tiny
-       aggregate, |distinct prefixes| rows, broadcast back); blocks
-       over ``block_cap`` re-block at ``2·block_len`` characters, so a
-       hot block's single-task window sort splits into sub-prefix
-       tasks. The recall contract — SNM only compares docs sharing the
-       block key — is per-block: cold blocks keep base-length recall,
-       hot blocks trade prefix-divergent pairs for bounded tasks (the
-       knob every SNM deployment tunes by hand; here the data picks).
-
-    Output is representative pairs (id_a < id_b, trigram Jaccard ≥
-    threshold) — deterministic, SQL-replayable: the block counts, the
-    extension decision, and the window order are all pure functions of
-    the corpus."""
-    canon = canon_text(text_col)
-    reps = (
-        df.select(F.col(id_col).alias("raw_id"), canon.alias("canon"))
-        .groupBy("canon")
-        .agg(F.min("raw_id").alias("id"))
-        .select(
-            "id",
-            "canon",
-            F.array_sort(F.array_distinct(word_shingles(F.col("canon"), n))).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-    )
-    base = F.substring("canon", 1, block_len)
-    counts = reps.groupBy(base.alias("blk_base")).agg(
-        F.count(F.lit(1)).alias("blk_n")
-    )
-    keyed = reps.join(
-        F.broadcast(counts), base == F.col("blk_base")
-    ).select(
-        "id",
-        "canon",
-        "sh",
-        F.when(
-            F.col("blk_n") > block_cap, F.substring("canon", 1, 2 * block_len)
-        )
-        .otherwise(F.substring("canon", 1, block_len))
-        .alias("blk"),
-    )
-
+def _snm_window_pairs(keyed: DataFrame, window: int, threshold: float) -> DataFrame:
+    """Shared SNM comparison stage: per-block canonical sort, lead()
+    neighbors up to ``window``, exact shingle-Jaccard ≥ ``threshold``.
+    Expects columns (id, canon, sh, blk); each block sorts in its own
+    task (Window.partitionBy — never a global orderBy)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("blk").orderBy("canon", "id")
@@ -780,3 +699,121 @@ def sorted_neighborhood_pairs_adaptive(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs
+
+
+#: Separator between a prefix block key and its hash-salt suffix; never
+#: collides with a bare prefix key because canon_text output is
+#: printable (control chars collapse to spaces).
+SNM_SALT_SEP = "\x1f"
+
+
+def adaptive_block_keys(
+    reps: DataFrame,
+    block_len: int = 3,
+    block_cap: int = 20,
+    max_doublings: int = 3,
+) -> DataFrame:
+    """Assign each representative doc its measured SNM block key.
+
+    Per-prefix counts are measured at every doubling level in ONE
+    aggregate over the deepest prefix plus tiny rollups (counts at
+    length L are exact sums of the length-2L table — prefixes nest), so
+    the measurement costs one scan regardless of levels. Each doc takes
+    the SHORTEST prefix whose block holds ≤ ``block_cap`` reps; a block
+    still hot at the deepest prefix (``block_len·2^max_doublings``
+    chars) splits by a deterministic md5 salt into ⌈n/cap⌉ buckets, so
+    NO block key can serialize an unbounded sort — the bound is
+    unconditional up to md5 uniformity over distinct canons (identical
+    canons collapsed before this point, so the adversarial mass-duplicate
+    case cannot concentrate a salt bucket). Expects (id, canon, sh);
+    returns the same plus ``blk``. Pure function of the corpus — a SQL
+    oracle replays keys exactly."""
+    lens = [block_len * (2**i) for i in range(max_doublings + 1)]
+    deepest = lens[-1]
+    counts: dict[int, DataFrame] = {
+        deepest: reps.groupBy(
+            F.substring("canon", 1, deepest).alias(f"p{deepest}")
+        ).agg(F.count(F.lit(1)).alias(f"n{deepest}"))
+    }
+    for prev, cur in zip(lens[::-1], lens[::-1][1:]):
+        counts[cur] = (
+            counts[prev]
+            .groupBy(F.substring(f"p{prev}", 1, cur).alias(f"p{cur}"))
+            .agg(F.sum(f"n{prev}").alias(f"n{cur}"))
+        )
+    keyed = reps
+    for length in lens:
+        keyed = keyed.join(
+            F.broadcast(counts[length]),
+            F.substring("canon", 1, length) == F.col(f"p{length}"),
+        ).drop(f"p{length}")
+    choose = F.when(
+        F.col(f"n{lens[0]}") <= block_cap, F.substring("canon", 1, lens[0])
+    )
+    for length in lens[1:]:
+        choose = choose.when(
+            F.col(f"n{length}") <= block_cap, F.substring("canon", 1, length)
+        )
+    n_splits = F.ceil(F.col(f"n{deepest}") / F.lit(block_cap))
+    salt = (md5_long(F.col("canon")) % n_splits).cast("string")
+    choose = choose.otherwise(
+        F.concat(F.substring("canon", 1, deepest), F.lit(SNM_SALT_SEP), salt)
+    )
+    return keyed.select("id", "canon", "sh", choose.alias("blk"))
+
+
+def sorted_neighborhood_pairs_adaptive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 3,
+    threshold: float = 0.5,
+    block_len: int = 3,
+    block_cap: int = 20,
+    max_doublings: int = 3,
+) -> DataFrame:
+    """:func:`sorted_neighborhood_pairs` with the hot-block sort bounded
+    by MEASUREMENT instead of configuration — the two round-7 scale
+    lessons composed:
+
+    1. **exact-collapse-first**: byte-identical canonical texts reduce
+       to one min-id representative before anything sorts, so a block
+       that is hot because the corpus holds 100k copies of one document
+       (the skew real corpora have) collapses to size 1; within-group
+       identical pairs are exact_dedup_groups' territory, as in the
+       jaccard/containment rewrites.
+    2. **count-driven prefix doubling, bounded unconditionally**:
+       per-block representative counts are measured at every doubling
+       level ``block_len·2^i`` for i ≤ ``max_doublings`` (one scan +
+       tiny rollups, broadcast back); each doc blocks at the shortest
+       prefix that fits ``block_cap``, and a block still hot at the
+       deepest prefix splits by deterministic md5 salt into ⌈n/cap⌉
+       buckets (:func:`adaptive_block_keys`). Round 8 shipped ONE
+       extension level, leaving a block hot at 6 chars serialized; the
+       recursion + salt close that residual. The recall contract — SNM
+       only compares docs sharing the block key — is per-block: cold
+       blocks keep base-length recall, hot blocks trade prefix-divergent
+       (or cross-salt) pairs for bounded tasks, the knob every SNM
+       deployment tunes by hand; here the data picks.
+
+    Output is representative pairs (id_a < id_b, trigram Jaccard ≥
+    threshold) — deterministic, SQL-replayable: the block counts, the
+    extension decisions, the salt, and the window order are all pure
+    functions of the corpus."""
+    canon = canon_text(text_col)
+    reps = (
+        df.select(F.col(id_col).alias("raw_id"), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("raw_id").alias("id"))
+        .select(
+            "id",
+            "canon",
+            F.array_sort(F.array_distinct(word_shingles(F.col("canon"), n))).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    keyed = adaptive_block_keys(
+        reps, block_len=block_len, block_cap=block_cap, max_doublings=max_doublings
+    )
+    return _snm_window_pairs(keyed, window, threshold)

@@ -2540,15 +2540,28 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT id, canon, string_split(canon, ' ') AS toks FROM r)
         WHERE len(toks) >= 3
     ),
-    bc AS (
-        SELECT substr(canon, 1, 3) AS blk_base, count(*) AS blk_n
+    c24 AS (
+        SELECT substr(canon, 1, 24) AS p24, count(*) AS n24
         FROM d GROUP BY 1
     ),
+    c12 AS (SELECT substr(p24, 1, 12) AS p12, sum(n24) AS n12 FROM c24 GROUP BY 1),
+    c6  AS (SELECT substr(p12, 1, 6) AS p6, sum(n12) AS n6 FROM c12 GROUP BY 1),
+    c3  AS (SELECT substr(p6, 1, 3) AS p3, sum(n6) AS n3 FROM c6 GROUP BY 1),
     k AS (
         SELECT d.id, d.canon, d.sh,
-               CASE WHEN bc.blk_n > 20 THEN substr(d.canon, 1, 6)
-                    ELSE substr(d.canon, 1, 3) END AS blk
-        FROM d JOIN bc ON substr(d.canon, 1, 3) = bc.blk_base
+               CASE WHEN c3.n3 <= 20 THEN substr(d.canon, 1, 3)
+                    WHEN c6.n6 <= 20 THEN substr(d.canon, 1, 6)
+                    WHEN c12.n12 <= 20 THEN substr(d.canon, 1, 12)
+                    WHEN c24.n24 <= 20 THEN substr(d.canon, 1, 24)
+                    ELSE substr(d.canon, 1, 24) || chr(31) || CAST(
+                        {md5_long_oracle_sql("d.canon")}
+                        % CAST(ceil(c24.n24 / 20.0) AS BIGINT) AS VARCHAR)
+               END AS blk
+        FROM d
+        JOIN c3  ON substr(d.canon, 1, 3)  = c3.p3
+        JOIN c6  ON substr(d.canon, 1, 6)  = c6.p6
+        JOIN c12 ON substr(d.canon, 1, 12) = c12.p12
+        JOIN c24 ON substr(d.canon, 1, 24) = c24.p24
     ),
     nb AS (
         SELECT id, sh,
@@ -2585,10 +2598,12 @@ def q_dedup_snm_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_sorted_neighborhood with the hot-block sort bounded by
     measurement: byte-identical canonical texts collapse to min-id
     representatives first (the round-7 exact-collapse-first ordering),
-    then per-block rep counts at the 3-char base prefix are measured
-    and blocks over 20 reps re-block at 6 chars, splitting the hot
-    block's single-task window sort by construction. The block-length
-    knob the fixed variant exposes as configuration
+    then per-block rep counts are measured at every prefix-doubling
+    level (3 → 6 → 12 → 24 chars, one scan + tiny rollups) and each
+    doc blocks at the shortest prefix holding ≤ 20 reps; a block still
+    hot at 24 chars splits by deterministic md5 salt into ⌈n/20⌉
+    buckets, so no block key can serialize an unbounded window sort.
+    The block-length knob the fixed variant exposes as configuration
     (BASELINE.md round-7 10× SNM note) is here derived from the data —
     the same profile-then-act pattern as profile_key_skew. See
     operators/dedup.sorted_neighborhood_pairs_adaptive."""
