@@ -940,26 +940,17 @@ def _fs_oracle() -> str:
     """
 
 
-@register("linkage_fellegi_sunter", oracle=_fs_oracle())
-def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter probabilistic record linkage over the part catalog
-    (the classical extension of fuzzy_name_match's blocked pairs): the
-    same (brand, first-name-token) blocking generates candidate pairs,
-    each pair is compared on four fields (name edit distance ≤ 3, type
-    equality, size within ±2, integer price band), and every field
-    contributes a log₂(m/u) agreement / log₂((1-m)/(1-u)) disagreement
-    weight under fixed documented priors. Output is the agreement-
-    PATTERN table (≤2⁴ rows: pattern, pair count, summed score,
-    match/possible/nonmatch decision at thresholds 6.0/0.0) — constant-
-    size however large the pair set, and exactly the sufficient
-    statistic EM needs to refine m/u without re-touching pairs.
-
-    Scale shape: Σ per-block |b|² expression-only comparison work on a
-    skew-free composite shuffle key (the fuzzy_name_match analysis),
-    then a 4-column hash aggregate with map-side partials; scores are
-    constant arithmetic inlined as double literals, so the DuckDB
-    oracle replays them bit-for-bit. See operators/linkage.py."""
-    from nyc_opendata_etl_spark.operators.linkage import fs_pattern_table
+def _fs_collapsed_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared collapse-first Fellegi–Sunter kernel: records byte-identical
+    on every compared field collapse to one (fields, cnt, min-key)
+    representative BEFORE pairing; cross-rep pairs weigh cnt_a·cnt_b,
+    each rep with cnt ≥ 2 adds C(cnt, 2) all-agree within-group pairs.
+    Both registered FS queries run THIS plan — one verified against the
+    weighted-collapsed oracle, one against the unchanged full-pair
+    oracle (the two-sided equivalence gate, the dedup_clusters pattern)."""
+    from nyc_opendata_etl_spark.operators.linkage import (
+        fs_pattern_table_weighted,
+    )
 
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"),
@@ -970,12 +961,15 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.floor("p_retailprice").cast("int").alias("price_band"),
     )
-    a, b = part.alias("a"), part.alias("b")
-    pairs = a.join(
+    reps = part.groupBy(
+        "blk_brand", "blk_tok", "p_name", "p_type", "p_size", "price_band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("key").alias("rep_key"))
+    a, b = reps.alias("a"), reps.alias("b")
+    cross = a.join(
         b,
         (F.col("a.blk_brand") == F.col("b.blk_brand"))
         & (F.col("a.blk_tok") == F.col("b.blk_tok"))
-        & (F.col("a.key") < F.col("b.key")),
+        & (F.col("a.rep_key") < F.col("b.rep_key")),
     ).select(
         (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
         .cast("int")
@@ -987,8 +981,45 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.price_band") == F.col("b.price_band"))
         .cast("int")
         .alias("agree_price"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
     )
-    return fs_pattern_table(pairs, _FS_FIELDS, upper=6.0, lower=0.0)
+    within = reps.filter(F.col("cnt") >= 2).select(
+        F.lit(1).cast("int").alias("agree_name"),
+        F.lit(1).cast("int").alias("agree_type"),
+        F.lit(1).cast("int").alias("agree_size"),
+        F.lit(1).cast("int").alias("agree_price"),
+        F.expr("cnt * (cnt - 1) div 2").alias("w"),
+    )
+    pairs = cross.unionByName(within)
+    return fs_pattern_table_weighted(
+        pairs, _FS_FIELDS, weight_col="w", upper=6.0, lower=0.0
+    )
+
+
+@register("linkage_fellegi_sunter", oracle=_fs_oracle())
+def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part catalog
+    (the classical extension of fuzzy_name_match's blocked pairs):
+    (brand, first-name-token) blocking generates candidate pairs, each
+    pair is compared on four fields (name edit distance ≤ 3, type
+    equality, size within ±2, integer price band), and every field
+    contributes a log₂(m/u) agreement / log₂((1-m)/(1-u)) disagreement
+    weight under fixed documented priors. Output is the agreement-
+    PATTERN table (≤2⁴ rows: pattern, pair count, summed score,
+    match/possible/nonmatch decision at thresholds 6.0/0.0) — constant-
+    size however large the pair set, and exactly the sufficient
+    statistic EM needs to refine m/u without re-touching pairs.
+
+    Since round 9 this runs the COLLAPSE-FIRST kernel
+    (:func:`_fs_collapsed_pattern` — per-block join work
+    Σ|distinct(block)|², duplicate-skew immune) while keeping the
+    original FULL-PAIR oracle: the driver's differential check is the
+    standing equivalence gate that the weighted collapsed pattern table
+    equals the all-pairs one (agreements are symmetric and
+    field-determined). The dedup_clusters pattern — the twin query
+    linkage_fs_collapsed pins the same plan against the weighted
+    oracle. See operators/linkage.py."""
+    return _fs_collapsed_pattern(spark, sf_dir)
 
 
 def _fs_collapsed_oracle() -> str:
@@ -1054,53 +1085,10 @@ def q_linkage_fs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: collapse is a map-side-combinable hash aggregate on
     the compared fields; reps carry (cnt, min-key) — constant-size
     state; everything downstream is the fs pattern-table shape
-    (operators/linkage.py fs_pattern_table_weighted)."""
-    from nyc_opendata_etl_spark.operators.linkage import (
-        fs_pattern_table_weighted,
-    )
-
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("key"),
-        F.col("p_brand").alias("blk_brand"),
-        F.split(F.col("p_name"), " ")[0].alias("blk_tok"),
-        "p_name",
-        "p_type",
-        "p_size",
-        F.floor("p_retailprice").cast("int").alias("price_band"),
-    )
-    reps = part.groupBy(
-        "blk_brand", "blk_tok", "p_name", "p_type", "p_size", "price_band"
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("key").alias("rep_key"))
-    a, b = reps.alias("a"), reps.alias("b")
-    cross = a.join(
-        b,
-        (F.col("a.blk_brand") == F.col("b.blk_brand"))
-        & (F.col("a.blk_tok") == F.col("b.blk_tok"))
-        & (F.col("a.rep_key") < F.col("b.rep_key")),
-    ).select(
-        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
-        .cast("int")
-        .alias("agree_name"),
-        (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("agree_type"),
-        (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2)
-        .cast("int")
-        .alias("agree_size"),
-        (F.col("a.price_band") == F.col("b.price_band"))
-        .cast("int")
-        .alias("agree_price"),
-        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
-    )
-    within = reps.filter(F.col("cnt") >= 2).select(
-        F.lit(1).cast("int").alias("agree_name"),
-        F.lit(1).cast("int").alias("agree_type"),
-        F.lit(1).cast("int").alias("agree_size"),
-        F.lit(1).cast("int").alias("agree_price"),
-        F.expr("cnt * (cnt - 1) div 2").alias("w"),
-    )
-    pairs = cross.unionByName(within)
-    return fs_pattern_table_weighted(
-        pairs, _FS_FIELDS, weight_col="w", upper=6.0, lower=0.0
-    )
+    (operators/linkage.py fs_pattern_table_weighted). Shares
+    :func:`_fs_collapsed_pattern` with linkage_fellegi_sunter, which
+    verifies the identical plan against the UNCHANGED full-pair oracle."""
+    return _fs_collapsed_pattern(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
