@@ -63,10 +63,9 @@ class _RecordedServer:
         q = urllib.parse.parse_qs(urllib.parse.urlsplit(req.full_url).query)
         offset, limit = int(q["$offset"][0]), int(q["$limit"][0])
         body = (self.page_rows * 50)[: self.total][offset : offset + limit]
-        resp = io.BytesIO(json.dumps(body).encode())
-        resp.__enter__ = lambda *a: resp  # context-manager protocol
-        resp.__exit__ = lambda *a: False
-        return resp
+        # BytesIO is already a context manager (with-statement dunders
+        # resolve on the TYPE, so instance assignments would be dead code)
+        return io.BytesIO(json.dumps(body).encode())
 
 
 @pytest.fixture()

@@ -51,11 +51,28 @@ def _latest_two() -> tuple[Path, Path]:
 def main() -> int:
     band = 0.6
     paths = []
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--band"):
-            band = float(a.split("=", 1)[1])
+            # accept --band=X and --band X (mirrors scale_sweep.py)
+            if "=" in a:
+                val = a.split("=", 1)[1]
+            elif i + 1 < len(argv):
+                i += 1
+                val = argv[i]
+            else:
+                print("--band requires a value", file=sys.stderr)
+                return 2
+            try:
+                band = float(val)
+            except ValueError:
+                print(f"invalid --band value: {val!r}", file=sys.stderr)
+                return 2
         else:
             paths.append(Path(a))
+        i += 1
     if len(paths) == 2:
         old_p, new_p = paths
     elif not paths:
