@@ -208,6 +208,48 @@ SHOWCASE = {
         "relation with broadcast 1-row totals - the corpus is scanned "
         "exactly once."
     ),
+    "join_bloom_packed": (
+        "Packed-bitset bloom prefilter: ONE md5 fold projected on the "
+        "lineitem scan stage, k affine multiply-add-mods + shift/AND "
+        "word tests ride the BroadcastNestedLoopJoin condition directly "
+        "over the FileScan (no fact-side Exchange before the probe - "
+        "plan-pinned in tests/test_plans.py); the 8 KiB word array "
+        "arrives by BroadcastExchange and the exact semi-join shuffles "
+        "only the candidate sliver."
+    ),
+    "linkage_fs_collapsed": (
+        "Collapse-first Fellegi-Sunter: the compared-fields hash "
+        "aggregate (map-side partials) collapses identical records "
+        "BEFORE the blocked self-join, so pair work is "
+        "sum|distinct(block)|^2; the weighted pattern table is one "
+        "4-column aggregate of <=16 rows. Both FS queries run this "
+        "plan (the full-pair oracle on linkage_fellegi_sunter is the "
+        "equivalence gate)."
+    ),
+    "market_basket_pairs_relative": (
+        "Relative-support basket mining: min-support = max(3, "
+        "ceil(n/5000)) computed from a 1-row broadcast count, the "
+        "a-priori item prune joins the broadcast frequent-item list "
+        "before any pair forms, and pair counts partial-aggregate "
+        "map-side - the pair key space stays ~scale-invariant where "
+        "the absolute anchor's state grew with replication (77 GB "
+        "spill at 100x; this twin: 67 s)."
+    ),
+    "stats_equidepth_bins_approx": (
+        "Approx equi-depth bins: GK-sketch cut points come from one "
+        "partial-aggregable approx_percentile pass (no global sort, no "
+        "single-partition ntile), broadcast as a tiny array; binning "
+        "is a scan-local range lookup and per-bin stats one hash "
+        "aggregate."
+    ),
+    "dedup_snm_adaptive": (
+        "Adaptive sorted-neighborhood: collapse-first rep aggregate, "
+        "then ONE deepest-prefix count + tiny nested rollups (prefixes "
+        "nest) broadcast back; each doc keys at the shortest prefix "
+        "fitting the cap, deep-hot blocks salt into ceil(n/cap) "
+        "buckets, and the window sort partitions by the bounded block "
+        "key - no global orderBy, no unbounded single-task sort."
+    ),
 }
 
 
