@@ -139,3 +139,57 @@ def test_collapse_first_identical_docs_never_pair(spark):
         ).collect()
     )
     assert pairs == [(100, 200)]  # min-id rep only; copies 101..124 absent
+
+
+def test_bloom_empty_build_side_yields_zero_not_null(spark):
+    """ADVICE r8: an empty/fully-filtered build side must report
+    n_bits_set = 0 (not NULL) from BOTH bitmap representations, and the
+    prefilter against the empty filter must pass no rows."""
+    from nyc_opendata_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_prefilter_packed,
+        build_bloom_bitmap,
+        build_bloom_bitset,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    bm = build_bloom_bitmap(empty, "k", m=64, k=3).collect()[0]
+    assert bm["n_bits_set"] == 0 and bm["n_keys"] == 0 and bm["bits"] == []
+    bs = build_bloom_bitset(empty, "k", m=64, k=3).collect()[0]
+    assert bs["n_bits_set"] == 0 and bs["n_keys"] == 0
+    assert bs["bitset"] == [0]  # 64 bits -> one all-zero word
+    bitmap = build_bloom_bitmap(empty, "k", m=64, k=3)
+    bitset = build_bloom_bitset(empty, "k", m=64, k=3)
+    assert bloom_prefilter(probe, "k", bitmap, m=64, k=3).count() == 0
+    assert bloom_prefilter_packed(probe, "k", bitset, m=64, k=3).count() == 0
+
+
+def test_bloom_packed_and_sorted_array_agree(spark):
+    """Representation independence: the packed bitset and the sorted
+    position array must admit the IDENTICAL candidate set (same hash
+    family, same positions — only the physical form differs)."""
+    from nyc_opendata_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_prefilter_packed,
+        build_bloom_bitmap,
+        build_bloom_bitset,
+    )
+
+    build = spark.createDataFrame([(i * 7,) for i in range(20)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    m, k = 128, 3
+    via_array = sorted(
+        r["k"]
+        for r in bloom_prefilter(
+            probe, "k", build_bloom_bitmap(build, "k", m=m, k=k), m=m, k=k
+        ).collect()
+    )
+    via_packed = sorted(
+        r["k"]
+        for r in bloom_prefilter_packed(
+            probe, "k", build_bloom_bitset(build, "k", m=m, k=k), m=m, k=k
+        ).collect()
+    )
+    assert via_packed == via_array
+    assert set(i * 7 for i in range(20)) <= set(via_array)  # no false negatives
