@@ -727,26 +727,31 @@ def adaptive_block_keys(
     canons collapsed before this point, so the adversarial mass-duplicate
     case cannot concentrate a salt bucket). Expects (id, canon, sh);
     returns the same plus ``blk``. Pure function of the corpus — a SQL
-    oracle replays keys exactly."""
+    oracle replays keys exactly.
+
+    Plan shape: the deepest-prefix count table gets its coarser-level
+    counts as window sums over itself (prefixes nest, so they are exact
+    rollups — 3 tiny exchanges of the count relation), and reps join
+    that DECISION table once on the deepest prefix. No broadcast hint:
+    the 3-char count table is alphabet-bounded but the deepest-prefix
+    table scales with |distinct prefixes|, so AQE broadcasts it while
+    it fits and degrades to a skew-free uniform-key shuffle join when
+    it doesn't — one reps-side join either way (round 9 replaced four
+    chained per-level broadcast joins, one of which force-broadcast the
+    unbounded deepest table)."""
+    from pyspark.sql import Window as W
+
     lens = [block_len * (2**i) for i in range(max_doublings + 1)]
     deepest = lens[-1]
-    counts: dict[int, DataFrame] = {
-        deepest: reps.groupBy(
-            F.substring("canon", 1, deepest).alias(f"p{deepest}")
-        ).agg(F.count(F.lit(1)).alias(f"n{deepest}"))
-    }
-    for prev, cur in zip(lens[::-1], lens[::-1][1:]):
-        counts[cur] = (
-            counts[prev]
-            .groupBy(F.substring(f"p{prev}", 1, cur).alias(f"p{cur}"))
-            .agg(F.sum(f"n{prev}").alias(f"n{cur}"))
+    dec = reps.groupBy(F.substring("canon", 1, deepest).alias("p")).agg(
+        F.count(F.lit(1)).alias(f"n{deepest}")
+    )
+    for cur in lens[:-1]:
+        dec = dec.withColumn(
+            f"n{cur}",
+            F.sum(f"n{deepest}").over(W.partitionBy(F.substring("p", 1, cur))),
         )
-    keyed = reps
-    for length in lens:
-        keyed = keyed.join(
-            F.broadcast(counts[length]),
-            F.substring("canon", 1, length) == F.col(f"p{length}"),
-        ).drop(f"p{length}")
+    keyed = reps.join(dec, F.substring("canon", 1, deepest) == F.col("p")).drop("p")
     choose = F.when(
         F.col(f"n{lens[0]}") <= block_cap, F.substring("canon", 1, lens[0])
     )
@@ -800,16 +805,20 @@ def sorted_neighborhood_pairs_adaptive(
     Output is representative pairs (id_a < id_b, trigram Jaccard ≥
     threshold) — deterministic, SQL-replayable: the block counts, the
     extension decisions, the salt, and the window order are all pure
-    functions of the corpus."""
-    canon = canon_text(text_col)
+    functions of the corpus. The collapse itself is the shared
+    md5-keyed :func:`_collapse_to_reps` (only (hash, id) pairs cross
+    the shuffle, the rep-id join fetches texts without moving the
+    corpus) — same rep set as a canon-keyed group-by, min-id per
+    distinct canonical text."""
+    src = _canon_src(df, text_col, id_col)
     reps = (
-        df.select(F.col(id_col).alias("raw_id"), canon.alias("canon"))
-        .groupBy("canon")
-        .agg(F.min("raw_id").alias("id"))
+        _collapse_to_reps(src)
         .select(
             "id",
-            "canon",
-            F.array_sort(F.array_distinct(word_shingles(F.col("canon"), n))).alias("sh"),
+            F.col("__canon__").alias("canon"),
+            F.array_sort(
+                F.array_distinct(word_shingles(F.col("__canon__"), n))
+            ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
     )
