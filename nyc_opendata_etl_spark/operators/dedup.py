@@ -791,7 +791,8 @@ def sorted_neighborhood_pairs_adaptive(
     2. **count-driven prefix doubling, bounded unconditionally**:
        per-block representative counts are measured at every doubling
        level ``block_len·2^i`` for i ≤ ``max_doublings`` (one scan +
-       tiny rollups, broadcast back); each doc blocks at the shortest
+       window-sum rollups into a decision table, joined back with AQE
+       choosing broadcast vs shuffle); each doc blocks at the shortest
        prefix that fits ``block_cap``, and a block still hot at the
        deepest prefix splits by deterministic md5 salt into ⌈n/cap⌉
        buckets (:func:`adaptive_block_keys`). Round 8 shipped ONE
