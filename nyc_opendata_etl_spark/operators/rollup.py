@@ -20,12 +20,13 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "aggregate_batch",
     "merge_rollup",
+    "weighted_quantiles",
     "hll_batch",
     "hll_merge",
     "hll_estimates",
@@ -332,3 +333,66 @@ def countmin_estimate(
             .alias("est_freq")
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight: "F.Column",
+    probs: dict[str, tuple[int, int]],
+    total_name: str = "total_weight",
+) -> DataFrame:
+    """Exact lower weighted quantiles per group, collapse-first.
+
+    For each named probability q = num/den in ``probs``, returns the
+    smallest value ``v`` whose cumulative weight (values ascending)
+    reaches q of the group total: min{v : cumw(v)·den ≥ totw·num}.
+    The comparison is all-integer (weights are summed as BIGINT and the
+    rationals stay as (num, den) pairs), so Spark and any ANSI engine
+    agree bit-for-bit — no float CDF, no interpolation.
+
+    Shape at scale: (1) collapse — ``groupBy (group, value)`` with a
+    map-side-combined integer sum, the only shuffle that sees raw rows;
+    (2) per-group cumulative sum — a window over the COLLAPSED rows,
+    i.e. |distinct values| per group, bounded by the value DOMAIN, not
+    the row count. For discrete/bounded domains (lengths, counts,
+    scores) this is the exact 100 TB shape: a group with 10¹⁰ rows but
+    20 000 distinct lengths sorts 20 000 rows. For continuous unbounded
+    domains, quantize values to a fixed grid first (the
+    ``stats_weighted_quantiles_approx`` registration) so the window
+    input stays bounded unconditionally; the answer is then exact for
+    the quantized distribution with error ≤ one grid cell.
+
+    Null values are dropped before collapsing (Spark sorts NULL first,
+    ANSI engines last — excluding them pins the order portably).
+
+    No reference analogue (`etl/` has no quantile surface); the
+    unweighted sketch path is ``kll_batch``/``sketch_kll_quantiles``.
+    """
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col)
+    collapsed = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.col(value_col).alias("v"))
+        .agg(F.sum(weight).cast("long").alias("w"))
+    )
+    cum = collapsed.select(
+        group_col,
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num), F.col("v")
+            )
+        ).alias(name)
+        for name, (num, den) in probs.items()
+    ]
+    return cum.groupBy(group_col).agg(*aggs, F.max("tw").alias(total_name))

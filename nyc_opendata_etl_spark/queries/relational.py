@@ -2594,6 +2594,118 @@ def q_stats_equidepth_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stats_weighted_quantiles",
+    oracle="""
+    WITH c AS (
+        SELECT lang, n_chars AS v, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT lang, v,
+               CAST(sum(w) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+                   AS cw,
+               CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+        FROM c
+    )
+    SELECT lang,
+           min(CASE WHEN cw * 4 >= tw THEN v END) AS p25_mass_len,
+           min(CASE WHEN cw * 2 >= tw THEN v END) AS p50_mass_len,
+           min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75_mass_len,
+           CAST(max(tw) AS BIGINT) AS total_chars
+    FROM cum GROUP BY lang
+    """,
+)
+def q_stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-mass-weighted doc-length quantiles per language:
+    p50_mass_len is the length below which HALF this language's
+    characters live — the curation metric behind byte-budgeted corpus
+    mixes, where the unweighted median is useless (a million tweets and
+    one book have the tweet as median but the book as the mass). Exact
+    and all-integer on both engines (min v with cumw·den ≥ totw·num) —
+    no float CDF, no interpolation, so the full value oracle hashes.
+
+    Scale shape (operators/rollup.weighted_quantiles): one collapse
+    shuffle groupBy (lang, n_chars) with map-side combine — the only
+    exchange that sees raw rows — then a per-lang cum-sum window over
+    |distinct lengths| rows, bounded by the length DOMAIN, not the
+    corpus size. The exact 100 TB shape for discrete values; for
+    continuous domains see stats_weighted_quantiles_approx."""
+    from nyc_opendata_etl_spark.operators.rollup import weighted_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_quantiles(
+        docs,
+        "lang",
+        "n_chars",
+        F.col("n_chars"),
+        {
+            "p25_mass_len": (1, 4),
+            "p50_mass_len": (1, 2),
+            "p75_mass_len": (3, 4),
+        },
+        total_name="total_chars",
+    )
+
+
+@register(
+    "stats_weighted_quantiles_approx",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice / 100) AS BIGINT) * 100 AS cell,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, cell,
+               CAST(sum(w) OVER (PARTITION BY flag ORDER BY cell) AS BIGINT)
+                   AS cw,
+               CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        FROM c
+    )
+    SELECT flag,
+           min(CASE WHEN cw * 4 >= tw THEN cell END) AS p25_price_cell,
+           min(CASE WHEN cw * 2 >= tw THEN cell END) AS p50_price_cell,
+           min(CASE WHEN cw * 4 >= tw * 3 THEN cell END) AS p75_price_cell,
+           CAST(max(tw) AS BIGINT) AS total_units
+    FROM cum GROUP BY flag
+    """,
+)
+def q_stats_weighted_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stats_weighted_quantiles' unbounded-domain twin: QUANTIZE-first.
+    Continuous values (here l_extendedprice, weighted by units sold)
+    are floored to a fixed $100 grid BEFORE the collapse, so the
+    cum-sum window input is bounded by (price range / cell width) per
+    group at ANY corpus size — the knob that keeps the exact operator's
+    window from growing with distinct-value cardinality. The answer is
+    the exact lower weighted quantile of the QUANTIZED distribution
+    (error ≤ one cell), and the quantization itself is portable IEEE
+    arithmetic — so unlike sketch cut points, the full value oracle
+    still hashes bit-for-bit. Same kernel, same integer math
+    (operators/rollup.weighted_quantiles)."""
+    from nyc_opendata_etl_spark.operators.rollup import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    quantized = li.where(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_returnflag").alias("flag"),
+        (F.floor(F.col("l_extendedprice") / F.lit(100)) * 100).alias("cell"),
+        F.col("l_quantity").cast("long").alias("units"),
+    )
+    return weighted_quantiles(
+        quantized,
+        "flag",
+        "cell",
+        F.col("units"),
+        {
+            "p25_price_cell": (1, 4),
+            "p50_price_cell": (1, 2),
+            "p75_price_cell": (3, 4),
+        },
+        total_name="total_units",
+    )
+
+
+@register(
     "stats_regression",
     oracle="""
     WITH m AS (

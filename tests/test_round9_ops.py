@@ -193,3 +193,114 @@ def test_bloom_packed_and_sorted_array_agree(spark):
     )
     assert via_packed == via_array
     assert set(i * 7 for i in range(20)) <= set(via_array)  # no false negatives
+
+
+# ---------------------------------------------------------------------------
+# Weighted quantiles (operators/rollup.weighted_quantiles)
+# ---------------------------------------------------------------------------
+
+_PROBS = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4)}
+
+
+def _wq_brute(pairs, num, den):
+    """Pure-python lower weighted quantile: smallest v whose cumulative
+    weight (values ascending) reaches num/den of the total."""
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if cum * den >= tot * num:
+            return v
+    raise AssertionError("unreachable: q <= 1")
+
+
+def _run_wq(spark, pairs, probs=_PROBS):
+    from nyc_opendata_etl_spark.operators.rollup import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in pairs], "grp string, v long, w long"
+    )
+    [row] = weighted_quantiles(df, "grp", "v", F.col("w"), probs).collect()
+    return row
+
+
+def test_weighted_quantiles_matches_bruteforce(spark):
+    """Operator output equals the pure-python lower weighted quantile on
+    data with duplicate values, tied cumulative boundaries, and heavy
+    weight skew."""
+    pairs = [(3, 1), (1, 2), (7, 5), (3, 4), (10, 1), (2, 3), (7, 1)]
+    row = _run_wq(spark, pairs)
+    for name, (num, den) in _PROBS.items():
+        assert row[name] == _wq_brute(pairs, num, den), name
+    assert row["total_weight"] == sum(w for _, w in pairs)
+
+
+def test_weighted_quantiles_exact_boundary_tie(spark):
+    """cum·den == tot·num must INCLUDE the boundary value (>=, the lower
+    quantile): two values with equal weight put p50 on the first."""
+    row = _run_wq(spark, [(1, 5), (2, 5)])
+    assert row["p50"] == 1
+    assert row["p25"] == 1
+    assert row["p75"] == 2
+
+
+def test_weighted_quantiles_mass_skew_collapses(spark):
+    """One value holding >=75% of the mass is every quantile — and the
+    collapse law: 10^3 duplicate rows of that value reach the window as
+    ONE row (weights summed in the collapse aggregate, so the result is
+    identical to the pre-summed form)."""
+    heavy = [(42, 1)] * 900  # 900 duplicate rows, weight 1 each
+    tail = [(1, 50), (99, 50)]
+    row = _run_wq(spark, heavy + tail)
+    pre_summed = _run_wq(spark, [(42, 900)] + tail)
+    assert (row["p25"], row["p50"], row["p75"]) == (42, 42, 42)
+    assert tuple(row) == tuple(pre_summed)
+
+
+def test_weighted_quantiles_null_values_dropped(spark):
+    """NULL values are excluded before collapsing (Spark orders NULL
+    first, ANSI engines last — dropping pins the portable order)."""
+    from nyc_opendata_etl_spark.operators.rollup import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", None, 100), ("g", 5, 1), ("g", 6, 1)],
+        "grp string, v long, w long",
+    )
+    [row] = weighted_quantiles(df, "grp", "v", F.col("w"), _PROBS).collect()
+    assert (row["p50"], row["total_weight"]) == (5, 2)
+
+
+def test_weighted_quantiles_quantize_law(spark):
+    """Quantize-first (the _approx twin's shape) returns EXACTLY the
+    grid-floor of the exact weighted quantile — flooring is monotone, and
+    no mass below the exact quantile's cell can reach the threshold
+    early. So the twin's error is bounded by one cell by construction."""
+    import random
+
+    rng = random.Random(907)
+    pairs = [(rng.randrange(0, 2000), rng.randrange(1, 9)) for _ in range(300)]
+    exact = _run_wq(spark, pairs)
+    quant = _run_wq(spark, [(v // 100 * 100, w) for v, w in pairs])
+    for name in _PROBS:
+        assert quant[name] == exact[name] // 100 * 100, name
+
+
+def test_weighted_quantiles_two_exchange_plan(spark):
+    """Scale pin: the physical plan carries exactly TWO shuffles — the
+    (group, value) collapse (fed by a partial map-side aggregate) and
+    the per-group window repartition over COLLAPSED rows. Raw rows cross
+    one exchange only."""
+    from nyc_opendata_etl_spark.operators.rollup import weighted_quantiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 43).alias("v"),
+        F.lit(1).alias("w"),
+    )
+    plan = (
+        weighted_quantiles(df, "grp", "v", F.col("w"), _PROBS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower(), plan
