@@ -250,6 +250,14 @@ SHOWCASE = {
         "buckets, and the window sort partitions by the bounded block "
         "key - no global orderBy, no unbounded single-task sort."
     ),
+    "stats_weighted_quantiles": (
+        "Exact weighted quantiles, collapse-first: the only exchange "
+        "that sees raw rows is the (lang, n_chars) collapse fed by a "
+        "partial_sum; the cum-sum and group-total windows share ONE "
+        "sort over the collapsed rows (bounded by the length domain), "
+        "and the final per-lang aggregate rides the window's "
+        "partitioning - 2 exchanges total, no global sort."
+    ),
 }
 
 
