@@ -12,7 +12,6 @@ the point of the Spark mapping of the reference's windowed-batch design
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,9 +28,11 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     Cached by mtime: re-staged only when the source is newer."""
     import hashlib
 
+    from nyc_opendata_etl_spark.sources.staging import stage_root
+
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
     stage = os.path.join(
-        tempfile.gettempdir(),
+        stage_root(),
         "spark_graft_stream_stage",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{key}",
     )

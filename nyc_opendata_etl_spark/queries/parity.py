@@ -430,11 +430,12 @@ def _stage_documents(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     raw-file-drop shape the format readers exist for)."""
     import hashlib
     import os
-    import tempfile
+
+    from nyc_opendata_etl_spark.sources.staging import stage_root
 
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
     stage = os.path.join(
-        tempfile.gettempdir(),
+        stage_root(),
         "spark_graft_fmt_stage",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{key}.{fmt}",
     )

@@ -23,13 +23,27 @@ import os
 import tempfile
 
 
+def stage_root() -> str:
+    """Base directory all staged artifacts live under.
+
+    ``$SPARK_GRAFT_STAGE_ROOT`` overrides the system temp dir. The
+    override exists for harnesses that pin ``TMPDIR`` per subprocess to
+    isolate Spark scratch (tools/scale_sweep.py): without it, every
+    child resolves a fresh empty temp dir, rebuilds each write-time
+    index from scratch, and throws it away — so every recorded number
+    is build-inclusive and the build is never amortized, the opposite
+    of the write-time-staging architecture this module exists to model.
+    """
+    return os.environ.get("SPARK_GRAFT_STAGE_ROOT") or tempfile.gettempdir()
+
+
 def stage_dir(sf_dir: str, kind: str) -> str:
     """Deterministic staging directory for a derived artifact of
     ``sf_dir`` (keyed by path hash so differently-located replicas —
     e.g. the 10×/100× scale copies — never collide)."""
     key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(),
+        stage_root(),
         "spark_graft_stage",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{key}",
         kind,

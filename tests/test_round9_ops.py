@@ -304,3 +304,26 @@ def test_weighted_quantiles_two_exchange_plan(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, plan
     assert "partial_sum" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_stage_root_honors_env_override(monkeypatch, tmp_path):
+    """All three staging families resolve under $SPARK_GRAFT_STAGE_ROOT
+    when set (the scale_sweep TMPDIR-isolation escape hatch) and under
+    the system temp dir otherwise. Without the override, every sweep
+    child rebuilt each write-time index into its throwaway TMPDIR — the
+    recorded 100x numbers for the staged family were build-inclusive on
+    every run."""
+    import tempfile
+
+    from nyc_opendata_etl_spark.sources import staging
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_ROOT", raising=False)
+    assert staging.stage_root() == tempfile.gettempdir()
+    assert staging.stage_dir("/data/sfX", "text_index").startswith(
+        tempfile.gettempdir()
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_ROOT", str(tmp_path))
+    assert staging.stage_root() == str(tmp_path)
+    d = staging.stage_dir("/data/sfX", "text_index")
+    assert d.startswith(str(tmp_path)) and d.endswith("text_index")

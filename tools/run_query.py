@@ -57,11 +57,14 @@ def main() -> int:
     df = qs[args.name](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+    # Time ONE full execution (the count); the row preview afterwards
+    # is a second, untimed execution. Timing both together doubled the
+    # reported wall for every query and made warm-replay numbers look
+    # 2x worse than the sweep's single-execution protocol.
     t0 = time.time()
-    rows = df.limit(args.rows).collect()
     n = df.count()
     dt = time.time() - t0
-    for r in rows:
+    for r in df.limit(args.rows).collect():
         print(r)
     print(f"-- {n} rows total ({min(n, args.rows)} shown) in {dt:.2f}s")
     return 0

@@ -78,8 +78,20 @@ def main() -> None:
         # Scope all of the child's Spark scratch (blockmgr-*, spark-*)
         # to a per-child local dir so post-mortem cleanup can't touch
         # any other Spark session's live shuffle dirs on this host.
+        # SPARK_GRAFT_STAGE_ROOT pins the staged-artifact root to the
+        # PARENT's temp dir: without it the TMPDIR pin makes every
+        # child resolve an empty stage root, rebuild each write-time
+        # index from scratch, and delete it with child_tmp — so staged
+        # queries were recorded build-inclusive on every sweep and the
+        # build was never amortized across children or rounds.
         child_tmp = tempfile.mkdtemp(prefix=f"sweep-{name[:40]}-")
-        child_env = dict(os.environ, SPARK_LOCAL_DIRS=child_tmp, TMPDIR=child_tmp)
+        stage_root = os.environ.get("SPARK_GRAFT_STAGE_ROOT") or tempfile.gettempdir()
+        child_env = dict(
+            os.environ,
+            SPARK_LOCAL_DIRS=child_tmp,
+            TMPDIR=child_tmp,
+            SPARK_GRAFT_STAGE_ROOT=stage_root,
+        )
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", _CHILD, name, sf_dir],
