@@ -247,8 +247,15 @@ _LAST_VERIFIED: dict[str, int] = {
 # verdicts on record after the r4 debt was retired in round 8), then
 # every query whose implementation or oracle changed this round:
 # both bloom queries (probe positions moved to the shared-fold affine
-# family) and linkage_fellegi_sunter (re-pointed at the collapse-first
-# weighted kernel, oracle unchanged as the equivalence gate).
+# family), linkage_fellegi_sunter (re-pointed at the collapse-first
+# weighted kernel, oracle unchanged as the equivalence gate), and
+# stream_interval_join (moved to time-ordered staging + 8-micro-batch
+# AvailableNow replay — output-identical by design, 7.6× at 100×; it
+# displaces text_length_histogram, the lowest-risk unchanged r5-cohort
+# entry, because the window is capped at 50 and a changed
+# implementation must outrank an unchanged stale green.
+# text_length_histogram stays r5-verified and must join the
+# weighted-quantile pair at the head of _RECHECK_R10).
 _RECHECK_R9 = (
     "dedup_snm_adaptive",
     "ingest_csv_documents",
@@ -265,7 +272,6 @@ _RECHECK_R9 = (
     "dedup_simhash",
     "text_rolling_hash",
     "agg_distinct_twophase",
-    "text_length_histogram",
     "text_repetition",
     "text_ngram_topk",
     "corpus_domain_mix",
@@ -300,6 +306,7 @@ _RECHECK_R9 = (
     "join_bloom_prefiltered",
     "join_bloom_packed",
     "linkage_fellegi_sunter",
+    "stream_interval_join",
 )
 
 def _ordered() -> dict[str, QueryDef]:

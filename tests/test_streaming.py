@@ -277,3 +277,41 @@ def test_stream_static_dim_enrichment_matches_batch(spark):
         ).collect()
     }
     assert got == batch
+
+
+def test_interval_join_multibatch_equals_single_batch(spark):
+    """Multi-batch AvailableNow replay over the TIME-ORDERED staged
+    copy is output-identical to the single-batch drain for the
+    stream-stream interval join: ordered files mean zero cross-batch
+    lateness, inner-join matches emit eagerly, and the advancing
+    watermark only evicts state that can no longer match. (At 100x the
+    eviction is a 7.6x wall win — BASELINE.md round-9 streaming note;
+    this pins the equivalence the sizing threshold in
+    queries/event_windows.py relies on.)"""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.queries.event_windows import _stage_events
+
+    stage = _stage_events(spark, SF_DIR)
+    parts = sorted(p for p in os.listdir(stage) if p.startswith("part-"))
+    assert os.path.exists(os.path.join(stage, "_ORDERED"))
+    # ascending mtimes in path order = replay order = event-time order
+    mtimes = [os.path.getmtime(os.path.join(stage, p)) for p in parts]
+    assert mtimes == sorted(mtimes)
+
+    def run(k):
+        clicks = se.read_event_stream(spark, stage, max_files_per_trigger=k).filter(
+            F.col("event_type") == "click"
+        )
+        views = se.read_event_stream(spark, stage, max_files_per_trigger=k).filter(
+            F.col("event_type") == "view"
+        )
+        out = se.run_available_now(
+            se.interval_join_clicks_views(clicks, views),
+            f"ijmb_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+            state_partitions=4,
+        )
+        return {tuple(r) for r in out.collect()}
+
+    assert run(4) == run(None)
