@@ -129,6 +129,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -136,12 +137,26 @@ def minhash_lsh_pairs(
     values; each band hashes to one bucket key and docs sharing a bucket
     become candidates (id_a < id_b, distinct). The band-bucket self-join
     is the only pairwise step — the shuffle key (band_idx, band_hash) is
-    uniformly distributed, so no skew and no O(n²) blowup at 100 TB.
-    ``portable=True`` routes both the signature and the band-bucket hash
-    through the md5 family so a DuckDB oracle replays the exact pairs.
-    """
+    uniformly distributed OVER DISTINCT TEXTS, so no skew and no O(n²)
+    blowup at 100 TB. ``portable=True`` routes both the signature and
+    the band-bucket hash through the md5 family so a DuckDB oracle
+    replays the exact pairs.
+
+    ``collapse_exact=True`` first reduces byte-identical canonical
+    texts to one min-id representative (the family law shared with
+    :func:`ngram_jaccard_pairs` / :func:`containment_pairs`): identical
+    copies share EVERY band, so a g-copy group emits C(g,2) pairs per
+    band from the bucket self-join — quadratic in duplicate
+    multiplicity (the 100×-replica corpus emitted 44.6M pairs where
+    the collapsed run emits the same ~600 rep pairs at any copy
+    count). Identical-copy enumeration belongs to exact_dedup_groups;
+    off by default for consumers that expand reps themselves."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, portable=portable)
+    if collapse_exact:
+        reps = _collapse_to_reps_onepass(df, text_col, id_col)
+        sig = minhash_signatures(reps, "__canon__", "id", num_hashes, portable=portable)
+    else:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, portable=portable)
 
     def band_hash(b: int) -> F.Column:
         cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
@@ -297,9 +312,13 @@ def _collapse_to_reps_onepass(
     shuffle-write pass the join-back shape pays anyway. Pinned against
     the eager kernel in tests/test_round9_ops.py."""
     src = _canon_src(df, text_col, id_col)
-    return src.groupBy(F.md5("__canon__").alias("__ch__")).agg(
-        F.min("id").alias("id"),
-        F.min_by("__canon__", "id").alias("__canon__"),
+    return (
+        src.groupBy(F.md5("__canon__").alias("__ch__"))
+        .agg(
+            F.min("id").alias("id"),
+            F.min_by("__canon__", "id").alias("__canon__"),
+        )
+        .select("id", "__canon__")
     )
 
 

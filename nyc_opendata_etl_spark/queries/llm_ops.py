@@ -201,13 +201,17 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         )
     bands_sql = "\n        UNION ALL\n        ".join(band_selects)
     return f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id AS id,
+    WITH reps AS (
+        SELECT {_CANON} AS canon, min(doc_id) AS id
+        FROM documents GROUP BY 1
+    ),
+    sh AS (
+        SELECT DISTINCT id,
                unnest(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, len(toks) - 1)
                ])) AS shingle
-        FROM (SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents)
+        FROM (SELECT id, string_split(canon, ' ') AS toks FROM reps)
         WHERE len(toks) >= 3
     ),
     hashed AS (SELECT id, {md5_long_oracle_sql('shingle')} AS h FROM sh),
@@ -228,15 +232,20 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 
 @register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(4 bands) candidate pairs, portable hash family:
-    the signature permutations are affine maps over the md5 fold and
-    the band buckets are md5 keys, so the ENTIRE pipeline — shingling,
+    """MinHash(16)+LSH(4 bands) candidate pairs over byte-identical-
+    canonical-text REPRESENTATIVES, portable hash family: the signature
+    permutations are affine maps over the md5 fold and the band buckets
+    are md5 keys, so the ENTIRE pipeline — collapse, shingling,
     permutation mins, banding, the bucket self-join — is replayed
-    value-for-value by the DuckDB oracle (upgraded from the earlier
-    rows-only check; recall quality is pinned separately in
-    tests/test_approx_quality.py)."""
+    value-for-value by the DuckDB oracle (recall quality is pinned
+    separately in tests/test_approx_quality.py). Collapse-first is the
+    dedup-family law (dedup_ngram_jaccard / dedup_containment):
+    identical copies share every band, so a g-copy group otherwise
+    emits C(g,2) pairs per band — the 100× replica emitted 44.6M pairs
+    where the collapsed output is the same rep-pair set at any copy
+    count; identical-copy enumeration belongs to dedup_exact."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    return dedup.minhash_lsh_pairs(docs, portable=True)
+    return dedup.minhash_lsh_pairs(docs, portable=True, collapse_exact=True)
 
 
 def _simhash_oracle() -> str:

@@ -362,3 +362,51 @@ def test_onepass_collapse_matches_eager_kernel(spark):
     }
     assert onepass == eager
     assert (10, "hello world") in eager and 11 not in {i for i, _ in eager}
+
+
+def _mh_pairs(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, portable=True, **kw).collect()
+    }
+
+
+_MH_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog today"),
+    (3, "a completely different document about spark shuffles and joins"),
+    (4, "another unrelated text mentioning parquet files and columnar io"),
+]
+
+
+def test_minhash_collapse_is_identity_on_dupfree_corpus(spark):
+    """With no byte-identical canonical texts, collapse-first MinHash
+    emits exactly the uncollapsed pair set."""
+    assert _mh_pairs(spark, _MH_BASE, collapse_exact=True) == _mh_pairs(
+        spark, _MH_BASE, collapse_exact=False
+    )
+
+
+def test_minhash_collapsed_pairs_invariant_under_duplication(spark):
+    """The collapse-first law: adding byte-identical copies (fresh ids,
+    whitespace/case variants included) leaves the rep-pair set
+    unchanged — the uncollapsed bucket self-join would instead grow
+    C(g,2) pairs per copy group (the 100x-replica 44.6M-pair blowup)."""
+    copies = _MH_BASE + [
+        (101, _MH_BASE[0][1].upper()),
+        (102, "  " + _MH_BASE[0][1] + "  "),
+        (103, _MH_BASE[2][1]),
+        (104, _MH_BASE[2][1].replace(" ", "   ")),
+    ]
+    assert _mh_pairs(spark, copies, collapse_exact=True) == _mh_pairs(
+        spark, _MH_BASE, collapse_exact=True
+    )
+
+
+def test_minhash_collapsed_never_pairs_identical_canons(spark):
+    """Identical-copy pairs belong to exact dedup, never to the LSH
+    candidate set: ids of non-representative copies cannot appear."""
+    copies = _MH_BASE + [(101, _MH_BASE[0][1].upper())]
+    ids = {i for p in _mh_pairs(spark, copies, collapse_exact=True) for i in p}
+    assert 101 not in ids
