@@ -29,6 +29,10 @@ import shutil
 import subprocess
 import sys
 import tempfile
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO_ROOT))
 
 _CHILD = r"""
 import json, sys, time
@@ -99,6 +103,7 @@ def main() -> None:
                 text=True,
                 timeout=timeout,
                 env=child_env,
+                cwd=str(_REPO_ROOT),
             )
             line = next(
                 (l for l in proc.stdout.splitlines() if l.startswith("SWEEP_RESULT ")),
