@@ -82,10 +82,14 @@ SHOWCASE = {
         "purchases x clicks self-join."
     ),
     "dedup_minhash_lsh": (
-        "Portable MinHash+LSH: shingle explode -> ONE hash aggregate "
-        "of 16 affine-permutation mins (map-side partials) -> band "
-        "explode -> bucket self-join on the uniform (band, hash) key. "
-        "The banded join is the only pairwise step; no O(n^2) stage."
+        "Portable MinHash+LSH, collapse-first: one-pass md5(canon) "
+        "collapse to min-id reps (map-side combine), then shingle "
+        "explode -> ONE hash aggregate of 16 affine-permutation mins "
+        "(map-side partials) -> band explode -> bucket self-join on "
+        "the uniform (band, hash) key. The banded join is the only "
+        "pairwise step, and collapsing first keeps bucket contents "
+        "duplicate-free so output is invariant under copy multiplicity "
+        "(uncollapsed, a g-copy group emits C(g,2) pairs per band)."
     ),
     "agg_approx_distinct": (
         "Exact and HLL distinct run as SEPARATE aggregates joined on "
