@@ -274,44 +274,28 @@ def _canon_src(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _collapse_to_reps(src: DataFrame) -> DataFrame:
     """Reduce byte-identical canonical texts to their min-id
-    representative rows. Keyed on the full 128-bit md5 (not the
-    10^9-fold — a 500k-doc corpus would expect ~100 fold collisions,
-    silently merging distinct texts) so only (hash, id) pairs cross the
-    shuffle; the join back on id fetches each representative's text
-    without moving the corpus (AQE broadcasts the rep-id side while it
-    fits, and degrades to an id-keyed shuffle — one linear pass — when
-    most docs are unique)."""
-    rep_ids = (
-        src.groupBy(F.md5("__canon__").alias("__ch__"))
-        .agg(F.min("id").alias("id"))
-        .select("id")
-    )
-    return src.join(rep_ids, "id")
-
-
-def _collapse_to_reps_onepass(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Value-level twin of ``_collapse_to_reps(_canon_src(df, ...))`` —
-    same (id, __canon__) representative rows — in ONE aggregate, no
-    join-back: ``groupBy(md5(canon)).agg(min(id), min_by(canon, id))``.
+    representative rows (id, __canon__), in ONE aggregate:
+    ``groupBy(md5(canon)).agg(min(id), min_by(canon, id))``. Keyed on
+    the full 128-bit md5 (not the 10^9-fold — a 500k-doc corpus would
+    expect ~100 fold collisions, silently merging distinct texts).
     Every row in a group carries the identical canon (the md5 key), so
     min_by is value-deterministic; min(id) is the shared tie-break law.
 
-    Why a second kernel exists: the eager join-back shape scans the
-    corpus and runs the canonicalization regexes TWICE (once per join
-    side), and even when AQE converts the rep-id join to broadcast it
-    has already paid the map-side shuffle write of the probe side —
-    measured at the 100× documents replica the join-back collapse costs
-    65 s where this one-pass form costs 25 s (2/3 of the adaptive-SNM
-    wall). Trade-off stated honestly: here the canon TEXT crosses the
-    exchange, but map-side partial aggregation reduces each task to its
-    DISTINCT canons first, so the shuffle volume is bounded by
-    |distinct| per task — on a duplicate-heavy corpus (the dedup case)
-    that is tiny, and on an all-unique corpus it equals the one
-    shuffle-write pass the join-back shape pays anyway. Pinned against
-    the eager kernel in tests/test_round9_ops.py."""
-    src = _canon_src(df, text_col, id_col)
+    History: until late round 9 this was a join-back shape (hash-agg
+    rep ids, rejoin src on id, "texts never cross the shuffle"). That
+    claim didn't survive measurement: the join-back scans the corpus
+    and runs the canonicalization regexes TWICE (once per join side),
+    and even when AQE converts the rep-id join to broadcast it has
+    already paid the probe side's map shuffle write — at the 100×
+    documents replica the join-back collapse costs 65 s where this
+    one-pass form costs 25 s. Trade-off stated honestly: here the
+    canon TEXT crosses the exchange, but map-side partial aggregation
+    reduces each task to its DISTINCT canons first, so the shuffle
+    volume is bounded by |distinct| per task — tiny on duplicate-heavy
+    corpora (the dedup case), and on an all-unique corpus equal to the
+    one shuffle-write pass the join-back shape paid anyway. Pinned
+    against an independent canon-groupBy spec in
+    tests/test_round9_ops.py."""
     return (
         src.groupBy(F.md5("__canon__").alias("__ch__"))
         .agg(
@@ -320,6 +304,15 @@ def _collapse_to_reps_onepass(
         )
         .select("id", "__canon__")
     )
+
+
+def _collapse_to_reps_onepass(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """`_collapse_to_reps` over the raw (df, text_col, id_col) shape —
+    kept as the named entry point the adaptive-SNM/MinHash call sites
+    and the kernel-equality pin use."""
+    return _collapse_to_reps(_canon_src(df, text_col, id_col))
 
 
 def ngram_jaccard_pairs(
@@ -512,13 +505,34 @@ def duplicate_clusters_collapsed(
     (quadratic candidates; a 100-copy-group corpus ground >10 min
     before this rewrite, BASELINE.md round-7 100× table).
     """
+    # ONE corpus aggregate carries everything the rest needs: rep id,
+    # group size, and the rep's canon text (min_by is value-
+    # deterministic — all rows in a group share the md5-keyed canon).
+    # grp (~|distinct| rows) and mem (one small row per doc) are
+    # persisted with an eager one-job fill (the warehouse probe-cache
+    # pattern) because the pair join, the membership expansion, the
+    # isolated-group leg and has_sh all branch from them — uncached,
+    # the lineage re-ran the full corpus canon scan per branch (5-8
+    # scans; 2/3 of dedup_clusters' 168 s at the 100× replica).
     src = _canon_src(df, text_col, id_col)
-    mem = src.select("id", F.md5("__canon__").alias("__ch__"))
-    grp = mem.groupBy("__ch__").agg(
-        F.min("id").alias("rep"), F.count("*").alias("g")
+    grp = (
+        src.groupBy(F.md5("__canon__").alias("__ch__"))
+        .agg(
+            F.min("id").alias("rep"),
+            F.count("*").alias("g"),
+            F.min_by("__canon__", "id").alias("__canon__"),
+        )
+        .persist()
     )
-    mem = mem.join(grp, "__ch__").select("id", "rep", "g")
-    rep_docs = src.join(grp.select(F.col("rep").alias("id")), "id")
+    grp.count()
+    mem = (
+        src.select("id", F.md5("__canon__").alias("__ch__"))
+        .join(grp.select("__ch__", "rep", "g"), "__ch__")
+        .select("id", "rep", "g")
+        .persist()
+    )
+    mem.count()
+    rep_docs = grp.select(F.col("rep").alias("id"), "__canon__")
     rep_pairs = ngram_jaccard_pairs(
         rep_docs, text_col="__canon__", id_col="id", n=n, threshold=threshold
     )

@@ -329,11 +329,14 @@ def test_stage_root_honors_env_override(monkeypatch, tmp_path):
     assert d.startswith(str(tmp_path)) and d.endswith("text_index")
 
 
-def test_onepass_collapse_matches_eager_kernel(spark):
-    """_collapse_to_reps_onepass (single aggregate, min_by rep canon,
-    no join-back) returns the SAME (id, __canon__) rep rows as the
-    shared eager kernel, including the whitespace traps canon_text
-    exists for (leading tab, interior runs, case)."""
+def test_onepass_collapse_matches_independent_spec(spark):
+    """The one-pass collapse kernel (single aggregate, min_by rep
+    canon) returns the SAME (id, __canon__) rep rows as an INDEPENDENT
+    value-level spec — groupBy(canon).agg(min(id)) with the canon
+    carried by the key itself — including the whitespace traps
+    canon_text exists for (leading tab, interior runs, case). The spec
+    shares no code with the kernel (no md5, no min_by), so a kernel
+    regression cannot hide behind a shared bug."""
     rows = [
         (10, "Hello  World"),
         (11, "\thello world "),      # same canon as 10 -> collapses, min id 10
@@ -344,24 +347,21 @@ def test_onepass_collapse_matches_eager_kernel(spark):
         (31, "   "),                  # canon "" -> collapses with 30
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    from nyc_opendata_etl_spark.operators.dedup import (
-        _canon_src,
-        _collapse_to_reps,
-        _collapse_to_reps_onepass,
-    )
+    from nyc_opendata_etl_spark.operators.dedup import _collapse_to_reps_onepass
 
-    eager = {
+    spec = {
         (r["id"], r["__canon__"])
-        for r in _collapse_to_reps(_canon_src(df, "text", "doc_id")).collect()
+        for r in df.select(canon_text("text").alias("__canon__"), "doc_id")
+        .groupBy("__canon__")
+        .agg(F.min("doc_id").alias("id"))
+        .collect()
     }
     onepass = {
         (r["id"], r["__canon__"])
-        for r in _collapse_to_reps_onepass(df, "text", "doc_id")
-        .select("id", "__canon__")
-        .collect()
+        for r in _collapse_to_reps_onepass(df, "text", "doc_id").collect()
     }
-    assert onepass == eager
-    assert (10, "hello world") in eager and 11 not in {i for i, _ in eager}
+    assert onepass == spec
+    assert (10, "hello world") in spec and 11 not in {i for i, _ in spec}
 
 
 def _mh_pairs(spark, rows, **kw):
