@@ -37,9 +37,11 @@ SHOWCASE = {
         "cluster size."
     ),
     "dedup_ngram_jaccard": (
-        "Prefix-filtered similarity self-join: the exploded index "
-        "carries only (id, n_sh, hash); the verify joins fetch arrays "
-        "back from the compact docs relation."
+        "Collapse-first (one-pass md5(canon) aggregate to min-id reps, "
+        "map-side combine) then the prefix-filtered similarity "
+        "self-join: the exploded index carries only (id, n_sh, hash); "
+        "the verify joins fetch arrays back from the compact docs "
+        "relation."
     ),
     "join_asof": (
         "As-of join as a range-condition equi-join + latest-row window, "
