@@ -50,52 +50,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "ingest_csv_documents": 5,
-    "ingest_jsonl_documents": 5,
-    "set_except_all": 5,
-    "set_intersect_all": 5,
-    "q18_large_volume_customer": 5,
-    "graph_pagerank_trade": 5,
-    "agg_listagg_ordered": 5,
-    "audit_constraints": 5,
-    "profile_drift": 5,
-    "join_asof_forward": 5,
-    "dedup_minhash_lsh": 5,
-    "dedup_simhash": 5,
-    "text_rolling_hash": 5,
-    "agg_distinct_twophase": 5,
     "text_length_histogram": 5,
-    "text_repetition": 5,
-    "text_ngram_topk": 5,
-    "corpus_domain_mix": 5,
-    "embedding_kmeans_update": 5,
-    "outlier_robust_z": 5,
-    "text_boilerplate_ngrams": 5,
-    "corpus_sample_weighted": 5,
-    "text_bigram_logprob": 5,
-    "similarity_ann_recall": 5,
-    "embedding_kmeans_iterate": 5,
-    "corpus_vocab_stats": 5,
-    "window_sliding": 5,
-    "events_transitions": 5,
-    "events_gapfill_locf": 5,
-    "events_attribution": 5,
-    "cdc_apply_changelog": 5,
-    "window_sliding_distinct": 5,
-    "scd2_point_in_time": 5,
-    "multimodal_frame_sample": 5,
-    "q4_order_priority": 5,
-    "q6_forecast_revenue": 5,
-    "q7_volume_shipping": 5,
-    "q8_market_share": 5,
-    "q10_returned_items": 5,
-    "q13_customer_distribution": 5,
-    "q14_promo_revenue": 5,
-    "q15_top_supplier": 5,
-    "q17_small_quantity_revenue": 5,
-    "q19_discounted_revenue": 5,
-    "q21_waiting_supplier": 5,
-    "q22_global_sales": 5,
     "star_revenue": 6,
     "dim_surrogate": 6,
     "dim_first_per_group": 6,
@@ -158,9 +113,7 @@ _LAST_VERIFIED: dict[str, int] = {
     "window_distribution": 7,
     "agg_stats": 7,
     "fuzzy_name_match": 7,
-    "linkage_fellegi_sunter": 7,
     "graph_triangles": 7,
-    "join_bloom_prefiltered": 7,
     "join_null_safe": 7,
     "agg_mode_median": 7,
     "stats_equidepth_bins": 7,
@@ -201,7 +154,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "array_hof_pipeline": 8,
     "join_interval_bucketed": 8,
     "market_basket_pairs_relative": 8,
-    "join_bloom_packed": 8,
     "stats_equidepth_bins_approx": 8,
     "text_token_stats": 8,
     "text_quality": 8,
@@ -226,7 +178,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "stream_tumbling_backfill": 8,
     "stream_stateful_dedup": 8,
     "stream_watermark_dedup": 8,
-    "stream_interval_join": 8,
     "events_funnel": 8,
     "events_cohort_retention": 8,
     "events_ewma": 8,
@@ -239,79 +190,88 @@ _LAST_VERIFIED: dict[str, int] = {
     "scd2_merge": 8,
     "multimodal_features": 8,
     "multimodal_metadata_agg": 8,
+    "ingest_csv_documents": 9,
+    "ingest_jsonl_documents": 9,
+    "set_except_all": 9,
+    "set_intersect_all": 9,
+    "linkage_fellegi_sunter": 9,
+    "q18_large_volume_customer": 9,
+    "graph_pagerank_trade": 9,
+    "agg_listagg_ordered": 9,
+    "audit_constraints": 9,
+    "profile_drift": 9,
+    "join_asof_forward": 9,
+    "join_bloom_prefiltered": 9,
+    "join_bloom_packed": 9,
+    "dedup_minhash_lsh": 9,
+    "dedup_simhash": 9,
+    "text_rolling_hash": 9,
+    "agg_distinct_twophase": 9,
+    "text_repetition": 9,
+    "text_ngram_topk": 9,
+    "corpus_domain_mix": 9,
+    "embedding_kmeans_update": 9,
+    "outlier_robust_z": 9,
+    "text_boilerplate_ngrams": 9,
+    "corpus_sample_weighted": 9,
+    "text_bigram_logprob": 9,
+    "similarity_ann_recall": 9,
+    "embedding_kmeans_iterate": 9,
+    "corpus_vocab_stats": 9,
+    "dedup_snm_adaptive": 9,
+    "window_sliding": 9,
+    "stream_interval_join": 9,
+    "events_transitions": 9,
+    "events_gapfill_locf": 9,
+    "events_attribution": 9,
+    "cdc_apply_changelog": 9,
+    "window_sliding_distinct": 9,
+    "scd2_point_in_time": 9,
+    "multimodal_frame_sample": 9,
+    "q4_order_priority": 9,
+    "q6_forecast_revenue": 9,
+    "q7_volume_shipping": 9,
+    "q8_market_share": 9,
+    "q10_returned_items": 9,
+    "q13_customer_distribution": 9,
+    "q14_promo_revenue": 9,
+    "q15_top_supplier": 9,
+    "q17_small_quantity_revenue": 9,
+    "q19_discounted_revenue": 9,
+    "q21_waiting_supplier": 9,
+    "q22_global_sales": 9,
 }
 
-# Queries that MUST carry a round-9 verdict regardless of history:
-# the never-checked dedup_snm_adaptive LEADS (registered after the r8
-# driver check ran), then the r5 cohort (46 queries — the stalest
-# verdicts on record after the r4 debt was retired in round 8), then
-# every query whose implementation or oracle changed this round:
-# both bloom queries (probe positions moved to the shared-fold affine
-# family), linkage_fellegi_sunter (re-pointed at the collapse-first
-# weighted kernel, oracle unchanged as the equivalence gate), and
-# stream_interval_join (moved to time-ordered staging + 8-micro-batch
-# AvailableNow replay — output-identical by design, 7.6× at 100×; it
-# displaces text_length_histogram, the lowest-risk unchanged r5-cohort
-# entry, because the window is capped at 50 and a changed
-# implementation must outrank an unchanged stale green.
-# text_length_histogram stays r5-verified and must join the
-# weighted-quantile pair at the head of _RECHECK_R10).
-_RECHECK_R9 = (
+# Queries that MUST carry a round-10 verdict regardless of history:
+# (1) the four collapse-family queries whose implementation was unified
+# on the one-pass kernel AFTER their r8 driver verdicts (judge-verified
+# r9, but the driver gate is the record of truth), (2) the
+# weighted-quantile pair registered outside the r9 window
+# (never driver-checked), (3) text_length_histogram (the only r5-age
+# verdict — displaced from the r9 window by the changed
+# stream_interval_join), then (4) every query whose implementation
+# changes THIS round: dedup_sorted_neighborhood (fixed variant moved
+# onto the one-pass collapse), stream_stateful_dedup /
+# stream_tumbling_backfill (size-gated shard count), dedup_snm_adaptive
+# (checkpoint threshold). Remaining slots fill with the r6 cohort
+# (stalest greens) via the verdict-age sort below.
+_RECHECK_R10 = (
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "stats_weighted_quantiles",
+    "stats_weighted_quantiles_approx",
+    "text_length_histogram",
+    "dedup_sorted_neighborhood",
+    "stream_stateful_dedup",
+    "stream_tumbling_backfill",
     "dedup_snm_adaptive",
-    "ingest_csv_documents",
-    "ingest_jsonl_documents",
-    "set_except_all",
-    "set_intersect_all",
-    "q18_large_volume_customer",
-    "graph_pagerank_trade",
-    "agg_listagg_ordered",
-    "audit_constraints",
-    "profile_drift",
-    "join_asof_forward",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_rolling_hash",
-    "agg_distinct_twophase",
-    "text_repetition",
-    "text_ngram_topk",
-    "corpus_domain_mix",
-    "embedding_kmeans_update",
-    "outlier_robust_z",
-    "text_boilerplate_ngrams",
-    "corpus_sample_weighted",
-    "text_bigram_logprob",
-    "similarity_ann_recall",
-    "embedding_kmeans_iterate",
-    "corpus_vocab_stats",
-    "window_sliding",
-    "events_transitions",
-    "events_gapfill_locf",
-    "events_attribution",
-    "cdc_apply_changelog",
-    "window_sliding_distinct",
-    "scd2_point_in_time",
-    "multimodal_frame_sample",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "join_bloom_prefiltered",
-    "join_bloom_packed",
-    "linkage_fellegi_sunter",
-    "stream_interval_join",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R9)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R10)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
