@@ -20,6 +20,16 @@ scan-local either way, but it runs on every fact row — per-row constant
 factors are the whole bill there. int64-safe: A < P < 2.2e9 and the md5
 fold < 1e9, so A·h + B < 2.4e18 < 2⁶³.
 
+FPP caveat of the shared fold: because all k positions derive from ONE
+30-bit fold (mod 10⁹), two distinct keys that collide on the fold
+(~n/1e9 per probe key) collide on ALL k positions at once — a
+correlated false-positive floor of ≈ n_build/1e9 that is independent of
+m and k, which the old k-independent-digest family did not have. The
+floor is negligible at practical build sizes (n ≤ 10⁶ ⇒ ≤ 0.1%) and
+correctness is unaffected either way (the exact semi-join removes every
+false positive, and the oracle replays the family bit-for-bit), but m/k
+tuning must NOT assume k independent hash functions below that floor.
+
 Shape at 100 TB: the build side is one tiny distinct+explode aggregate
 over the dim (k positions per key, map-side combined), the bitmap crosses
 the cluster once as a broadcast array, and the probe is a scan-local

@@ -556,10 +556,20 @@ def duplicate_clusters_collapsed(
         .join(has_sh.filter(F.col("__has_sh__")).select("rep"), "rep")
         .select("id", F.col("rep").alias("cluster_id"))
     )
-    return (
+    # Materialize the membership result (bounded: one row per clustered
+    # doc) so grp/mem can be unpersisted HERE — returning a lazy frame
+    # over persisted inputs leaked two cached DataFrames per call for
+    # the lifetime of the session. The eager checkpoint also lets
+    # callers branch on the result (keep-best joins it twice) without
+    # re-running the expansion joins.
+    out = (
         linked.unionByName(self_groups)
         .select(F.col("id").alias("doc_id"), "cluster_id")
+        .localCheckpoint()
     )
+    grp.unpersist()
+    mem.unpersist()
+    return out
 
 
 def substring_dup_groups(

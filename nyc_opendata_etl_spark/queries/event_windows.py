@@ -67,14 +67,23 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
         import time as _time
 
         base = _time.time()
+        # 1ms spacing: FileStreamSource orders by ms-precision mtime, so
+        # this still fixes replay order while keeping every stamp within
+        # ~50ms of wall-clock (1s spacing put parts up to 32s in the
+        # future, and the old marker at +40s masked any source
+        # regenerated inside that window as already-staged).
+        n_parts = 0
         for i, p in enumerate(
             sorted(f for f in os.listdir(stage) if f.startswith("part-"))
         ):
-            os.utime(os.path.join(stage, p), (base + i, base + i))
+            t = base + (i + 1) * 0.001
+            os.utime(os.path.join(stage, p), (t, t))
+            n_parts = i + 1
         with open(ordered_marker, "w"):
             pass
-        # keep the staleness invariant: marker mtime > every part mtime
-        os.utime(marker, (base + 40, base + 40))
+        # staleness invariant: marker mtime > every part mtime
+        last = base + (n_parts + 1) * 0.001
+        os.utime(marker, (last, last))
     return stage
 
 

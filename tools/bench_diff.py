@@ -55,7 +55,7 @@ def main() -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--band"):
+        if a == "--band" or a.startswith("--band="):
             # accept --band=X and --band X (mirrors scale_sweep.py)
             if "=" in a:
                 val = a.split("=", 1)[1]
