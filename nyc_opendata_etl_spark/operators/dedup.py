@@ -725,20 +725,37 @@ def sorted_neighborhood_pairs(
     ``block_len`` characters are out of scope by contract (the recall
     knob every SNM deployment tunes).
 
-    Scale shape: one shuffle on the block key; each block sorts
-    independently (Window.partitionBy — NOT a global orderBy window,
-    which would serialize the corpus through one task). The lead()
-    comparisons stay inside the sorted partition, so no self-join and
-    no candidate explosion; a hot block bounds the worst task at
-    O(block × window) comparisons.
+    Collapse-first (round 10): byte-identical canonical texts reduce to
+    one min-id representative BEFORE the window stage, like every other
+    pair generator in this module. The round-9 output-scale audit
+    flagged the pre-collapse formulation: a g-copy duplicate group
+    occupied g window slots, emitting Θ(g·window) jaccard-1.0
+    identical-copy pairs (1.47M rows at the 100× replica — output that
+    GROWS with duplicate multiplicity) while burying distinct-text
+    neighbors beyond the window horizon. Identical-copy groups are
+    exact_dedup_groups' territory; the rep formulation makes the output
+    scale-invariant AND strictly improves distinct-text recall (every
+    window slot now holds a distinct canon). On a duplicate-free corpus
+    the two formulations are bit-identical (pinned in
+    tests/test_round9_ops.py::test_adaptive_cold_blocks_bit_match_fixed_snm).
+
+    Scale shape: one map-side-combined exchange for the collapse
+    (:func:`_collapse_to_reps_onepass`), one shuffle on the block key;
+    each block sorts independently (Window.partitionBy — NOT a global
+    orderBy window, which would serialize the corpus through one task).
+    The lead() comparisons stay inside the sorted partition, so no
+    self-join and no candidate explosion; a hot block bounds the worst
+    task at O(block × window) comparisons over REPS (duplicate skew
+    cannot re-inflate a block).
     """
-    canon = canon_text(text_col)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        canon.alias("canon"),
-        F.array_sort(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    reps = _collapse_to_reps_onepass(df, text_col, id_col).select(
+        "id",
+        F.col("__canon__").alias("canon"),
+        F.array_sort(
+            F.array_distinct(word_shingles(F.col("__canon__"), n))
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
-    keyed = docs.withColumn("blk", F.substring("canon", 1, block_len))
+    keyed = reps.withColumn("blk", F.substring("canon", 1, block_len))
     return _snm_window_pairs(keyed, window, threshold)
 
 

@@ -2481,15 +2481,18 @@ def q_corpus_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_sorted_neighborhood",
     oracle=f"""
-    WITH d AS (
-        SELECT doc_id AS id, canon,
+    WITH r AS (
+        SELECT min(doc_id) AS id, canon
+        FROM (SELECT doc_id, {_CANON} AS canon FROM documents)
+        GROUP BY canon
+    ),
+    d AS (
+        SELECT id, canon,
                list_sort(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, len(toks) - 1)
                ])) AS sh
-        FROM (SELECT doc_id, {_CANON} AS canon,
-                     string_split({_CANON}, ' ') AS toks
-              FROM documents)
+        FROM (SELECT id, canon, string_split(canon, ' ') AS toks FROM r)
         WHERE len(toks) >= 3
     ),
     nb AS (
@@ -2524,10 +2527,15 @@ def q_corpus_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood near-dup pairs: per-block canonical sort,
-    window-of-3 lead() comparisons, exact trigram Jaccard ≥ 0.5 verify.
-    The third blocking family beside LSH bands and prefix filtering —
-    O(rows × window) comparisons, one shuffle on the block key."""
+    """Sorted-neighborhood near-dup pairs: byte-identical canonical
+    texts collapse to min-id representatives first (round 10 — the
+    output-scale audit flagged the pre-collapse form emitting Θ(dups)
+    identical-copy pairs, 1.47M rows at 100×), then per-block canonical
+    sort, window-of-3 lead() comparisons, exact trigram Jaccard ≥ 0.5
+    verify. The third blocking family beside LSH bands and prefix
+    filtering — O(reps × window) comparisons, one map-side-combined
+    collapse exchange plus one shuffle on the block key; output is
+    scale-invariant under duplicate multiplicity."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.sorted_neighborhood_pairs(docs, threshold=0.5)
 
