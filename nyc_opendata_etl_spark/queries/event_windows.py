@@ -87,6 +87,26 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
+def _staged_trigger_files(stage: str) -> int | None:
+    """Shard an AvailableNow replay into micro-batches of 4 files only
+    when the staged input exceeds 16 MiB (ORDERED-layout bytes — the
+    time-sorted copy compresses ~3× better than unsorted). Below the
+    threshold state trivially fits in memory and each extra micro-batch
+    costs a fixed ~1-2 s of state-store commits, so a single batch is
+    strictly cheaper; above it, sharded replay lets the advancing
+    watermark bound state between batches (the round-9 interval-join
+    lesson: 352 → 59.6 s at 100×). Round 10 applies the same gate to
+    the tumbling-backfill and stateful-dedup replays, whose sf0.1 bench
+    cost was pure multi-batch overhead (8× applyInPandasWithState
+    Python-worker round-trips at a scale where one batch suffices)."""
+    staged_bytes = sum(
+        os.path.getsize(os.path.join(stage, p))
+        for p in os.listdir(stage)
+        if p.startswith("part-")
+    )
+    return 4 if staged_bytes >= 16 * 1024 * 1024 else None
+
+
 _TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -166,10 +186,15 @@ def q_stream_tumbling_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming query (file source → Trigger.AvailableNow → memory sink,
     complete mode), checked against the same batch oracle — proving
     batch/stream semantic equivalence of the shared transformation.
+    Sharded into micro-batches only above the staged-size threshold
+    (see _staged_trigger_files); output is batching-invariant in
+    complete mode, pinned multi-batch in tests/test_streaming.py.
     """
     stage = _stage_events(spark, sf_dir)
 
-    stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
+    stream = streaming_events.read_event_stream(
+        spark, stage, max_files_per_trigger=_staged_trigger_files(stage)
+    )
     agg = streaming_events.tumbling_counts(stream)
     name = f"backfill_{uuid.uuid4().hex[:8]}"
     return streaming_events.run_available_now(
@@ -186,10 +211,15 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen keyed dedup across micro-batches. The emitted set — each
     distinct user exactly once — is batching-invariant, so a plain
     batch DISTINCT is a full-value oracle for a genuinely streaming
-    stateful execution."""
+    stateful execution. Sharded into micro-batches only above the
+    staged-size threshold (see _staged_trigger_files) — first-seen
+    emission is batching-invariant, pinned multi-batch in
+    tests/test_streaming.py."""
     stage = _stage_events(spark, sf_dir)
 
-    stream = streaming_events.read_event_stream(spark, stage, max_files_per_trigger=4)
+    stream = streaming_events.read_event_stream(
+        spark, stage, max_files_per_trigger=_staged_trigger_files(stage)
+    )
     deduped = streaming_events.stateful_first_seen(stream, "user_id")
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     return streaming_events.run_available_now(
@@ -260,12 +290,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py). Measured: BASELINE.md round-9 streaming
     note."""
     stage = _stage_events(spark, sf_dir)
-    staged_bytes = sum(
-        os.path.getsize(os.path.join(stage, p))
-        for p in os.listdir(stage)
-        if p.startswith("part-")
-    )
-    k = 4 if staged_bytes >= 16 * 1024 * 1024 else None
+    k = _staged_trigger_files(stage)
 
     clicks = streaming_events.read_event_stream(
         spark, stage, max_files_per_trigger=k
