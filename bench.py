@@ -58,6 +58,9 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
             10_000
         ).write.format("noop").mode("overwrite").save()
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(
+            1_000
+        ).write.format("noop").mode("overwrite").save()
         import pandas as pd  # noqa: F401
 
         spark.range(1_000).mapInPandas(
@@ -66,7 +69,34 @@ def main() -> None:
     except Exception:
         pass  # warmup must never fail the bench
 
-    qs = queries()
+    # Prebuild every write-time staged artifact BEFORE the timed suite
+    # and report the build cost as its own field: a query's number must
+    # measure steady-state query cost, never a one-time index/bronze
+    # build that happened to land on it (the round-9 streaming
+    # "regression" was a layout-version rebuild billed to the first
+    # streaming query). Builders are mtime-guarded — on a warm stage
+    # this costs ~1 s of freshness probes.
+    staging_sec = 0.0
+    staging_detail: dict[str, float] = {}
+    try:
+        from nyc_opendata_etl_spark.sources.staging import stage_all
+
+        t0 = time.time()
+        for label, dt in stage_all(spark, sf_dir):
+            staging_detail[label] = round(dt, 3)
+        staging_sec = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: staging warmup failed: {e}", file=sys.stderr)
+    print(json.dumps({"staging_sec": staging_sec}), flush=True)
+
+    # Bench in STABLE alphabetical order, decoupled from the registry's
+    # verdict-rotation order (which reshuffles every round): whichever
+    # query runs first absorbs residual cold-lineage/codegen cost, so a
+    # rotation that promotes a heavy query to position 1 showed up as a
+    # phantom multi-x "regression" in the cross-round diff (round 10:
+    # dedup_clusters 6.3 -> 63.8 s purely from moving to the front).
+    # Alphabetical order pins each query's warm-up context across rounds.
+    qs = dict(sorted(queries().items()))
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name, fn in qs.items():
@@ -86,6 +116,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "staging_sec": staging_sec,
+        "staging_detail": staging_detail,
     }
     here = Path(__file__).resolve().parent
     qfile = here / "bench_queries.json"
@@ -121,6 +153,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "errors": errors,
+                "staging_sec": staging_sec,
                 "queries_file": "bench_queries.json",
             }
         ),

@@ -111,6 +111,83 @@ def pack_sequences(
     )
 
 
+def pack_bins_decreasing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 512,
+    n_shards: int = 8,
+    sep_overhead: int = 1,
+) -> DataFrame:
+    """Tokenizer-aware sequence packing: next-fit-DECREASING bin packing
+    under a token budget, sharded for parallelism.
+
+    Differs from :func:`pack_sequences` on the two axes a training-batch
+    assembler actually tunes:
+
+    * **tokenizer-aware cost** — each doc costs its BPE-ish token count
+      (:func:`~nyc_opendata_etl_spark.operators.text.bpe_ish_token_count`,
+      the regex segmentation a subword tokenizer's token count tracks
+      far better than whitespace words) **plus** ``sep_overhead`` for
+      the separator/EOS token the tokenizer inserts between packed docs.
+    * **decreasing order** — within a shard, docs pack in (cost DESC,
+      id) order. Next-fit over a decreasing sequence wastes strictly
+      less than arrival order when sizes are skewed (the classical
+      NFD/FFD result): big docs claim fresh packs first and the tail of
+      small docs fills the gaps, instead of a big doc straddling every
+      pack boundary it lands on.
+
+    Same scale contract as :func:`pack_sequences`: a global pack is one
+    total order (single-partition window — non-starter at 100 TB), so
+    each ``md5(id) % n_shards`` shard packs independently;
+    ``pack_id = shard * 2^32 + floor(exclusive_cumsum / budget)``. A
+    doc whose cost alone exceeds the budget still gets a pack (next-fit
+    lets it straddle); downstream chunking handles it, as in every
+    packing deployment. The pack-level fill/waste stats are one more
+    window over ``pack_id`` — a strictly finer key than the shard, no
+    skew (fills are budget-bounded except for single-oversize-doc
+    packs).
+
+    Output: (id, shard, cost, pack_id, pack_fill, pack_docs), one row
+    per doc. Deterministic — exact DuckDB oracle in queries/llm_ops.py.
+    """
+    from nyc_opendata_etl_spark.operators.text import bpe_ish_token_count
+
+    with_cost = docs.select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        (bpe_ish_token_count(text_col).cast("long") + F.lit(sep_overhead)).alias(
+            "cost"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("cost").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("cost").over(w), F.lit(0))
+    packed = with_cost.select(
+        id_col,
+        "shard",
+        "cost",
+        (
+            F.col("shard").cast("long") * F.lit(1 << 32)
+            + F.floor(cum_before / token_budget)
+        ).alias("pack_id"),
+    )
+    wp = Window.partitionBy("pack_id")
+    return packed.select(
+        id_col,
+        "shard",
+        "cost",
+        "pack_id",
+        F.sum("cost").over(wp).alias("pack_fill"),
+        F.count(F.lit(1)).over(wp).alias("pack_docs"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

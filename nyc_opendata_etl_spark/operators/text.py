@@ -275,6 +275,117 @@ def rrf_fuse(ranked_a, ranked_b, k: int = 60, topk: int = 20, id_col: str = "doc
     return fused.orderBy(F.col("rrf").desc(), id_col).limit(topk)
 
 
+def rerank_interaction(
+    candidates,
+    docs,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+):
+    """Cross-encoder-style rerank of a bounded candidate set — the
+    final stage of the retrieval stack (sparse BM25 + dense ANN →
+    RRF fusion → rerank).
+
+    A production reranker runs a (query, document) cross-encoder model
+    over each candidate pair; the architecture that makes that viable
+    at 100 TB is exactly this one: the expensive per-pair scorer sees
+    ONLY the fused top-k (bounded, broadcastable), never the corpus, so
+    its cost is O(k) model calls independent of corpus size — it would
+    slot in here as an Arrow-batched Pandas UDF over the same joined
+    frame. This implementation stands in a deterministic interaction-
+    feature scorer (the classic hand-rolled cross-features a learned
+    reranker subsumes) so the differential oracle can replay the rerank
+    bit-for-bit:
+
+    * ``coverage`` — fraction of query terms present in the doc (the
+      AND-ness signal rank fusion loses);
+    * saturated term frequency — Σ_t ln(1 + tf_t), rounded to 9 dp
+      before summing (cross-engine float discipline, as bm25_scores);
+    * ``proximity`` — 1/(1 + span) where span is the distance between
+      the earliest and latest FIRST occurrences of the present terms
+      (all present terms within a tight window ⇒ near 1);
+    * ``earliness`` — 1/(1 + first_pos): title/lead matches outrank
+      deep-tail mentions.
+
+    score = round(2·coverage + Σ ln(1+tf) + proximity + earliness, 6).
+
+    Shape: candidates (≤ tens of rows) BROADCAST to the documents scan
+    — one joined pass computes every feature from the token array
+    inside the scan stage; the final sort is over ≤ |candidates| rows
+    (TakeOrderedAndProject). Tokenization mirrors the index build
+    (``tokens(lower(text))``) so tf here equals tf in the postings.
+
+    Output: candidate columns + (coverage, tf_score, proximity,
+    earliness, rerank_score, rerank) — top ``topk`` by (score DESC, id).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    feat = docs.join(F.broadcast(candidates), id_col).select(
+        *[F.col(c) for c in candidates.columns],
+        toks.alias("__toks__"),
+    )
+    # NB: the term must be captured via a closure factory, not a lambda
+    # default arg — a second parameter (even defaulted) makes PySpark
+    # treat the lambda as the (element, index) form and bind the INDEX
+    # to it.
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = []
+    fp_cols = []
+    for i, t in enumerate(terms):
+        feat = feat.withColumn(
+            f"__tf_{i}__",
+            F.size(F.filter("__toks__", _eq(t))).cast("long"),
+        ).withColumn(f"__fp_{i}__", F.array_position("__toks__", F.lit(t)))
+        tf_cols.append(f"__tf_{i}__")
+        fp_cols.append(f"__fp_{i}__")
+
+    n_present = sum(
+        [F.when(F.col(c) > 0, 1).otherwise(0) for c in tf_cols], F.lit(0)
+    )
+    coverage = F.round(n_present / F.lit(len(terms)), 9)
+    tf_score = sum(
+        [
+            F.round(F.log(1.0 + F.col(c).cast("double")), 9).cast(
+                "decimal(28,12)"
+            )
+            for c in tf_cols
+        ],
+        F.lit(0).cast("decimal(28,12)"),
+    ).cast("double")
+    present_fps = F.filter(
+        F.array(*[F.col(c) for c in fp_cols]), lambda x: x > 0
+    )
+    first_pos = F.array_min(present_fps)
+    span = F.array_max(present_fps) - F.array_min(present_fps)
+    proximity = F.when(
+        F.size(present_fps) > 0, F.round(1.0 / (1.0 + span), 9)
+    ).otherwise(F.lit(0.0))
+    earliness = F.when(
+        F.size(present_fps) > 0, F.round(1.0 / (1.0 + first_pos), 9)
+    ).otherwise(F.lit(0.0))
+
+    scored = feat.select(
+        *[F.col(c) for c in candidates.columns],
+        coverage.alias("coverage"),
+        tf_score.alias("tf_score"),
+        proximity.alias("proximity"),
+        earliness.alias("earliness"),
+        F.round(
+            2.0 * coverage + tf_score + proximity + earliness, 6
+        ).alias("rerank_score"),
+    )
+    w = Window.orderBy(F.col("rerank_score").desc(), id_col)
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("int"))
+        .orderBy("rerank")
+        .limit(topk)
+    )
+
+
 # ──────────────────────────────────────────────────────────────────────
 # Staged inverted index: build once at write time, probe per query.
 #

@@ -1067,6 +1067,48 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) + 1
+                    AS BIGINT) AS cost
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, shard, cost,
+               CAST(shard AS BIGINT) * 4294967296
+               + CAST(floor(COALESCE(sum(cost) OVER (
+                     PARTITION BY shard ORDER BY cost DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512.0) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT doc_id, shard, cost, pack_id,
+           CAST(sum(cost) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_fill,
+           CAST(count(*) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_docs
+    FROM p
+    """,
+)
+def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware next-fit-DECREASING bin packing under a 512-token
+    budget: each doc costs its BPE-ish token count + 1 separator token,
+    hash shards pack independently in (cost DESC, doc_id) order, and
+    per-pack fill/doc-count stats ride along. The two axes a training-
+    batch assembler tunes beyond corpus_pack_sequences' arrival-order
+    whitespace packing: subword-tracking cost and decreasing order
+    (big docs claim fresh packs, the small-doc tail fills gaps). See
+    operators/curation.pack_bins_decreasing for the scale contract."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.pack_bins_decreasing(docs, token_budget=512)
+
+
+@register(
     "corpus_chunk_docs",
     oracle=f"""
     WITH t AS (
@@ -2243,6 +2285,146 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
     )
     return text.rrf_fuse(ra, rb)
+
+
+# The full hybrid-RRF pipeline as a reusable CTE chain: the rerank
+# oracle replays fusion AND rerank end-to-end.
+_HYBRID_CTES = f"""
+    d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12))) AS DOUBLE) AS score
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    ra AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank_a
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)
+    ),
+    ti AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   tf.tf * ln(s.n / CAST(dfq.df AS DOUBLE)), 9)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    rb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank_b
+        FROM (SELECT * FROM ti ORDER BY score DESC, doc_id LIMIT 50)
+    ),
+    cand AS (
+        SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+               round(COALESCE(1.0 / (60 + rank_a), 0)
+                     + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+        FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20
+    )
+"""
+
+
+@register(
+    "search_rerank_crossenc",
+    oracle=f"""
+    WITH {_HYBRID_CTES},
+    feat AS (
+        SELECT c.doc_id, c.rank_a, c.rank_b, c.rrf,
+               len(list_filter(d.toks, x -> x = 'hash')) AS tf0,
+               len(list_filter(d.toks, x -> x = 'join')) AS tf1,
+               len(list_filter(d.toks, x -> x = 'vector')) AS tf2,
+               COALESCE(list_position(d.toks, 'hash'), 0) AS fp0,
+               COALESCE(list_position(d.toks, 'join'), 0) AS fp1,
+               COALESCE(list_position(d.toks, 'vector'), 0) AS fp2
+        FROM cand c JOIN d ON d.doc_id = c.doc_id
+    ),
+    sc AS (
+        SELECT doc_id, rank_a, rank_b, rrf,
+               round((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) / 3.0, 9)
+                   AS coverage,
+               CAST(CAST(round(ln(1 + tf0), 9) AS DECIMAL(28,12))
+                    + CAST(round(ln(1 + tf1), 9) AS DECIMAL(28,12))
+                    + CAST(round(ln(1 + tf2), 9) AS DECIMAL(28,12))
+                    AS DOUBLE) AS tf_score,
+               list_filter([fp0, fp1, fp2], x -> x > 0) AS fps
+        FROM feat
+    ),
+    sc2 AS (
+        SELECT doc_id, rank_a, rank_b, rrf, coverage, tf_score,
+               CASE WHEN len(fps) > 0
+                    THEN round(1.0 / (1.0 + list_max(fps) - list_min(fps)), 9)
+                    ELSE 0.0 END AS proximity,
+               CASE WHEN len(fps) > 0
+                    THEN round(1.0 / (1.0 + list_min(fps)), 9)
+                    ELSE 0.0 END AS earliness
+        FROM sc
+    )
+    SELECT doc_id, rank_a, rank_b, rrf, coverage, tf_score, proximity,
+           earliness,
+           round(2.0 * coverage + tf_score + proximity + earliness, 6)
+               AS rerank_score,
+           CAST(row_number() OVER (
+               ORDER BY round(2.0 * coverage + tf_score + proximity
+                              + earliness, 6) DESC, doc_id) AS INT) AS rerank
+    FROM sc2
+    ORDER BY rerank LIMIT 10
+    """,
+)
+def q_search_rerank_crossenc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank stage over the hybrid-RRF candidates — completes the
+    retrieval stack (sparse BM25 + dense TF-IDF → RRF fusion → rerank).
+    The fused top-20 joins back to the corpus BROADCAST (the rerank
+    reads 20 documents, never the corpus — the bounded-candidate
+    architecture that makes an expensive per-pair cross-encoder O(k)
+    at any corpus size; a real model would slot in as an Arrow-batched
+    Pandas UDF over the same frame), scores each (query, doc) pair on
+    deterministic interaction features (coverage, saturated tf,
+    proximity, earliness — operators/text.rerank_interaction), and
+    emits the top-10. Both retrieval backends probe the staged posting
+    index; the oracle replays fusion AND rerank end-to-end."""
+    from pyspark.sql import Window
+
+    terms = ["hash", "join", "vector"]
+    index = _stage_text_index(spark, sf_dir)
+    bm = text.bm25_topk_indexed(spark, index, terms, k=50)
+    ra = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    )
+    ti = text.tfidf_topk_indexed(spark, index, terms, k=50)
+    rb = ti.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+    )
+    cand = text.rrf_fuse(ra, rb)
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return text.rerank_interaction(cand, docs, terms, topk=10)
 
 
 _CM_PROBES = ("join", "scan", "filter", "data", "quantile")

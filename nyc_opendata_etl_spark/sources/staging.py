@@ -58,3 +58,53 @@ def is_stale(stage: str, sf_dir: str, src_table: str, marker: str = "_SUCCESS") 
     return not (
         os.path.exists(mk) and os.path.getmtime(mk) > os.path.getmtime(src)
     )
+
+
+def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
+    """Run every write-time artifact builder for ``sf_dir``; returns
+    ``(label, seconds)`` per artifact. Builders are mtime-guarded, so a
+    warm call costs only the freshness probes (~0.1 s each).
+
+    The ONE enumeration of the engine's staged artifacts — shared by
+    ``tools/stage_warmup.py`` (explicit prebuild) and ``bench.py``
+    (which stages BEFORE the timed suite and reports the build cost as
+    its own ``staging_sec`` line, so per-round bench diffs never
+    conflate a one-time stage rebuild with a query regression — the
+    round-9 streaming "regression" was exactly that conflation)."""
+    import time
+
+    from nyc_opendata_etl_spark.queries.event_windows import (
+        _stage_events,
+        _stage_events_zordered,
+    )
+    from nyc_opendata_etl_spark.queries.llm_ops import (
+        _stage_ivfpq_index,
+        _stage_text_index,
+        _stage_text_index_incremental,
+    )
+    from nyc_opendata_etl_spark.queries.parity import _stage_documents
+    from nyc_opendata_etl_spark.queries.relational import _stage_copurchase_edges
+
+    builders = [
+        ("text_index (BM25 postings)", lambda: _stage_text_index(spark, sf_dir)),
+        (
+            "text_index_incr (incremental postings)",
+            lambda: _stage_text_index_incremental(spark, sf_dir),
+        ),
+        ("ivfpq_index (ANN codebooks)", lambda: _stage_ivfpq_index(spark, sf_dir)),
+        (
+            "copurchase_edges (bucketed graph)",
+            lambda: _stage_copurchase_edges(spark, sf_dir),
+        ),
+        ("events_zordered (layout)", lambda: _stage_events_zordered(spark, sf_dir)),
+        ("stream bronze (time-ordered)", lambda: _stage_events(spark, sf_dir)),
+        ("documents.csv", lambda: _stage_documents(spark, sf_dir, "csv")),
+        ("documents.jsonl", lambda: _stage_documents(spark, sf_dir, "jsonl")),
+        ("documents.orc", lambda: _stage_documents(spark, sf_dir, "orc")),
+    ]
+    out = []
+    for label, build in builders:
+        t0 = time.time()
+        build()
+        out.append((label, time.time() - t0))
+    return out

@@ -61,6 +61,89 @@ def test_snm_never_pairs_identical_canons(spark):
     assert 101 not in ids
 
 
+def test_pack_bins_decreasing_matches_reference_packing(spark):
+    """Per shard, the distributed NFD pack ids must equal a sequential
+    next-fit-decreasing reference over (cost DESC, id), and pack_fill /
+    pack_docs must be exact per-pack sums/counts."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    rows = [(i, "word " * (5 + (i * 7) % 40) + f"tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_bins_decreasing(
+        df, token_budget=64, n_shards=4
+    ).collect()
+
+    got = {r.doc_id: r for r in out}
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: (-r.cost, r.doc_id))
+        cum = 0
+        for r in members:
+            expect_local = cum // 64
+            assert r.pack_id == shard * (1 << 32) + expect_local, r
+            cum += r.cost
+    # pack stats are exact aggregates of the membership
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(r)
+    for pid, members in packs.items():
+        fill = sum(r.cost for r in members)
+        for r in members:
+            assert r.pack_fill == fill and r.pack_docs == len(members)
+    # big docs claim earlier packs than small docs within their shard
+    for shard, members in by_shard.items():
+        local = [(r.cost, r.pack_id) for r in members]
+        costs_desc = sorted({c for c, _ in local}, reverse=True)
+        first_pack_of_max = min(p for c, p in local if c == costs_desc[0])
+        assert first_pack_of_max == shard * (1 << 32)
+    assert len(got) == 60
+
+
+def test_rerank_interaction_feature_laws(spark):
+    """Coverage dominates: a doc containing all query terms outranks a
+    doc spamming one term; absent-term docs get zero proximity and
+    earliness; tf counts mirror the posting tokenization."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join vector engine notes"),  # all 3, tight, early
+            (2, "hash hash hash hash hash hash hash hash"),  # 1 term spam
+            (3, "intro text then hash later join and at the end vector"),
+            (4, "nothing relevant at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, rank int"
+    )
+    out = {
+        r.doc_id: r
+        for r in T.rerank_interaction(
+            cand, docs, ["hash", "join", "vector"], topk=4
+        ).collect()
+    }
+    assert out[1].rerank == 1  # full coverage + adjacency wins
+    assert out[4].proximity == 0.0 and out[4].earliness == 0.0
+    assert out[4].tf_score == 0.0 and out[4].coverage == 0.0
+    # doc 2: tf=8 for one term -> tf_score = ln(9) alone, coverage 1/3
+    assert abs(out[2].tf_score - round(math.log(9.0), 9)) < 1e-9
+    assert abs(out[2].coverage - round(1 / 3, 9)) < 1e-9
+    # doc 1: terms at positions 1..3 -> span 2, first 1
+    assert abs(out[1].proximity - round(1.0 / 3.0, 9)) < 1e-9
+    assert abs(out[1].earliness - 0.5) < 1e-9
+    # coverage dominates the spam doc
+    assert out[1].rerank_score > out[2].rerank_score
+    # 1-indexed dense ranks, all four emitted
+    assert sorted(r.rerank for r in out.values()) == [1, 2, 3, 4]
+
+
 def test_snm_duplicates_cannot_bury_a_near_dup(spark):
     """Recall strictly improves: with window=1 and 3 identical copies
     planted BETWEEN a near-dup pair in sort order, the pre-collapse
