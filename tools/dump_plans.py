@@ -264,6 +264,30 @@ SHOWCASE = {
         "and the final per-lang aggregate rides the window's "
         "partitioning - 2 exchanges total, no global sort."
     ),
+    "search_rerank_crossenc": (
+        "Rerank stage (round 10): the fused top-20 candidate relation "
+        "builds a BroadcastHashJoin against the documents scan "
+        "(ReadSchema pruned to doc_id+text), every interaction feature "
+        "computes inside the joined scan stage, and the final "
+        "row_number window + TakeOrderedAndProject run over <= 20 rows "
+        "- the expensive per-pair scorer is O(k) regardless of corpus "
+        "size. The retrieval probes underneath stay file-pruned index "
+        "reads."
+    ),
+    "corpus_pack_bins": (
+        "Tokenizer-aware NFD packing (round 10): one exchange on the "
+        "md5 shard key feeds the per-shard (cost DESC, id) window "
+        "cumsum; the pack-stats window re-partitions on pack_id (a "
+        "strictly finer, budget-bounded key - no skew). No global "
+        "order anywhere; BPE-ish token cost computed in the scan."
+    ),
+    "dedup_sorted_neighborhood": (
+        "Fixed-block SNM, collapse-first since round 10: the one-pass "
+        "md5(canon) min_by aggregate (map-side combined) precedes the "
+        "block-key exchange, so the per-block window sorts REPS - "
+        "duplicate multiplicity can neither saturate the window output "
+        "nor inflate a block's sort."
+    ),
 }
 
 
