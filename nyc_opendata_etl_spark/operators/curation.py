@@ -457,3 +457,71 @@ def realize_mix(
         .filter(F.col("rk") <= F.col("quota"))
         .select(*by, id_col, F.col("rk").cast("int").alias("rk"), "quota")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum training order: easy-first within each domain,
+    domains interleaved round-robin — with the GLOBAL position computed
+    arithmetically, never by a global sort.
+
+    Length curricula (short documents first) are the standard cheap
+    difficulty proxy; interleaving domains keeps every training window
+    mixed instead of concentrating one source. The naive realization —
+    ``row_number() OVER (ORDER BY difficulty)`` — is a single total
+    order through one task, the exact anti-pattern this engine bans at
+    100 TB. Instead:
+
+    * ``rk`` = rank within the domain by (difficulty, id) — one shuffle
+      on the domain key, each domain ranks in parallel;
+    * ``dom_idx`` = the domain's dense alphabetical index, from a
+      broadcast dims-sized relation;
+    * ``position = (rk - 1) * n_domains + dom_idx`` — pure arithmetic,
+      computed scan-locally after the rank. Distinct by construction
+      (rounds don't overlap: round r occupies [r*n, (r+1)*n)), and
+      ordering by it IS the round-robin interleave. Once a smaller
+      domain exhausts, its slots in later rounds are simply absent —
+      gaps never reorder anything.
+
+    A writer materializes the order with repartitionByRange(position) +
+    sortWithinPartitions — a range exchange, still no single-task sort.
+    Difficulty = BPE-ish token count (subword-tracking length).
+    Deterministic — exact DuckDB oracle in queries/llm_ops.py.
+
+    Output: (id, domain, difficulty, rk, position).
+    """
+    from nyc_opendata_etl_spark.operators.text import bpe_ish_token_count
+
+    doms = (
+        docs.select(F.col(by).alias("domain"))
+        .distinct()
+        .withColumn(
+            "dom_idx",
+            F.row_number().over(Window.orderBy("domain")).cast("long") - 1,
+        )
+    )
+    n_doms = doms.agg(F.count(F.lit(1)).alias("n"))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(by).alias("domain"),
+        bpe_ish_token_count(text_col).cast("long").alias("difficulty"),
+    )
+    w = Window.partitionBy("domain").orderBy("difficulty", id_col)
+    ranked = scored.withColumn("rk", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(doms), "domain")
+        .crossJoin(F.broadcast(n_doms))
+        .select(
+            id_col,
+            "domain",
+            "difficulty",
+            "rk",
+            ((F.col("rk") - 1) * F.col("n") + F.col("dom_idx")).alias(
+                "position"
+            ),
+        )
+    )

@@ -1147,6 +1147,48 @@ def q_corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]'))
+                    AS BIGINT) AS difficulty
+        FROM documents
+    ),
+    d AS (
+        SELECT domain,
+               CAST(row_number() OVER (ORDER BY domain) AS BIGINT) - 1
+                   AS dom_idx
+        FROM (SELECT DISTINCT domain FROM s)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    r AS (
+        SELECT doc_id, domain, difficulty,
+               CAST(row_number() OVER (
+                   PARTITION BY domain ORDER BY difficulty, doc_id
+               ) AS BIGINT) AS rk
+        FROM s
+    )
+    SELECT r.doc_id, r.domain, r.difficulty, r.rk,
+           (r.rk - 1) * n.n + d.dom_idx AS position
+    FROM r JOIN d USING (domain) CROSS JOIN n
+    """,
+)
+def q_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: easy-first (BPE-ish length) within
+    each source domain, domains interleaved round-robin, with the
+    GLOBAL position computed arithmetically —
+    ``(rk-1)·n_domains + dom_idx`` — instead of a single-task global
+    row_number. One shuffle on the domain key; the domain index and
+    count broadcast. See operators/curation.curriculum_order."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.curriculum_order(docs)
+
+
+@register(
     "corpus_sample_stratified",
     oracle=f"""
     SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (

@@ -159,3 +159,34 @@ def test_snm_duplicates_cannot_bury_a_near_dup(spark):
     ]
     pairs = _snm_pairs(spark, rows, window=1)
     assert any((a, b) == (1, 2) for a, b, _ in pairs)
+
+
+def test_curriculum_order_round_robin_arithmetic(spark):
+    """Positions are distinct, domain-interleaved round-robin, and
+    easy-first within each domain — with NO global sort anywhere (the
+    position is pure arithmetic over the per-domain rank)."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    rows = []
+    for d, dom in enumerate(["web", "code", "wiki"]):
+        for i in range(4 if dom != "wiki" else 2):  # unequal sizes
+            rows.append((d * 100 + i, dom, "tok " * (i + 1) + dom))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curation.curriculum_order(df).collect()
+    assert len(out) == len(rows)
+    positions = [r.position for r in out]
+    assert len(set(positions)) == len(positions)  # distinct by construction
+    # round r occupies [r*n, (r+1)*n): domain index recoverable mod n
+    for r in out:
+        assert r.position == (r.rk - 1) * 3 + {"code": 0, "web": 1, "wiki": 2}[r.domain]
+    # easy-first within domain: rk ascends with difficulty
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    for dom, members in by_dom.items():
+        members.sort(key=lambda r: r.rk)
+        diffs = [r.difficulty for r in members]
+        assert diffs == sorted(diffs)
+    # first full round holds one doc of each domain, in dom_idx order
+    first_round = sorted(out, key=lambda r: r.position)[:3]
+    assert [r.domain for r in first_round] == ["code", "web", "wiki"]
