@@ -288,6 +288,13 @@ SHOWCASE = {
         "duplicate multiplicity can neither saturate the window output "
         "nor inflate a block's sort."
     ),
+    "corpus_curriculum_order": (
+        "Curriculum order (round 10): the GLOBAL training position is "
+        "arithmetic - (rk-1)*n_domains + dom_idx - so the plan has ONE "
+        "shuffle (the per-domain rank window) plus two broadcast "
+        "dims-sized relations; no global row_number, no single-task "
+        "sort anywhere."
+    ),
 }
 
 
