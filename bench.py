@@ -78,16 +78,27 @@ def main() -> None:
     # this costs ~1 s of freshness probes.
     staging_sec = 0.0
     staging_detail: dict[str, float] = {}
+    staging_failed = False
+    t0 = time.time()
     try:
         from nyc_opendata_etl_spark.sources.staging import stage_all
 
-        t0 = time.time()
         for label, dt in stage_all(spark, sf_dir):
             staging_detail[label] = round(dt, 3)
-        staging_sec = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
+        # A partial failure must not report staging as free: keep the
+        # time already spent and flag it, so a cross-round bench diff
+        # showing a "regression" on the first query of an unstaged
+        # artifact is self-explaining instead of silently reintroducing
+        # the build-billed-to-first-query conflation.
+        staging_failed = True
         print(f"bench: staging warmup failed: {e}", file=sys.stderr)
-    print(json.dumps({"staging_sec": staging_sec}), flush=True)
+    finally:
+        staging_sec = round(time.time() - t0, 3)
+    print(
+        json.dumps({"staging_sec": staging_sec, "staging_failed": staging_failed}),
+        flush=True,
+    )
 
     # Bench in STABLE alphabetical order, decoupled from the registry's
     # verdict-rotation order (which reshuffles every round): whichever
@@ -117,6 +128,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "staging_sec": staging_sec,
+        "staging_failed": staging_failed,
         "staging_detail": staging_detail,
     }
     here = Path(__file__).resolve().parent
@@ -154,6 +166,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "errors": errors,
                 "staging_sec": staging_sec,
+                "staging_failed": staging_failed,
                 "queries_file": "bench_queries.json",
             }
         ),

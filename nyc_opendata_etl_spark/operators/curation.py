@@ -87,7 +87,9 @@ def pack_sequences(
     ``local_pack = floor(exclusive_cumsum / budget)``. One window per
     shard (parallel across shards), no global order anywhere.
     Output: (doc_id, shard, n_tokens, pack_id) with pack_id unique
-    across shards (shard * 2^32 + local_pack).
+    across shards (shard * 2^40 + local_pack — 2^32 would collide
+    shard ranges at ~2e12 tokens/shard, inside the 100 TB design
+    point; see pack_bins_decreasing).
     """
     with_tokens = docs.select(
         F.col(id_col),
@@ -107,7 +109,7 @@ def pack_sequences(
         id_col,
         "shard",
         "n_tokens",
-        (F.col("shard").cast("long") * F.lit(1 << 32) + local_pack).alias("pack_id"),
+        (F.col("shard").cast("long") * F.lit(1 << 40) + local_pack).alias("pack_id"),
     )
 
 
@@ -119,8 +121,8 @@ def pack_bins_decreasing(
     n_shards: int = 8,
     sep_overhead: int = 1,
 ) -> DataFrame:
-    """Tokenizer-aware sequence packing: next-fit-DECREASING bin packing
-    under a token budget, sharded for parallelism.
+    """Tokenizer-aware sequence packing: decreasing-order CUMSUM
+    CHUNKING under a token budget, sharded for parallelism.
 
     Differs from :func:`pack_sequences` on the two axes a training-batch
     assembler actually tunes:
@@ -131,22 +133,35 @@ def pack_bins_decreasing(
       far better than whitespace words) **plus** ``sep_overhead`` for
       the separator/EOS token the tokenizer inserts between packed docs.
     * **decreasing order** — within a shard, docs pack in (cost DESC,
-      id) order. Next-fit over a decreasing sequence wastes strictly
-      less than arrival order when sizes are skewed (the classical
-      NFD/FFD result): big docs claim fresh packs first and the tail of
-      small docs fills the gaps, instead of a big doc straddling every
-      pack boundary it lands on.
+      id) order, so big docs concentrate in the earliest packs and the
+      small-doc tail lands in packs of many near-budget-summing items.
+
+    Packing discipline, stated honestly: this is NOT capacity-checked
+    next-fit (a sequential recurrence no declarative plan can express —
+    each bin's remaining capacity depends on every earlier decision).
+    It is the distributed standard instead: packs are BUDGET-WIDTH
+    WINDOWS of the per-shard cost cumsum axis — ``local_pack =
+    floor(exclusive_cumsum / budget)`` assigns each doc to the window
+    its span STARTS in. Consequences, exactly: a doc straddling a
+    window boundary stays in the earlier pack, so ``pack_fill <
+    budget + max(cost in pack)``; a doc spanning MULTIPLE windows
+    leaves the intermediate pack ids empty (skipped, never reused) and
+    the following pack starts mid-window, so it may fill short of the
+    budget — fills sum exactly to the shard's total cost, there is no
+    lost capacity, only window phase. Consumers that need hard caps
+    chunk the straddling doc downstream, as every packing deployment
+    does; the decreasing order keeps overshoot small exactly where
+    packs are many-doc (tail packs straddle by at most a small doc).
 
     Same scale contract as :func:`pack_sequences`: a global pack is one
     total order (single-partition window — non-starter at 100 TB), so
     each ``md5(id) % n_shards`` shard packs independently;
-    ``pack_id = shard * 2^32 + floor(exclusive_cumsum / budget)``. A
-    doc whose cost alone exceeds the budget still gets a pack (next-fit
-    lets it straddle); downstream chunking handles it, as in every
-    packing deployment. The pack-level fill/waste stats are one more
-    window over ``pack_id`` — a strictly finer key than the shard, no
-    skew (fills are budget-bounded except for single-oversize-doc
-    packs).
+    ``pack_id = shard * 2^40 + local_pack``. 2⁴⁰ packs/shard ≈ 5.6e14
+    tokens per shard at budget 512 — two orders of magnitude past the
+    100 TB corpus (a 2³² multiplier would collide shard 0's high packs
+    into shard 1's range at ~2e12 tokens/shard). The pack-level
+    fill/doc stats are one more window over ``pack_id`` — a strictly
+    finer key than the shard, no skew (fills bounded as above).
 
     Output: (id, shard, cost, pack_id, pack_fill, pack_docs), one row
     per doc. Deterministic — exact DuckDB oracle in queries/llm_ops.py.
@@ -173,7 +188,7 @@ def pack_bins_decreasing(
         "shard",
         "cost",
         (
-            F.col("shard").cast("long") * F.lit(1 << 32)
+            F.col("shard").cast("long") * F.lit(1 << 40)
             + F.floor(cum_before / token_budget)
         ).alias("pack_id"),
     )

@@ -41,7 +41,9 @@ def exact_dedup_groups(
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
+def word_shingles(
+    col: Column | str, n: int = 3, assume_canonical: bool = False
+) -> Column:
     """Array of n-word shingles ("w1 w2 w3") over canonical tokens;
     texts shorter than n words → empty array.
 
@@ -51,7 +53,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     referencing the raw ``split(canon_text(...))`` expression from every
     ``element_at`` would re-run the full per-document regex pipeline for
     every token access — O(tokens²) work per document.
-    """
+
+    ``assume_canonical=True`` skips the ``canon_text`` wrap for columns
+    that ALREADY hold canonical text (the ``__canon__`` columns every
+    collapse-first call site passes): ``canon_text`` is idempotent, so
+    the result is bit-identical, but the wrap re-ran lower + two
+    whole-text regexp_replace passes per rep — a full extra regex scan
+    of every distinct text in the dedup hot path (round-10 review
+    finding)."""
 
     def gen(toks: Column) -> Column:
         num = F.size(toks) - (n - 1)
@@ -63,7 +72,8 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         )
         return F.when(num > 0, sh).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(F.split(canon_text(col), " ")), gen), 1)
+    c = (F.col(col) if isinstance(col, str) else col) if assume_canonical else canon_text(col)
+    return F.element_at(F.transform(F.array(F.split(c, " ")), gen), 1)
 
 
 # Universal-hash family for the PORTABLE MinHash variant: affine maps
@@ -81,6 +91,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     portable: bool = False,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Deterministic MinHash signatures, one column per "permutation".
 
@@ -102,7 +113,11 @@ def minhash_signatures(
     """
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col))).alias("shingle"),
+        F.explode(
+            F.array_distinct(
+                word_shingles(text_col, assume_canonical=assume_canonical)
+            )
+        ).alias("shingle"),
     )
     if portable:
         from nyc_opendata_etl_spark.functions.hashing import md5_long
@@ -154,7 +169,10 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if collapse_exact:
         reps = _collapse_to_reps_onepass(df, text_col, id_col)
-        sig = minhash_signatures(reps, "__canon__", "id", num_hashes, portable=portable)
+        sig = minhash_signatures(
+            reps, "__canon__", "id", num_hashes,
+            portable=portable, assume_canonical=True,
+        )
     else:
         sig = minhash_signatures(df, text_col, id_col, num_hashes, portable=portable)
 
@@ -264,12 +282,17 @@ def simhash_signatures(
     return votes.select(F.col("id").alias(id_col), sig.cast("long").alias("simhash"))
 
 
-def _canon_src(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _canon_src(
+    df: DataFrame, text_col: str, id_col: str, assume_canonical: bool = False
+) -> DataFrame:
     """(id, __canon__): the canonical-text projection every
-    collapse-aware dedup operator starts from."""
-    return df.select(
-        F.col(id_col).alias("id"), canon_text(text_col).alias("__canon__")
-    )
+    collapse-aware dedup operator starts from. ``assume_canonical=True``
+    skips the (idempotent) canon_text regex pass for inputs that
+    already carry canonical text — e.g. the rep frames collapsed
+    callers hand back in (round-10 review finding: the wrap re-scanned
+    every rep text for no semantic effect)."""
+    c = F.col(text_col) if assume_canonical else canon_text(text_col)
+    return df.select(F.col(id_col).alias("id"), c.alias("__canon__"))
 
 
 def _collapse_to_reps(src: DataFrame) -> DataFrame:
@@ -322,6 +345,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     collapse_exact: bool = False,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above a threshold, via
     PREFIX FILTERING (AllPairs/PPJoin family) — lossless for the
@@ -350,7 +374,7 @@ def ngram_jaccard_pairs(
     every member (duplicate_clusters, keep-best) do their own
     collapse + expand instead.
     """
-    src = _canon_src(df, text_col, id_col)
+    src = _canon_src(df, text_col, id_col, assume_canonical=assume_canonical)
     if collapse_exact:
         src = _collapse_to_reps(src)
     docs = (
@@ -358,7 +382,7 @@ def ngram_jaccard_pairs(
             "id",
             F.array_sort(
                 F.transform(
-                    F.array_distinct(word_shingles("__canon__", n)),
+                    F.array_distinct(word_shingles("__canon__", n, assume_canonical=True)),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("sh"),
@@ -534,7 +558,12 @@ def duplicate_clusters_collapsed(
     mem.count()
     rep_docs = grp.select(F.col("rep").alias("id"), "__canon__")
     rep_pairs = ngram_jaccard_pairs(
-        rep_docs, text_col="__canon__", id_col="id", n=n, threshold=threshold
+        rep_docs,
+        text_col="__canon__",
+        id_col="id",
+        n=n,
+        threshold=threshold,
+        assume_canonical=True,
     )
     rep_clusters = duplicate_clusters(rep_pairs, max_iter=max_iter).select(
         F.col("doc_id").alias("rep"), "cluster_id"
@@ -546,7 +575,7 @@ def duplicate_clusters_collapsed(
     # docs never pair in the full formulation either).
     has_sh = rep_docs.select(
         F.col("id").alias("rep"),
-        (F.size(F.array_distinct(word_shingles("__canon__", n))) > 0).alias(
+        (F.size(F.array_distinct(word_shingles("__canon__", n, assume_canonical=True))) > 0).alias(
             "__has_sh__"
         ),
     )
@@ -668,7 +697,7 @@ def containment_pairs(
             "id",
             F.array_sort(
                 F.transform(
-                    F.array_distinct(word_shingles("__canon__", n)),
+                    F.array_distinct(word_shingles("__canon__", n, assume_canonical=True)),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("sh"),
@@ -752,7 +781,7 @@ def sorted_neighborhood_pairs(
         "id",
         F.col("__canon__").alias("canon"),
         F.array_sort(
-            F.array_distinct(word_shingles(F.col("__canon__"), n))
+            F.array_distinct(word_shingles(F.col("__canon__"), n, assume_canonical=True))
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
     keyed = reps.withColumn("blk", F.substring("canon", 1, block_len))
@@ -910,7 +939,7 @@ def sorted_neighborhood_pairs_adaptive(
             "id",
             F.col("__canon__").alias("canon"),
             F.array_sort(
-                F.array_distinct(word_shingles(F.col("__canon__"), n))
+                F.array_distinct(word_shingles(F.col("__canon__"), n, assume_canonical=True))
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)

@@ -253,8 +253,12 @@ _LAST_VERIFIED: dict[str, int] = {
 # changes THIS round: dedup_sorted_neighborhood (fixed variant moved
 # onto the one-pass collapse), stream_stateful_dedup /
 # stream_tumbling_backfill (size-gated shard count), dedup_snm_adaptive
-# (checkpoint threshold). Remaining slots fill with the r6 cohort
-# (stalest greens) via the verdict-age sort below.
+# (checkpoint threshold), corpus_pack_sequences (pack_id multiplier
+# widened 2^32 -> 2^40 — output values changed). The three round-10
+# registrations (corpus_pack_bins, search_rerank_crossenc,
+# corpus_curriculum_order) join group 0 automatically as never-checked.
+# Remaining slots fill with the r6 cohort (stalest greens) via the
+# verdict-age sort below.
 _RECHECK_R10 = (
     "dedup_clusters",
     "dedup_keep_best",
@@ -267,6 +271,7 @@ _RECHECK_R10 = (
     "stream_stateful_dedup",
     "stream_tumbling_backfill",
     "dedup_snm_adaptive",
+    "corpus_pack_sequences",
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -1047,7 +1047,7 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, shard, n_tokens,
-           CAST(shard AS BIGINT) * 4294967296
+           CAST(shard AS BIGINT) * 1099511627776
            + CAST(floor(COALESCE(sum(n_tokens) OVER (
                  PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1080,7 +1080,7 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
         SELECT doc_id, shard, cost,
-               CAST(shard AS BIGINT) * 4294967296
+               CAST(shard AS BIGINT) * 1099511627776
                + CAST(floor(COALESCE(sum(cost) OVER (
                      PARTITION BY shard ORDER BY cost DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1094,14 +1094,18 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-aware next-fit-DECREASING bin packing under a 512-token
-    budget: each doc costs its BPE-ish token count + 1 separator token,
-    hash shards pack independently in (cost DESC, doc_id) order, and
-    per-pack fill/doc-count stats ride along. The two axes a training-
-    batch assembler tunes beyond corpus_pack_sequences' arrival-order
-    whitespace packing: subword-tracking cost and decreasing order
-    (big docs claim fresh packs, the small-doc tail fills gaps). See
-    operators/curation.pack_bins_decreasing for the scale contract."""
+    """Tokenizer-aware decreasing-order cumsum packing under a
+    512-token budget: each doc costs its BPE-ish token count + 1
+    separator token, hash shards pack independently in (cost DESC,
+    doc_id) order, and per-pack fill/doc-count stats ride along. The
+    two axes a training-batch assembler tunes beyond
+    corpus_pack_sequences' arrival-order whitespace packing:
+    subword-tracking cost and decreasing order (big docs concentrate
+    in the earliest packs; a boundary-straddling doc stays in the
+    earlier pack, so pack_fill < budget + max(cost in pack), and fills
+    sum exactly to the shard total — window phase, never lost
+    capacity). See operators/curation.pack_bins_decreasing for the
+    packing-discipline and 2^40 pack-id scale contract."""
     from nyc_opendata_etl_spark.operators import curation
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
@@ -2243,94 +2247,10 @@ def q_search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
 
 
-@register(
-    "search_hybrid_rrf",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-    stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(dl) AS BIGINT) AS sum_dl
-        FROM dl
-    ),
-    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
-    tf AS (
-        SELECT doc_id, term, count(*) AS tf FROM tok
-        WHERE term IN ('hash', 'join', 'vector')
-        GROUP BY 1, 2
-    ),
-    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    bm AS (
-        SELECT tf.doc_id,
-               CAST(sum(CAST(round(
-                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
-                   * tf.tf * (1.2 + 1)
-                   / (tf.tf + 1.2 * (1 - 0.75
-                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
-                   9) AS DECIMAL(28,12))) AS DOUBLE) AS score
-        FROM tf
-        JOIN dfq USING (term)
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ),
-    ra AS (
-        SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
-                   AS rank_a
-        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)
-    ),
-    ti AS (
-        SELECT tf.doc_id,
-               CAST(sum(CAST(round(
-                   tf.tf * ln(s.n / CAST(dfq.df AS DOUBLE)), 9)
-                   AS DECIMAL(28,12))) AS DOUBLE) AS score
-        FROM tf JOIN dfq USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ),
-    rb AS (
-        SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
-                   AS rank_b
-        FROM (SELECT * FROM ti ORDER BY score DESC, doc_id LIMIT 50)
-    )
-    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
-           round(COALESCE(1.0 / (60 + rank_a), 0)
-                 + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
-    FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
-    ORDER BY rrf DESC, doc_id LIMIT 20
-    """,
-)
-def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (operators/text.rrf_fuse) of two retrieval
-    backends for the query {hash, join, vector}: BM25 (saturated,
-    length-normalized) and plain TF-IDF term-sum — the score-free
-    combination pattern used for hybrid lexical+semantic search (each
-    backend's top-50 fuses via 1/(60+rank); no score calibration
-    needed). BOTH backends probe the staged posting-list index
-    (build_text_index) — two pruned index reads, zero corpus scans per
-    execution. Both rankings and the fusion are fully
-    rank-deterministic, so the DuckDB oracle replays the complete
-    hybrid result."""
-    from pyspark.sql import Window
-
-    terms = ["hash", "join", "vector"]
-    index = _stage_text_index(spark, sf_dir)
-    bm = text.bm25_topk_indexed(spark, index, terms, k=50)
-    ra = bm.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
-    )
-    ti = text.tfidf_topk_indexed(spark, index, terms, k=50)
-    rb = ti.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
-    )
-    return text.rrf_fuse(ra, rb)
-
-
-# The full hybrid-RRF pipeline as a reusable CTE chain: the rerank
-# oracle replays fusion AND rerank end-to-end.
+# The full hybrid-RRF pipeline as ONE reusable CTE chain — the single
+# source of truth for BOTH the fusion oracle (search_hybrid_rrf) and
+# the rerank oracle (search_rerank_crossenc), so a BM25 constant or
+# rounding tweak can never desynchronize the two.
 _HYBRID_CTES = f"""
     d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
     dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -2388,6 +2308,43 @@ _HYBRID_CTES = f"""
         ORDER BY rrf DESC, doc_id LIMIT 20
     )
 """
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_HYBRID_CTES}
+    SELECT doc_id, rank_a, rank_b, rrf FROM cand
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/text.rrf_fuse) of two retrieval
+    backends for the query {hash, join, vector}: BM25 (saturated,
+    length-normalized) and plain TF-IDF term-sum — the score-free
+    combination pattern used for hybrid lexical+semantic search (each
+    backend's top-50 fuses via 1/(60+rank); no score calibration
+    needed). BOTH backends probe the staged posting-list index
+    (build_text_index) — two pruned index reads, zero corpus scans per
+    execution. Both rankings and the fusion are fully
+    rank-deterministic, so the DuckDB oracle replays the complete
+    hybrid result."""
+    from pyspark.sql import Window
+
+    terms = ["hash", "join", "vector"]
+    index = _stage_text_index(spark, sf_dir)
+    bm = text.bm25_topk_indexed(spark, index, terms, k=50)
+    ra = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    )
+    ti = text.tfidf_topk_indexed(spark, index, terms, k=50)
+    rb = ti.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+    )
+    return text.rrf_fuse(ra, rb)
+
+
 
 
 @register(

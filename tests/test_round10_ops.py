@@ -53,12 +53,22 @@ def test_snm_pairs_invariant_under_duplication(spark):
 
 def test_snm_never_pairs_identical_canons(spark):
     """Identical-copy pairs belong to exact dedup, never to SNM output:
-    ids of non-representative copies cannot appear, and no jaccard-1.0
-    pair of byte-identical canons is emitted."""
+    ids of non-representative copies cannot appear, and no emitted pair
+    joins two byte-identical canonical texts (even under distinct rep
+    ids — the regression a truncated collapse key would introduce)."""
+    import re
+
     copies = _SNM_BASE + [(101, _SNM_BASE[0][1].upper())]
     pairs = _snm_pairs(spark, copies)
     ids = {i for a, b, _ in pairs for i in (a, b)}
     assert 101 not in ids
+
+    def canon(t: str) -> str:
+        return re.sub(r"\s+", " ", t.lower().strip())
+
+    texts = {i: t for i, t in copies}
+    for a, b, j in pairs:
+        assert canon(texts[a]) != canon(texts[b]), (a, b)
 
 
 def test_pack_bins_decreasing_matches_reference_packing(spark):
@@ -82,7 +92,7 @@ def test_pack_bins_decreasing_matches_reference_packing(spark):
         cum = 0
         for r in members:
             expect_local = cum // 64
-            assert r.pack_id == shard * (1 << 32) + expect_local, r
+            assert r.pack_id == shard * (1 << 40) + expect_local, r
             cum += r.cost
     # pack stats are exact aggregates of the membership
     packs: dict[int, list] = {}
@@ -92,12 +102,24 @@ def test_pack_bins_decreasing_matches_reference_packing(spark):
         fill = sum(r.cost for r in members)
         for r in members:
             assert r.pack_fill == fill and r.pack_docs == len(members)
+    # the documented window laws: fill < budget + max member cost
+    # (straddlers stay in their starting window), and per-shard fills
+    # sum exactly to the shard's total cost (window phase, never lost
+    # capacity)
+    for shard, members in by_shard.items():
+        shard_packs = sorted({r.pack_id for r in members})
+        for pid in shard_packs:
+            ms = packs[pid]
+            assert ms[0].pack_fill < 64 + max(r.cost for r in ms)
+        assert sum(packs[pid][0].pack_fill for pid in shard_packs) == sum(
+            r.cost for r in members
+        )
     # big docs claim earlier packs than small docs within their shard
     for shard, members in by_shard.items():
         local = [(r.cost, r.pack_id) for r in members]
         costs_desc = sorted({c for c, _ in local}, reverse=True)
         first_pack_of_max = min(p for c, p in local if c == costs_desc[0])
-        assert first_pack_of_max == shard * (1 << 32)
+        assert first_pack_of_max == shard * (1 << 40)
     assert len(got) == 60
 
 
