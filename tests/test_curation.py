@@ -48,9 +48,10 @@ def test_pack_sequences_sharding_is_deterministic_partition(spark):
     out = curation.pack_sequences(docs, n_shards=4)
     shards = {r.shard for r in out.select("shard").distinct().collect()}
     assert shards <= set(range(4)) and len(shards) > 1
-    # pack ids never collide across shards (disjoint 2^32 ranges)
+    # pack ids never collide across shards (disjoint 2^40 ranges — 2^32
+    # collided shard ranges at ~2e12 tokens/shard, round-10 review)
     rows = out.collect()
-    assert all((r.pack_id >> 32) == r.shard for r in rows)
+    assert all((r.pack_id >> 40) == r.shard for r in rows)
 
 
 def test_stratified_sample_exact_k_and_deterministic(spark):
