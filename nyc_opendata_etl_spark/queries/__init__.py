@@ -50,42 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "text_length_histogram": 5,
-    "star_revenue": 6,
-    "dim_surrogate": 6,
-    "dim_first_per_group": 6,
-    "assign_keys_left": 6,
-    "generated_date_dim": 6,
-    "generated_time_dim": 6,
-    "date_keys": 6,
-    "normalize_clean": 6,
-    "numeric_coercion": 6,
-    "union_by_name": 6,
-    "filter_window": 6,
-    "project_defensive": 6,
-    "ingest_orc_documents": 6,
-    "dim_late_arriving": 6,
-    "q1_pricing_summary": 6,
-    "agg_rollup": 6,
-    "agg_cube": 6,
-    "agg_count_distinct": 6,
-    "agg_approx_distinct": 6,
-    "topk_orders": 6,
-    "window_rank": 6,
-    "window_lag_lead": 6,
-    "window_moving_sum": 6,
-    "agg_percentile_approx": 6,
-    "market_basket_pairs": 6,
-    "recursive_reachability": 6,
-    "join_lateral_topn": 6,
-    "json_variant_shred": 6,
-    "sketch_theta_setops": 6,
-    "sketch_bitmap_distinct": 6,
-    "text_char_entropy": 6,
-    "embedding_gramian": 6,
-    "corpus_mix_temperature": 6,
-    "similarity_pq_encode": 6,
-    "events_user_sequences": 6,
     "sketch_kll_quantiles": 6,
     "events_anomaly_bands": 6,
     "scd1_merge": 6,
@@ -120,11 +84,8 @@ _LAST_VERIFIED: dict[str, int] = {
     "stats_regression": 7,
     "dedup_exact": 7,
     "dedup_fingerprint": 7,
-    "dedup_ngram_jaccard": 7,
     "similarity_cosine_topk": 7,
     "similarity_ann_lsh": 7,
-    "dedup_clusters": 7,
-    "dedup_keep_best": 7,
     "dedup_semantic": 7,
     "similarity_ivfpq_topk": 7,
     "search_bm25": 7,
@@ -132,8 +93,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "search_hybrid_rrf": 7,
     "sketch_countmin_freq": 7,
     "dedup_substring_exact": 7,
-    "dedup_containment": 7,
-    "dedup_sorted_neighborhood": 7,
     "corpus_mix_realize": 7,
     "stats_chi2_contingency": 7,
     "layout_zorder_locality": 7,
@@ -169,14 +128,11 @@ _LAST_VERIFIED: dict[str, int] = {
     "dedup_embedding_lsh": 8,
     "text_unigram_logprob": 8,
     "corpus_decontaminate": 8,
-    "corpus_pack_sequences": 8,
     "corpus_chunk_docs": 8,
     "corpus_sample_stratified": 8,
     "corpus_sample_priority": 8,
     "window_tumbling": 8,
     "window_session": 8,
-    "stream_tumbling_backfill": 8,
-    "stream_stateful_dedup": 8,
     "stream_watermark_dedup": 8,
     "events_funnel": 8,
     "events_cohort_retention": 8,
@@ -218,7 +174,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "similarity_ann_recall": 9,
     "embedding_kmeans_iterate": 9,
     "corpus_vocab_stats": 9,
-    "dedup_snm_adaptive": 9,
     "window_sliding": 9,
     "stream_interval_join": 9,
     "events_transitions": 9,
@@ -240,43 +195,85 @@ _LAST_VERIFIED: dict[str, int] = {
     "q19_discounted_revenue": 9,
     "q21_waiting_supplier": 9,
     "q22_global_sales": 9,
+    "star_revenue": 10,
+    "dim_surrogate": 10,
+    "dim_first_per_group": 10,
+    "assign_keys_left": 10,
+    "generated_date_dim": 10,
+    "generated_time_dim": 10,
+    "date_keys": 10,
+    "normalize_clean": 10,
+    "numeric_coercion": 10,
+    "union_by_name": 10,
+    "filter_window": 10,
+    "project_defensive": 10,
+    "ingest_orc_documents": 10,
+    "dim_late_arriving": 10,
+    "q1_pricing_summary": 10,
+    "agg_rollup": 10,
+    "agg_cube": 10,
+    "agg_count_distinct": 10,
+    "agg_approx_distinct": 10,
+    "topk_orders": 10,
+    "window_rank": 10,
+    "window_lag_lead": 10,
+    "window_moving_sum": 10,
+    "agg_percentile_approx": 10,
+    "market_basket_pairs": 10,
+    "recursive_reachability": 10,
+    "join_lateral_topn": 10,
+    "json_variant_shred": 10,
+    "sketch_theta_setops": 10,
+    "sketch_bitmap_distinct": 10,
+    "stats_weighted_quantiles": 10,
+    "stats_weighted_quantiles_approx": 10,
+    "dedup_ngram_jaccard": 10,
+    "dedup_clusters": 10,
+    "text_length_histogram": 10,
+    "corpus_pack_sequences": 10,
+    "corpus_pack_bins": 10,
+    "corpus_curriculum_order": 10,
+    "dedup_keep_best": 10,
+    "text_char_entropy": 10,
+    "embedding_gramian": 10,
+    "corpus_mix_temperature": 10,
+    "similarity_pq_encode": 10,
+    "search_rerank_crossenc": 10,
+    "dedup_containment": 10,
+    "dedup_sorted_neighborhood": 10,
+    "dedup_snm_adaptive": 10,
+    "stream_tumbling_backfill": 10,
+    "stream_stateful_dedup": 10,
+    "events_user_sequences": 10,
 }
 
-# Queries that MUST carry a round-10 verdict regardless of history:
-# (1) the four collapse-family queries whose implementation was unified
-# on the one-pass kernel AFTER their r8 driver verdicts (judge-verified
-# r9, but the driver gate is the record of truth), (2) the
-# weighted-quantile pair registered outside the r9 window
-# (never driver-checked), (3) text_length_histogram (the only r5-age
-# verdict — displaced from the r9 window by the changed
-# stream_interval_join), then (4) every query whose implementation
-# changes THIS round: dedup_sorted_neighborhood (fixed variant moved
-# onto the one-pass collapse), stream_stateful_dedup /
-# stream_tumbling_backfill (size-gated shard count), dedup_snm_adaptive
-# (checkpoint threshold), corpus_pack_sequences (pack_id multiplier
-# widened 2^32 -> 2^40 — output values changed). The three round-10
-# registrations (corpus_pack_bins, search_rerank_crossenc,
-# corpus_curriculum_order) join group 0 automatically as never-checked.
-# Remaining slots fill with the r6 cohort (stalest greens) via the
-# verdict-age sort below.
-_RECHECK_R10 = (
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "stats_weighted_quantiles",
-    "stats_weighted_quantiles_approx",
-    "text_length_histogram",
-    "dedup_sorted_neighborhood",
-    "stream_stateful_dedup",
-    "stream_tumbling_backfill",
-    "dedup_snm_adaptive",
-    "corpus_pack_sequences",
+# Queries that MUST carry a round-11 verdict regardless of history:
+# (1) the ten queries whose code or oracle was touched by the round-10
+# closing self-review commit (2634c36) AFTER their last driver verdict —
+# judge-verified PASS in the r10 verdict, but the driver gate is the
+# record of truth; (2) every query whose implementation changes THIS
+# round (appended as the round's work lands — dedup_incremental is
+# already in group 1, corpus_curation's fused text pass is added here).
+# New round-11 registrations join group 0 automatically as
+# never-checked. Remaining slots fill with the r6 cohort (stalest
+# greens, 9 queries) then r7 greens via the verdict-age sort below.
+_RECHECK_R11 = (
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_substring_exact",
+    "dedup_incremental",
+    "search_bm25",
+    "search_bm25_incremental",
+    "search_hybrid_rrf",
+    "linkage_fs_collapsed",
+    "corpus_decontaminate",
+    "corpus_curation",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R10)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R11)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
