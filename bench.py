@@ -35,6 +35,37 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from nyc_opendata_etl_spark.queries import queries  # noqa: E402
 from nyc_opendata_etl_spark.session import get_spark  # noqa: E402
 
+# Per-query host-steal threshold (percent of CPU ticks stolen by the
+# hypervisor during the timed window). The box has documented episodic
+# 15-32% steal storms (BASELINE.md) that turned 15 of round 10's rows
+# into unusable evidence; above this threshold a row is re-run once and,
+# if still stormy, flagged so tools/bench_diff.py can exclude it from
+# the cross-round regression read.
+STEAL_FLAG_PCT = 5.0
+
+
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    if before is None or after is None:
+        return None
+    dsteal, dtotal = after[0] - before[0], after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,17 +140,48 @@ def main() -> None:
     # Alphabetical order pins each query's warm-up context across rounds.
     qs = dict(sorted(queries().items()))
     timings: dict[str, float] = {}
+    steal_pcts: dict[str, float] = {}
+    steal_reruns: dict[str, dict[str, float]] = {}
     t_suite = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+        # A row measured under a steal storm is noise, not signal: re-run
+        # once if >STEAL_FLAG_PCT of the window's CPU ticks were stolen.
+        # The re-run is slightly warm-biased (plan/codegen cached), so
+        # the first attempt is preserved in steal_reruns for the record;
+        # rows whose FINAL measurement is still stormy are flagged and
+        # bench_diff excludes them from regression classification.
+        attempts = 0
+        while True:
+            attempts += 1
+            c0 = _cpu_ticks()
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                sec = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                sec = -1.0
+            steal = _steal_pct(c0, _cpu_ticks())
+            if (
+                sec > 0
+                and steal is not None
+                and steal > STEAL_FLAG_PCT
+                and attempts == 1
+            ):
+                steal_reruns[name] = {"sec_first": sec, "steal_pct_first": steal}
+                continue
+            break
+        timings[name] = sec
+        if steal is not None:
+            steal_pcts[name] = steal
+        row = {"query": name, "sec": sec}
+        if steal is not None:
+            row["steal_pct"] = steal
+        print(json.dumps(row), flush=True)
     total = round(time.time() - t_suite, 3)
+    steal_flagged = sorted(
+        n for n, s in steal_pcts.items() if s > STEAL_FLAG_PCT
+    )
 
     payload = {
         "metric": "full_query_suite_wall_time",
@@ -130,6 +192,10 @@ def main() -> None:
         "staging_sec": staging_sec,
         "staging_failed": staging_failed,
         "staging_detail": staging_detail,
+        "steal_pct": steal_pcts,
+        "steal_flag_threshold": STEAL_FLAG_PCT,
+        "steal_flagged": steal_flagged,
+        "steal_reruns": steal_reruns,
     }
     here = Path(__file__).resolve().parent
     qfile = here / "bench_queries.json"
@@ -167,6 +233,7 @@ def main() -> None:
                 "errors": errors,
                 "staging_sec": staging_sec,
                 "staging_failed": staging_failed,
+                "steal_flagged": len(steal_flagged),
                 "queries_file": "bench_queries.json",
             }
         ),

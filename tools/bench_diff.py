@@ -81,8 +81,16 @@ def main() -> int:
         print("usage: bench_diff.py [OLD.json NEW.json] [--band=0.6]", file=sys.stderr)
         return 2
 
-    old = json.loads(old_p.read_text())["queries"]
-    new = json.loads(new_p.read_text())["queries"]
+    old_doc = json.loads(old_p.read_text())
+    new_doc = json.loads(new_p.read_text())
+    old, new = old_doc["queries"], new_doc["queries"]
+    # Rows measured under a host-steal storm on EITHER side are excluded
+    # from regression/improvement classification — the timing is noise
+    # (bench.py records per-row /proc/stat steal and flags rows above
+    # its threshold; older round files without the field flag nothing).
+    stealy = set(old_doc.get("steal_flagged", [])) | set(
+        new_doc.get("steal_flagged", [])
+    )
     lo, hi = 1.0 / (1.0 + band), 1.0 + band
 
     rows = []
@@ -96,7 +104,10 @@ def main() -> int:
             rows.append((float("inf"), q, o, n, "ERRORED"))
         else:
             r = n / o
-            cls = "REGRESSED" if r > hi else "IMPROVED" if r < lo else "~"
+            if q in stealy:
+                cls = "STEAL"
+            else:
+                cls = "REGRESSED" if r > hi else "IMPROVED" if r < lo else "~"
             rows.append((r, q, o, n, cls))
 
     rows.sort(key=lambda t: -t[0])
@@ -121,6 +132,7 @@ def main() -> int:
                 "in_band": in_band,
                 "regressed": [q for _, q, _, _, c in rows if c == "REGRESSED"],
                 "improved": [q for _, q, _, _, c in rows if c == "IMPROVED"],
+                "steal_excluded": [q for _, q, _, _, c in rows if c == "STEAL"],
                 "added": [q for _, q, _, _, c in rows if c == "NEW"],
                 "removed": [q for _, q, _, _, c in rows if c == "GONE"],
             }
