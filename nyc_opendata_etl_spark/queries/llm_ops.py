@@ -61,6 +61,28 @@ def _stage_text_index_incremental(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _stage_fingerprint_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the historical corpus's content-fingerprint index (even
+    doc_ids — the corpus half of the dedup_incremental scenario) once
+    per corpus version. Built incrementally to exercise the append
+    maintenance path: base build from doc_id % 4 == 0, then
+    update_fingerprint_index appends doc_id % 4 == 2 — together exactly
+    the even half. _INCR_DONE is written last, proving both phases
+    completed."""
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "fingerprint_index")
+    if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
+        import os
+
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.build_fingerprint_index(docs.filter(F.col("doc_id") % 4 == 0), path)
+        dedup.update_fingerprint_index(docs.filter(F.col("doc_id") % 4 == 2), path)
+        with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
+            fh.write("")  # both phases completed
+    return path
+
+
 def _stage_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF-PQ index once per embeddings version; the ANN query
     probes the persisted cells. codebook/ is written last — its marker
@@ -812,15 +834,21 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a new batch checked against the historical
-    corpus's fingerprint index (here: even doc_ids stand in for the
-    corpus, odd for the batch). One left-anti join on the content hash —
-    at 100 TB the index side is a parquet fingerprint table partitioned
-    by hash prefix, and only the (small) new batch shuffles."""
+    corpus's STAGED fingerprint index (even doc_ids stand in for the
+    corpus, odd for the batch). The index is a write-time parquet
+    artifact (built incrementally — base + append — by the staging
+    layer), so the query tokenizes/hashes ONLY the new batch and
+    anti-joins it against 8-byte corpus hashes: O(new docs) per
+    increment regardless of corpus size, vs the pre-round-11 shape that
+    re-canonicalized the full corpus per run (62 s at the 100×
+    replica). The oracle recomputes the corpus hashes from raw
+    documents, so it verifies the staged index's contents, not just the
+    join."""
+    index_path = _stage_fingerprint_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    h = text.fingerprint("text")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(h.alias("h")).distinct()
-    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", h.alias("h"))
-    return batch.join(corpus, "h", "left_anti").select("doc_id")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = spark.read.parquet(index_path)
+    return dedup.incremental_new_docs(batch, index)
 
 
 @register(

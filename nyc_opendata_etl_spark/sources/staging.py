@@ -78,6 +78,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         _stage_events_zordered,
     )
     from nyc_opendata_etl_spark.queries.llm_ops import (
+        _stage_fingerprint_index,
         _stage_ivfpq_index,
         _stage_text_index,
         _stage_text_index_incremental,
@@ -92,6 +93,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
             lambda: _stage_text_index_incremental(spark, sf_dir),
         ),
         ("ivfpq_index (ANN codebooks)", lambda: _stage_ivfpq_index(spark, sf_dir)),
+        (
+            "fingerprint_index (incremental dedup)",
+            lambda: _stage_fingerprint_index(spark, sf_dir),
+        ),
         (
             "copurchase_edges (bucketed graph)",
             lambda: _stage_copurchase_edges(spark, sf_dir),
