@@ -171,12 +171,9 @@ def tfidf_top_terms(
     )
 
 
-def detected_lang(col: Column | str) -> Column:
-    """Stopword-hit language id with fixed priority tie-break
-    (en > de > fr > es > unknown) — the deterministic heuristic shared
-    by the lang-id query and corpus curation."""
-    hits = {lang: stopword_hits(col, words) for lang, words in STOPWORDS.items()}
-    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+def _lang_decision(en: Column, de: Column, fr: Column, es: Column) -> Column:
+    """Fixed-priority language decision (en > de > fr > es > unknown)
+    over per-language stopword hit counts."""
     return (
         F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
@@ -184,6 +181,63 @@ def detected_lang(col: Column | str) -> Column:
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def token_lang_features(col: Column | str) -> Column:
+    """``struct<n_tokens: long, lang: string>`` from ONE whitespace
+    tokenization of the lowered text.
+
+    The naive composition (``token_count`` + ``detected_lang`` via
+    ``stopword_hits`` per language) re-runs the full-text regex split
+    5× per document, and the decision when-chain references each hit
+    count ~3× more. Both sharings use the ``word_shingles`` binding
+    pattern (single-element ``transform``): HOF lambda bodies are
+    evaluated interpreted, without codegen's common-subexpression
+    elimination, so the ONLY way to guarantee an expression runs once
+    is to materialize it as a lambda variable — the outer transform
+    binds the token array (the regex pass), the inner one binds the
+    five counts (array membership scans), and the decision reads
+    materialized fields. Token count is taken on the lowered split,
+    which is identical to the raw split (lowercasing never changes the
+    whitespace class)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def member(words: list[str]):
+        # closure factory, NOT a default-arg lambda: pyspark dispatches
+        # HOF lambdas by arity, so a second (defaulted) parameter would
+        # silently receive the element index.
+        wt = tuple(words)
+        return lambda x: x.isin(*wt)
+
+    def counts(toks: Column) -> Column:
+        return F.struct(
+            F.size(toks).cast("long").alias("n_tokens"),
+            *[
+                F.size(F.filter(toks, member(words))).alias(f"{lang}_hits")
+                for lang, words in STOPWORDS.items()
+            ],
+        )
+
+    return F.transform(
+        F.array(tokens(F.lower(c))),
+        lambda toks: F.transform(
+            F.array(counts(toks)),
+            lambda h: F.struct(
+                h["n_tokens"].alias("n_tokens"),
+                _lang_decision(
+                    h["en_hits"], h["de_hits"], h["fr_hits"], h["es_hits"]
+                ).alias("lang"),
+            ),
+        )[0],
+    )[0]
+
+
+def detected_lang(col: Column | str) -> Column:
+    """Stopword-hit language id with fixed priority tie-break
+    (en > de > fr > es > unknown) — the deterministic heuristic shared
+    by the lang-id query and corpus curation. One tokenization pass
+    (see :func:`token_lang_features`)."""
+    return token_lang_features(col)["lang"]
 
 
 def bm25_scores(

@@ -269,6 +269,7 @@ _RECHECK_R11 = (
     "linkage_fs_collapsed",
     "corpus_decontaminate",
     "corpus_curation",
+    "text_lang_id",
 )
 
 def _ordered() -> dict[str, QueryDef]:

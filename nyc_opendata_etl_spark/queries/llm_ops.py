@@ -747,21 +747,34 @@ _LANG_CASE = """
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-corpus curation pipeline in one query:
-    exact-dedup to first-seen survivors (hash-aggregate + semi join),
-    language filter (en), token-count band filter. Every stage is
-    shuffle-minimal: one hash aggregate for survivors, one semi join on
-    the id, the rest map-side."""
+    exact-dedup to first-seen survivors, language filter (en),
+    token-count band filter.
+
+    ONE corpus scan, ONE shuffle: the pre-round-11 shape collapsed via
+    hash-aggregate then semi-joined BACK to the corpus to re-derive
+    features — a second full-text scan plus a join exchange, and its
+    token/lang stage re-ran the text regex split 5× per kept doc
+    (87.8 s at the 100× replica). Now the content hash and the fused
+    token/lang features (one tokenization —
+    :func:`~nyc_opendata_etl_spark.operators.text.token_lang_features`)
+    are computed map-side in the same scan, and first-seen survival is
+    ``min(struct(doc_id, features))`` per hash — a map-side-combined
+    aggregate whose shuffle payload is one tiny struct per distinct
+    hash per partition. The band/language filter runs on the collapsed
+    (small) side."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    survivors = dedup.exact_dedup_groups(docs).select(
-        F.col("keep_id").alias("doc_id")
+    per_doc = docs.select(
+        text.fingerprint("text").alias("h"),
+        F.struct(
+            F.col("doc_id"), text.token_lang_features("text").alias("f")
+        ).alias("s"),
     )
-    kept = docs.join(survivors, "doc_id", "left_semi")
-    n_tokens = text.token_count("text").cast("long")
+    surv = per_doc.groupBy("h").agg(F.min("s").alias("s"))
     return (
-        kept.select(
-            "doc_id",
-            n_tokens.alias("n_tokens"),
-            text.detected_lang("text").alias("lang_det"),
+        surv.select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.f.n_tokens").alias("n_tokens"),
+            F.col("s.f.lang").alias("lang_det"),
         )
         .filter((F.col("lang_det") == "en") & F.col("n_tokens").between(5, 1000))
         .select("doc_id", "n_tokens")
