@@ -403,6 +403,37 @@ def q_filter_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filter_window_yesterday",
+    oracle="""
+    WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS today FROM events)
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type
+    FROM events e, anchor a
+    WHERE e.ts >= CAST(a.today - INTERVAL 1 DAY AS TIMESTAMP)
+      AND e.ts <  CAST(a.today AS TIMESTAMP)
+    """,
+)
+def q_filter_window_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's "yesterday" daily-load window (get_yesterdays_311_data,
+    load_311.py:20-24) as a verifiable batch twin: the UTC-day bounds
+    arithmetic (``date_sub(today, 1) <= ts < today``) anchored at the
+    corpus's max event date instead of the wall clock, so the result is
+    deterministic and full-value-checkable. The anchor is a 1-row
+    aggregate broadcast onto the scan (totals-attach pattern); the
+    online path compiles the same bounds to a server-side SoQL $where
+    (sources/socrata.py yesterday_window)."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("today"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("ts") >= F.date_sub(F.col("today"), 1).cast("timestamp"))
+            & (F.col("ts") < F.col("today").cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@register(
     "project_defensive",
     oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
 )

@@ -73,6 +73,37 @@ def soql_window(column: str, start: str, end: str) -> str:
     return f"{column} >= {_soql_quote(start)} AND {column} < {_soql_quote(end)}"
 
 
+def yesterday_window(
+    column: str = "created_date", today: dt.date | None = None
+) -> str:
+    """SoQL predicate for UTC "yesterday": the half-open day window
+    ``[today-1 00:00, today 00:00)`` with millisecond-format bounds —
+    the reference's daily-load convenience (``get_yesterdays_311_data``,
+    load_311.py:20-24). ``today`` defaults to the current UTC date and
+    is injectable so tests (and backfills) can pin the anchor."""
+    if today is None:
+        today = dt.datetime.now(dt.timezone.utc).date()
+    start = f"{today - dt.timedelta(days=1)}T00:00:00.000"
+    end = f"{today}T00:00:00.000"
+    return soql_window(column, start, end)
+
+
+def year_window(
+    year: int, column: str = "created_date", limit: int = 500_000
+) -> dict[str, str]:
+    """Reader options for a calendar-year scan capped at 500k rows
+    (``get_311_data_for_year``, load_311.py:27-30): the year bounds
+    compile to a server-side ``$where`` and the cap to the paged
+    reader's total limit, so Spark fans the capped scan out over
+    ``limit / page_size`` partitions instead of one giant request."""
+    where = soql_window(
+        column,
+        f"{year}-01-01T00:00:00.000",
+        f"{year + 1}-01-01T00:00:00.000",
+    )
+    return {"where": where, "limit": str(limit)}
+
+
 def fiscal_year_dataset(start: str) -> str | None:
     """Window start → parking dataset id (manual partition pruning,
     load_parking.py:40-47): month < 7 → year else year+1; pre-FY2014 →

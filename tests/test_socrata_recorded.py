@@ -157,3 +157,69 @@ def test_where_quote_escaping_reaches_the_wire(server):
         urllib.parse.urlsplit(server.requests[0].full_url).query
     )
     assert q["$where"] == ["agency >= 'O''NEILL' AND agency < 'P'"]
+
+
+def test_yesterday_window_bounds_reach_the_wire(server):
+    """S2 parity (get_yesterdays_311_data, load_311.py:20-24): UTC
+    yesterday compiles to the half-open millisecond-format day window
+    and arrives server-side intact."""
+    import datetime as dt
+
+    from nyc_opendata_etl_spark.sources.socrata import yesterday_window
+
+    where = yesterday_window(today=dt.date(2024, 3, 1))
+    assert where == (
+        "created_date >= '2024-02-29T00:00:00.000'"
+        " AND created_date < '2024-03-01T00:00:00.000'"
+    )  # leap-day arithmetic, not string slicing
+    r = _reader(server, where=where)
+    list(r.read(r.partitions()[0]))
+    q = urllib.parse.parse_qs(
+        urllib.parse.urlsplit(server.requests[0].full_url).query
+    )
+    assert q["$where"] == [where]
+
+
+def test_yesterday_window_defaults_to_current_utc_date():
+    import datetime as dt
+
+    from nyc_opendata_etl_spark.sources.socrata import yesterday_window
+
+    before = dt.datetime.now(dt.timezone.utc).date()
+    where = yesterday_window()
+    after = dt.datetime.now(dt.timezone.utc).date()
+    # the anchor is one of the UTC dates observed around the call
+    # (robust to a midnight rollover mid-test)
+    expected = {
+        (
+            f"created_date >= '{d - dt.timedelta(days=1)}T00:00:00.000'"
+            f" AND created_date < '{d}T00:00:00.000'"
+        )
+        for d in {before, after}
+    }
+    assert where in expected
+
+
+def test_year_window_cap_and_paging(server):
+    """S3 parity (get_311_data_for_year, load_311.py:27-30): year bounds
+    in $where, 500k default cap split into page partitions."""
+    from nyc_opendata_etl_spark.sources.socrata import year_window
+
+    opts = year_window(2023)
+    assert opts["where"] == (
+        "created_date >= '2023-01-01T00:00:00.000'"
+        " AND created_date < '2024-01-01T00:00:00.000'"
+    )
+    assert opts["limit"] == "500000"
+
+    # drive the options through the reader: cap -> partition fan-out
+    r = _reader(server, **opts)
+    parts = r.partitions()
+    assert len(parts) == 100_000  # 500k cap / 5-row test pages
+    assert (parts[0].offset, parts[0].limit) == (0, 5)
+    assert (parts[-1].offset, parts[-1].limit) == (499_995, 5)
+    list(r.read(parts[0]))
+    q = urllib.parse.parse_qs(
+        urllib.parse.urlsplit(server.requests[0].full_url).query
+    )
+    assert q["$where"] == [opts["where"]]
