@@ -72,17 +72,35 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
         # ~50ms of wall-clock (1s spacing put parts up to 32s in the
         # future, and the old marker at +40s masked any source
         # regenerated inside that window as already-staged).
-        n_parts = 0
-        for i, p in enumerate(
-            sorted(f for f in os.listdir(stage) if f.startswith("part-"))
-        ):
-            t = base + (i + 1) * 0.001
-            os.utime(os.path.join(stage, p), (t, t))
-            n_parts = i + 1
+        parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+        spacing = 0.001
+        while True:
+            for i, p in enumerate(parts):
+                t = base + (i + 1) * spacing
+                os.utime(os.path.join(stage, p), (t, t))
+            # Read back and verify the stamps are STRICTLY increasing:
+            # the ms spacing assumes the staging filesystem preserves
+            # sub-second mtime precision — on a coarse-granularity fs
+            # (1s mtimes) adjacent stamps collapse to equal values and
+            # replay order goes nondeterministic again, the exact
+            # failure the spacing exists to prevent. Escalate the
+            # spacing 1000× (to 1s, which any POSIX fs preserves)
+            # rather than silently reordering.
+            stamps = [os.path.getmtime(os.path.join(stage, p)) for p in parts]
+            if all(a < b for a, b in zip(stamps, stamps[1:])):
+                break
+            if spacing >= 1.0:
+                raise OSError(
+                    f"staging fs collapsed part mtimes even at {spacing}s "
+                    f"spacing; FileStreamSource replay order would be "
+                    f"nondeterministic under {stage}"
+                )
+            spacing *= 1000
+        n_parts = len(parts)
         with open(ordered_marker, "w"):
             pass
         # staleness invariant: marker mtime > every part mtime
-        last = base + (n_parts + 1) * 0.001
+        last = base + (n_parts + 1) * spacing
         os.utime(marker, (last, last))
     return stage
 

@@ -72,9 +72,12 @@ def test_snm_never_pairs_identical_canons(spark):
 
 
 def test_pack_bins_decreasing_matches_reference_packing(spark):
-    """Per shard, the distributed NFD pack ids must equal a sequential
-    next-fit-decreasing reference over (cost DESC, id), and pack_fill /
-    pack_docs must be exact per-pack sums/counts."""
+    """Per shard, pack ids must equal the documented cumsum-window
+    chunking (floor(exclusive cumsum / budget) over (cost DESC, id) —
+    this recomputes the SAME formula, pinning determinism and the
+    shard/window wiring, not independently verifying the discipline;
+    test_pack_bins_vs_capacity_checked_nfd below does that), and
+    pack_fill / pack_docs must be exact per-pack sums/counts."""
     from nyc_opendata_etl_spark.operators import curation
 
     rows = [(i, "word " * (5 + (i * 7) % 40) + f"tail{i}") for i in range(60)]
@@ -121,6 +124,60 @@ def test_pack_bins_decreasing_matches_reference_packing(spark):
         first_pack_of_max = min(p for c, p in local if c == costs_desc[0])
         assert first_pack_of_max == shard * (1 << 40)
     assert len(got) == 60
+
+
+def test_pack_bins_vs_capacity_checked_nfd(spark):
+    """Independent reference: a SEQUENTIAL capacity-checked next-fit
+    simulator (opens a new bin when a doc overflows the current one —
+    the recurrence the declarative plan can't express). The documented
+    divergence bounds between it and the shipped cumsum-window
+    discipline, per shard over the same (cost DESC, id) order:
+
+    - per doc, window id <= NFD bin id (windows never waste capacity;
+      each closed NFD bin holds <= budget, so the cumsum prefix before
+      any doc is < (bin+1)*budget);
+    - distinct windows used <= NFD bins opened (windows may skip ids
+      but their max is bounded by the max bin id);
+    - both disciplines conserve cost exactly (fills sum to the shard
+      total).
+    """
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import curation
+
+    BUDGET = 64
+    rows = [(i, "word " * (5 + (i * 7) % 40) + f"tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_bins_decreasing(
+        df, token_budget=BUDGET, n_shards=4
+    ).collect()
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard  # the fixture populates every checked law
+
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: (-r.cost, r.doc_id))
+        # sequential capacity-checked next-fit over the same order
+        nfd_bin, nfd_fill, nfd_fills = 0, 0, []
+        for r in members:
+            if nfd_fill and nfd_fill + r.cost > BUDGET:
+                nfd_fills.append(nfd_fill)
+                nfd_bin += 1
+                nfd_fill = 0
+            win = r.pack_id - shard * (1 << 40)
+            assert win <= nfd_bin, (shard, r.doc_id, win, nfd_bin)
+            nfd_fill += r.cost
+        nfd_fills.append(nfd_fill)
+
+        used_windows = {r.pack_id for r in members}
+        assert len(used_windows) <= len(nfd_fills)
+        # both disciplines conserve the shard's total cost
+        total = sum(r.cost for r in members)
+        assert sum(nfd_fills) == total
+        window_fills = {r.pack_id: r.pack_fill for r in members}
+        assert sum(window_fills.values()) == total
 
 
 def test_rerank_interaction_feature_laws(spark):

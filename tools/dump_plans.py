@@ -275,7 +275,9 @@ SHOWCASE = {
         "reads."
     ),
     "corpus_pack_bins": (
-        "Tokenizer-aware NFD packing (round 10): one exchange on the "
+        "Tokenizer-aware decreasing-order cumsum packing (round 10; "
+        "NOT capacity-checked NFD - see the operator docstring's "
+        "window-phase contract): one exchange on the "
         "md5 shard key feeds the per-shard (cost DESC, id) window "
         "cumsum; the pack-stats window re-partitions on pack_id (a "
         "strictly finer, budget-bounded key - no skew). No global "
