@@ -1024,3 +1024,113 @@ def incremental_new_docs(
 
     keyed = batch.select(F.col(id_col), fingerprint(text_col).alias("h"))
     return keyed.join(fingerprint_index, "h", "left_anti").select(id_col)
+
+
+# ──────────────────────────────────────────────────────────────────────
+# URL / host-level dedup: the web-corpus granularities.
+#
+# Production web-corpus pipelines dedup at FOUR granularities: document
+# text (exact/near — the families above), passage (substring_dup_groups),
+# semantic (similarity.py), and URL/host — the same page fetched under
+# syntactically different URLs, and boilerplate farms where one host
+# serves thousands of near-identical pages. URL dedup is string
+# normalization + one hash aggregate; host-level dedup is a per-host
+# duplication profile that a gating policy thresholds. Both are pure
+# expression pipelines — no UDFs, exact DuckDB oracles.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL: lowercase, fragment stripped, ``utm_*`` tracking
+    params removed (with the leftover ``?``/``&`` artifacts tidied),
+    ``www.`` host prefix dropped, trailing slashes trimmed. Each step is
+    a global regexp_replace with RE2-safe syntax (no lookaround), so the
+    DuckDB oracle applies the IDENTICAL pipeline — the normalization IS
+    the dedup key, so both engines must agree byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(c)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")  # tracking params
+    u = F.regexp_replace(u, r"\?&", "?")  # '?a' removed before '&b'
+    u = F.regexp_replace(u, r"://www\.", "://")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+NORMALIZE_URL_ORACLE = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower({u}), '#.*$', '', 'g'),"
+    " '[?&]utm_[^&#]*', '', 'g'),"
+    " '\\?&', '?', 'g'),"
+    " '://www\\.', '://', 'g'),"
+    " '/+$', '', 'g')"
+)
+"""DuckDB twin of :func:`normalize_url` (``{u}`` = the URL expression)."""
+
+
+def url_host(col: Column | str) -> Column:
+    """Registrable host of a (normalized) URL — the host-level dedup
+    key. Plain regexp (not ``parse_url``) so the oracle twin is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+
+URL_HOST_ORACLE = "regexp_extract({u}, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"
+"""DuckDB twin of :func:`url_host`."""
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: one surviving id + copy count per canonical URL.
+    One hash aggregate on the normalized URL — map-side combine
+    collapses refetch storms (the same page under ``?utm_...``
+    variants) before the wire, so shuffle volume is O(distinct URLs)
+    regardless of crawl duplication."""
+    return (
+        df.select(F.col(id_col), normalize_url(url_col).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def host_dup_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host duplication profile: page/URL/distinct-text counts and
+    the text duplication ratio a host-gating policy thresholds
+    (boilerplate-farm detection — a host serving many pages with few
+    distinct texts).
+
+    Scale shape: the exact-distinct counts go through Spark's standard
+    two-phase distinct expansion — partial aggregation on (host, value)
+    first, so a mega-host's duplicate values collapse map-side and the
+    host-level exchange carries its distinct values only; the final
+    per-host rollup is one more exchange on the host. No all-pairs
+    anything; hot hosts cost their distinct cardinality, not their page
+    count."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    per_page = df.select(
+        F.col(id_col),
+        url_host(normalize_url(url_col)).alias("host"),
+        normalize_url(url_col).alias("norm_url"),
+        fingerprint(text_col).alias("content_hash"),
+    )
+    n_texts = F.count_distinct(F.col("content_hash")).alias("n_distinct_texts")
+    return (
+        per_page.groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct(F.col("norm_url")).alias("n_urls"),
+            n_texts,
+            F.round(
+                1.0
+                - F.count_distinct(F.col("content_hash"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("text_dup_ratio"),
+        )
+    )

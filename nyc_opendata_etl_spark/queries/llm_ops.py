@@ -111,6 +111,101 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs)
 
 
+# Deterministic synthetic URL per document (the testdata carries no URL
+# column): source → host, doc_id % 50 → page slot, with WWW./tracking-
+# param/fragment/trailing-slash variants sprinkled by doc_id residues so
+# syntactically different URLs collapse under normalization. Spark
+# expression and DuckDB fragment are the same concatenation — the URL
+# column is INPUT to the checked operators, so both engines must
+# synthesize it identically.
+_URL_SYNTH_SQL = """
+    'https://'
+    || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+    || source || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&utm_id=' || CAST(doc_id % 50 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END
+"""
+
+
+def _synth_url() -> F.Column:
+    k = (F.col("doc_id") % 50).cast("string")
+    blank = F.lit("")
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(blank),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        k,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(blank),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_id="), k),
+        ).otherwise(blank),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#sec2")).otherwise(blank),
+    )
+
+
+@register(
+    "dedup_url_normalized",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents)
+    SELECT {dedup.NORMALIZE_URL_ORACLE.format(u="url")} AS norm_url,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM pages
+    GROUP BY 1
+    """,
+)
+def q_dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the crawl-granularity the doc/passage/semantic
+    families don't cover: the same page refetched under case, ``www.``,
+    ``utm_*`` tracking, fragment, and trailing-slash variants collapses
+    to one canonical URL (keep first-seen id + copy count). Pure
+    expression normalization + one map-side-combined hash aggregate;
+    shuffle volume is O(distinct URLs) however duplicated the crawl."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    pages = docs.select("doc_id", _synth_url().alias("url"))
+    return dedup.url_dedup_groups(pages)
+
+
+@register(
+    "dedup_host_profile",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, text, {_URL_SYNTH_SQL} AS url FROM documents
+    ),
+    keyed AS (
+        SELECT {dedup.URL_HOST_ORACLE.format(
+            u=dedup.NORMALIZE_URL_ORACLE.format(u="url")
+        )} AS host,
+               {dedup.NORMALIZE_URL_ORACLE.format(u="url")} AS norm_url,
+               {md5_long_oracle_sql(_CANON)} AS content_hash
+        FROM pages
+    )
+    SELECT host,
+           count(*) AS n_pages,
+           count(DISTINCT norm_url) AS n_urls,
+           count(DISTINCT content_hash) AS n_distinct_texts,
+           round(1.0 - count(DISTINCT content_hash)
+                       / CAST(count(*) AS DOUBLE), 6) AS text_dup_ratio
+    FROM keyed
+    GROUP BY host
+    """,
+)
+def q_dedup_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level duplication profile — boilerplate-farm detection: per
+    host, page/URL/distinct-text counts and the text-duplication ratio
+    a host-gating policy thresholds. Exact distincts ride Spark's
+    two-phase distinct expansion (partial agg on (host, value) first),
+    so a mega-host exchanges its distinct values, not its page count."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    pages = docs.select("doc_id", "text", _synth_url().alias("url"))
+    return dedup.host_dup_stats(pages)
+
+
 @register(
     "dedup_fingerprint",
     oracle=f"""

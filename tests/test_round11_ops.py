@@ -1,0 +1,121 @@
+"""Round-11 pins: URL/host-level dedup (the crawl granularity) and the
+tokenizer-pluggable packing cost column.
+
+URL normalization IS the dedup key, so its edge behavior is pinned
+directly: every variant class the synthetic corpus sprinkles (case,
+``www.``, ``utm_*`` tracking params, fragments, trailing slashes) must
+collapse, normalization must be idempotent, and non-tracking query
+params must survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators import dedup
+
+
+def _norm(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.n for r in df.select(dedup.normalize_url("url").alias("n")).collect()]
+
+
+def test_normalize_url_collapses_variant_classes(spark):
+    variants = [
+        "https://example.com/p/7",
+        "HTTPS://EXAMPLE.COM/p/7",
+        "https://www.example.com/p/7",
+        "https://example.com/p/7/",
+        "https://example.com/p/7//",
+        "https://example.com/p/7?utm_source=feed",
+        "https://example.com/p/7/?utm_source=a&utm_id=9",
+        "https://example.com/p/7#frag",
+        "https://WWW.example.com/p/7/?utm_campaign=x#sec2",
+    ]
+    assert set(_norm(spark, variants)) == {"https://example.com/p/7"}
+
+
+def test_normalize_url_preserves_signal(spark):
+    # distinct pages stay distinct; non-tracking params survive
+    kept = _norm(
+        spark,
+        [
+            "https://example.com/p/7",
+            "https://example.com/p/8",
+            "https://other.com/p/7",
+            "https://example.com/p/7?page=2",
+            "https://example.com/p/7?page=2&utm_source=feed",
+        ],
+    )
+    assert len(set(kept)) == 4
+    assert "https://example.com/p/7?page=2" in kept
+    # utm removal keeps the real param
+    assert kept[4] == "https://example.com/p/7?page=2"
+
+
+def test_normalize_url_idempotent(spark):
+    urls = [
+        "https://WWW.Example.com/a/b/?utm_x=1#f",
+        "https://example.com",
+        "https://example.com/",
+    ]
+    once = _norm(spark, urls)
+    again = _norm(spark, once)
+    assert once == again
+
+
+def test_url_host_extraction(spark):
+    hosts = [
+        r.h
+        for r in spark.createDataFrame(
+            [
+                ("https://example.com/p/7",),
+                ("https://sub.example.co.uk/x?q=1",),
+                ("ftp+ssh://weird-scheme.net/",),
+                ("not a url",),
+            ],
+            "url string",
+        )
+        .select(dedup.url_host("url").alias("h"))
+        .collect()
+    ]
+    assert hosts == ["example.com", "sub.example.co.uk", "weird-scheme.net", ""]
+
+
+def test_url_dedup_groups_first_seen(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.a.com/x/"),
+            (1, "https://a.com/x?utm_s=1"),
+            (2, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r.norm_url: (r.keep_id, r.n_copies)
+        for r in dedup.url_dedup_groups(df).collect()
+    }
+    assert rows == {
+        "https://a.com/x": (1, 2),
+        "https://a.com/y": (2, 1),
+    }
+
+
+def test_host_dup_stats_flags_boilerplate_farm(spark):
+    # farm.com: 4 pages, 4 urls, 1 distinct text -> ratio 0.75
+    # fresh.com: 2 pages, all distinct -> ratio 0.0
+    rows = [
+        (1, "https://farm.com/a", "same text"),
+        (2, "https://farm.com/b", "same text"),
+        (3, "https://farm.com/c", "Same   TEXT"),  # canon-equal
+        (4, "https://farm.com/d", "same text"),
+        (5, "https://fresh.com/a", "alpha"),
+        (6, "https://fresh.com/b", "beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    stats = {r.host: r for r in dedup.host_dup_stats(df).collect()}
+    farm, fresh = stats["farm.com"], stats["fresh.com"]
+    assert (farm.n_pages, farm.n_urls, farm.n_distinct_texts) == (4, 4, 1)
+    assert abs(farm.text_dup_ratio - 0.75) < 1e-9
+    assert (fresh.n_pages, fresh.n_urls, fresh.n_distinct_texts) == (2, 2, 2)
+    assert fresh.text_dup_ratio == 0.0
