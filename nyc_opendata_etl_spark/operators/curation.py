@@ -120,6 +120,7 @@ def pack_bins_decreasing(
     token_budget: int = 512,
     n_shards: int = 8,
     sep_overhead: int = 1,
+    cost_col: Column | None = None,
 ) -> DataFrame:
     """Tokenizer-aware sequence packing: decreasing-order CUMSUM
     CHUNKING under a token budget, sharded for parallelism.
@@ -168,14 +169,19 @@ def pack_bins_decreasing(
     """
     from nyc_opendata_etl_spark.operators.text import bpe_ish_token_count
 
+    # cost_col is the tokenizer plug: any long-typed per-doc token
+    # count (e.g. text.pandas_bpe_ish_token_count — the Arrow-batched
+    # slot a real subword tokenizer drops into) replaces the default
+    # expression cost; sep_overhead applies on top either way.
+    base_cost = (
+        cost_col if cost_col is not None else bpe_ish_token_count(text_col)
+    )
     with_cost = docs.select(
         F.col(id_col),
         F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
-        (bpe_ish_token_count(text_col).cast("long") + F.lit(sep_overhead)).alias(
-            "cost"
-        ),
+        (base_cost.cast("long") + F.lit(sep_overhead)).alias("cost"),
     )
     w = (
         Window.partitionBy("shard")

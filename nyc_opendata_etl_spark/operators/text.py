@@ -45,9 +45,42 @@ def token_count(col: Column | str) -> Column:
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Token-count estimate from a BPE-like regex segmentation
-    (letters / digit runs / single punctuation)."""
+    (letters / digit runs / single punctuation). NULL text → NULL
+    (``size`` alone reports legacy -1 on null input, which both the
+    DuckDB oracles — ``len(regexp_extract_all(NULL)) IS NULL`` — and
+    the Arrow-batched twin disagree with)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+    n = F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+    return F.when(c.isNotNull(), n)
+
+
+def pandas_bpe_ish_token_count(col: Column | str) -> Column:
+    """Arrow-batched token-cost column: the SAME BPE-ish segmentation as
+    :func:`bpe_ish_token_count`, executed as a vectorized pandas UDF —
+    the integration slot a REAL subword tokenizer occupies in a
+    production packing pipeline (replace the ``str.count`` with
+    ``tokenizer.encode_batch`` over the Arrow batch; this container
+    ships no tokenizer lib, so the deterministic regex stands in while
+    the Spark plumbing — Arrow batch transfer, nullable long output,
+    scan-stage placement — is real and pinned bit-equal to the
+    expression twin by tests and the corpus_pack_bins_tokenized
+    oracle). The pattern string is dual-dialect by construction: only
+    character classes, ranges, and alternation (``\\t`` ``\\xhh``
+    ``\\uhhhh`` escapes mean the same in java.util.regex and Python
+    ``re``), so JVM and Python segment identically."""
+    import pandas as pd  # noqa: F401 — worker-side import
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(texts):  # pd.Series -> pd.Series
+        # REAL-TOKENIZER SLOT: return pd.Series(
+        #     [len(ids) for ids in tokenizer.encode_batch(texts.fillna("").tolist())]
+        # ) with null masking; the regex twin keeps null -> null parity
+        # with size(regexp_extract_all(...)) on the JVM side.
+        return texts.str.count(BPE_ISH_RE).astype("Int64")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:

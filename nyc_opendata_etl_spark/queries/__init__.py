@@ -270,6 +270,11 @@ _RECHECK_R11 = (
     "corpus_decontaminate",
     "corpus_curation",
     "text_lang_id",
+    # bpe_ish_token_count went null-safe (r11): every consumer's plan
+    # changed, so their green verdicts need refreshing.
+    "corpus_pack_bins",
+    "text_token_stats",
+    "corpus_curriculum_order",
 )
 
 def _ordered() -> dict[str, QueryDef]:

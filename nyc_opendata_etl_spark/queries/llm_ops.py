@@ -1249,6 +1249,57 @@ def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_bins_tokenized",
+    # Verbatim the corpus_pack_bins oracle: the Arrow-batched counter
+    # must be BIT-EQUAL to the expression twin on this corpus, so the
+    # same SQL checking the same output IS the integration pin.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) + 1
+                    AS BIGINT) AS cost
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, shard, cost,
+               CAST(shard AS BIGINT) * 1099511627776
+               + CAST(floor(COALESCE(sum(cost) OVER (
+                     PARTITION BY shard ORDER BY cost DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512.0) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT doc_id, shard, cost, pack_id,
+           CAST(sum(cost) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_fill,
+           CAST(count(*) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_docs
+    FROM p
+    """,
+)
+def q_corpus_pack_bins_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_pack_bins with the cost column swapped for the
+    Arrow-batched pandas-UDF token counter — the REAL-tokenizer
+    integration path (text.pandas_bpe_ish_token_count documents the
+    exact line where ``tokenizer.encode_batch`` drops in). The oracle
+    is corpus_pack_bins' verbatim: on this corpus the UDF must count
+    bit-identically to the JVM expression, so a full value match
+    proves the Python-side plumbing (Arrow batches, null handling,
+    dual-dialect regex) without a tokenizer lib in the container.
+    Scale shape is unchanged — the UDF runs in the scan stage before
+    the one shard exchange; only a long survives it."""
+    from nyc_opendata_etl_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return curation.pack_bins_decreasing(
+        docs,
+        token_budget=512,
+        cost_col=text.pandas_bpe_ish_token_count("text"),
+    )
+
+
+@register(
     "corpus_chunk_docs",
     oracle=f"""
     WITH t AS (

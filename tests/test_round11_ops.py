@@ -119,3 +119,49 @@ def test_host_dup_stats_flags_boilerplate_farm(spark):
     assert abs(farm.text_dup_ratio - 0.75) < 1e-9
     assert (fresh.n_pages, fresh.n_urls, fresh.n_distinct_texts) == (2, 2, 2)
     assert fresh.text_dup_ratio == 0.0
+
+
+def test_pandas_token_counter_matches_expression(spark):
+    """The Arrow-batched counter must be bit-equal to the JVM expression
+    on every segmentation class the regex distinguishes: letter runs,
+    digit runs, punctuation singles, the full Python whitespace set
+    (unicode spaces), empties, and NULL (both sides null, never 0/-1)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import text as T
+
+    rows = [
+        (1, "hello world"),
+        (2, "a1b2c3 -- x!?"),
+        (3, "tabs\tand unicode spaces　here"),
+        (4, ""),
+        (5, None),
+        (6, "digits 12345 67 punct ,,,"),
+        (7, "CamelCase and UPPER lower"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").cast("long").alias("expr_n"),
+        T.pandas_bpe_ish_token_count("text").alias("udf_n"),
+    ).collect()
+    for r in out:
+        assert r.expr_n == r.udf_n, (r.doc_id, r.expr_n, r.udf_n)
+    assert {r.doc_id: r.udf_n for r in out}[5] is None
+
+
+def test_pack_bins_cost_col_plug(spark):
+    """A caller-supplied cost column replaces the default expression
+    cost exactly (same packing when it computes the same counts), and
+    sep_overhead still applies on top."""
+    from nyc_opendata_etl_spark.operators import curation
+    from nyc_opendata_etl_spark.operators import text as T
+
+    rows = [(i, "word " * (3 + i % 11) + "!") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = curation.pack_bins_decreasing(df, token_budget=32).collect()
+    plugged = curation.pack_bins_decreasing(
+        df, token_budget=32, cost_col=T.pandas_bpe_ish_token_count("text")
+    ).collect()
+    key = lambda rs: sorted((r.doc_id, r.cost, r.pack_id, r.pack_fill) for r in rs)
+    assert key(default) == key(plugged)
