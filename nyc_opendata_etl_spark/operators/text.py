@@ -217,8 +217,14 @@ def _lang_decision(en: Column, de: Column, fr: Column, es: Column) -> Column:
 
 
 def token_lang_features(col: Column | str) -> Column:
-    """``struct<n_tokens: long, lang: string>`` from ONE whitespace
-    tokenization of the lowered text.
+    """``struct<n_tokens: long, en_hits..es_hits: int, lang: string>``
+    from ONE whitespace tokenization of the lowered text. The raw hit
+    counts ride along with the decision because aggregation call sites
+    need them: every field here is constant within a canon-hash
+    duplicate group, and LONG mins hash-aggregate while a string/struct
+    min falls back to SortAggregate — so a collapse aggregates the
+    numeric fields and re-derives ``lang`` post-agg via
+    :func:`lang_decision`.
 
     The naive composition (``token_count`` + ``detected_lang`` via
     ``stopword_hits`` per language) re-runs the full-text regex split
@@ -257,12 +263,22 @@ def token_lang_features(col: Column | str) -> Column:
             F.array(counts(toks)),
             lambda h: F.struct(
                 h["n_tokens"].alias("n_tokens"),
+                h["en_hits"].alias("en_hits"),
+                h["de_hits"].alias("de_hits"),
+                h["fr_hits"].alias("fr_hits"),
+                h["es_hits"].alias("es_hits"),
                 _lang_decision(
                     h["en_hits"], h["de_hits"], h["fr_hits"], h["es_hits"]
                 ).alias("lang"),
             ),
         )[0],
     )[0]
+
+
+def lang_decision(en: Column, de: Column, fr: Column, es: Column) -> Column:
+    """Public alias of the fixed-priority decision, for call sites that
+    aggregate the hit counts and re-derive the language post-agg."""
+    return _lang_decision(en, de, fr, es)
 
 
 def detected_lang(col: Column | str) -> Column:

@@ -853,24 +853,31 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/lang features (one tokenization —
     :func:`~nyc_opendata_etl_spark.operators.text.token_lang_features`)
     are computed map-side in the same scan, and first-seen survival is
-    ``min(struct(doc_id, features))`` per hash — a map-side-combined
-    aggregate whose shuffle payload is one tiny struct per distinct
-    hash per partition. The band/language filter runs on the collapsed
-    (small) side."""
+    scalar LONG mins per hash (every feature is constant within a
+    canon-hash group — tokenization is whitespace-class/case invariant
+    — so min = the value; longs keep the aggregate a HashAggregate,
+    where a struct/string min would fall back to SortAggregate), with
+    the language decision re-derived post-agg from the aggregated hit
+    counts. The band/language filter runs on the collapsed (small)
+    side."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    f = text.token_lang_features("text")
     per_doc = docs.select(
-        text.fingerprint("text").alias("h"),
-        F.struct(
-            F.col("doc_id"), text.token_lang_features("text").alias("f")
-        ).alias("s"),
+        text.fingerprint("text").alias("h"), F.col("doc_id"), f.alias("f")
     )
-    surv = per_doc.groupBy("h").agg(F.min("s").alias("s"))
+    surv = per_doc.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("f.n_tokens").alias("n_tokens"),
+        F.min("f.en_hits").alias("en"),
+        F.min("f.de_hits").alias("de"),
+        F.min("f.fr_hits").alias("fr"),
+        F.min("f.es_hits").alias("es"),
+    )
+    lang = text.lang_decision(
+        F.col("en"), F.col("de"), F.col("fr"), F.col("es")
+    )
     return (
-        surv.select(
-            F.col("s.doc_id").alias("doc_id"),
-            F.col("s.f.n_tokens").alias("n_tokens"),
-            F.col("s.f.lang").alias("lang_det"),
-        )
+        surv.select("doc_id", "n_tokens", lang.alias("lang_det"))
         .filter((F.col("lang_det") == "en") & F.col("n_tokens").between(5, 1000))
         .select("doc_id", "n_tokens")
     )
