@@ -207,6 +207,63 @@ def q_dedup_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_host_gate",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, text, {_URL_SYNTH_SQL} AS url FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               {dedup.URL_HOST_ORACLE.format(
+                   u=dedup.NORMALIZE_URL_ORACLE.format(u="url")
+               )} AS host,
+               {md5_long_oracle_sql(_CANON)} AS content_hash
+        FROM pages
+    ),
+    stats AS (
+        SELECT host, count(*) AS n_pages,
+               count(DISTINCT content_hash) AS n_distinct_texts
+        FROM keyed GROUP BY host
+    ),
+    good AS (
+        SELECT host FROM stats
+        WHERE (n_pages - n_distinct_texts) * 20 < n_pages
+    )
+    SELECT k.doc_id, k.host
+    FROM keyed k
+    WHERE k.host IN (SELECT host FROM good)
+    """,
+)
+def q_corpus_host_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-gated corpus realize — the action step after
+    dedup_host_profile: drop every page served by a host whose
+    text-duplication exceeds the farm threshold (here: duplicate pages
+    ≥ 5% of the host's pages, expressed in INTEGER arithmetic —
+    ``dup_count * 20 < n_pages`` — so Spark and the oracle agree
+    exactly with no float boundary). Scale shape: the profile
+    aggregates to |hosts| rows, the gate filters that tiny relation,
+    and the realize is a BROADCAST left-semi join onto the page scan —
+    no shuffle of the corpus, the standard dim-gate pattern at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    pages = docs.select(
+        "doc_id",
+        dedup.url_host(dedup.normalize_url(_synth_url())).alias("host"),
+        text.fingerprint("text").alias("content_hash"),
+    )
+    stats = pages.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("content_hash").alias("n_distinct_texts"),
+    )
+    good = stats.filter(
+        (F.col("n_pages") - F.col("n_distinct_texts")) * 20 < F.col("n_pages")
+    ).select("host")
+    return pages.join(F.broadcast(good), "host", "left_semi").select(
+        "doc_id", "host"
+    )
+
+
+@register(
     "dedup_fingerprint",
     oracle=f"""
     SELECT doc_id, {md5_long_oracle_sql(_CANON)} AS fingerprint

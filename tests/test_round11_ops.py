@@ -165,3 +165,41 @@ def test_pack_bins_cost_col_plug(spark):
     ).collect()
     key = lambda rs: sorted((r.doc_id, r.cost, r.pack_id, r.pack_fill) for r in rs)
     assert key(default) == key(plugged)
+
+
+def test_host_gate_drops_farm_keeps_fresh(spark):
+    """The integer farm threshold (dup_count * 20 < n_pages) must drop
+    a host serving duplicate texts for >=5% of its pages and keep one
+    below the line — pinned here because the synthetic corpus's dup
+    groups scatter across hosts, so the registered query's gate rarely
+    fires there."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import text as T
+
+    # farm.com: 20 pages, 2 of them duplicates (10% dup) -> dropped
+    # fresh.com: 20 pages, all distinct (0%) -> kept
+    # edge.com: 20 pages, exactly 1 dup (5%): 1*20 < 20 is False -> dropped
+    rows = []
+    for i in range(20):
+        rows.append((100 + i, "https://farm.com/p", f"farm text {i if i < 18 else 0}"))
+        rows.append((200 + i, "https://fresh.com/p", f"fresh text {i}"))
+        rows.append((300 + i, "https://edge.com/p", f"edge text {i if i < 19 else 0}"))
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    pages = df.select(
+        "doc_id",
+        dedup.url_host(dedup.normalize_url("url")).alias("host"),
+        T.fingerprint("text").alias("content_hash"),
+    )
+    stats = pages.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("content_hash").alias("n_distinct_texts"),
+    )
+    good = stats.filter(
+        (F.col("n_pages") - F.col("n_distinct_texts")) * 20 < F.col("n_pages")
+    ).select("host")
+    kept = {
+        r.host
+        for r in pages.join(F.broadcast(good), "host", "left_semi").collect()
+    }
+    assert kept == {"fresh.com"}
