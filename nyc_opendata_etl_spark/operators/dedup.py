@@ -137,6 +137,38 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*mins)
 
 
+def lsh_banded_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
+    """(id, band_idx, band_hash) bucket rows from a signature frame —
+    the LSH banding step shared by the batch self-join
+    (:func:`minhash_lsh_pairs`) and the staged incremental index
+    (:func:`build_lsh_bucket_index`). One explode per signature row;
+    pure expressions."""
+    rows = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        if portable:
+            return md5_long(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -166,7 +198,6 @@ def minhash_lsh_pairs(
     the collapsed run emits the same ~600 rep pairs at any copy
     count). Identical-copy enumeration belongs to exact_dedup_groups;
     off by default for consumers that expand reps themselves."""
-    rows = num_hashes // bands
     if collapse_exact:
         reps = _collapse_to_reps_onepass(df, text_col, id_col)
         sig = minhash_signatures(
@@ -176,28 +207,7 @@ def minhash_lsh_pairs(
     else:
         sig = minhash_signatures(df, text_col, id_col, num_hashes, portable=portable)
 
-    def band_hash(b: int) -> F.Column:
-        cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
-        if portable:
-            from nyc_opendata_etl_spark.functions.hashing import md5_long
-
-            return md5_long(F.concat_ws("|", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    banded = lsh_banded_buckets(sig, num_hashes, bands, portable=portable)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1133,4 +1143,64 @@ def host_dup_stats(
                 6,
             ).alias("text_dup_ratio"),
         )
+    )
+
+
+def build_lsh_bucket_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_files: int = 8,
+) -> None:
+    """Persist the corpus's LSH band-bucket table — the NEAR-DUP twin
+    of :func:`build_fingerprint_index`: one row per (corpus rep,
+    band), columns (corpus_id, band_idx, band_hash). Collapse-first
+    (byte-identical canons become one rep) and the portable md5-affine
+    family, so a probe is exactly replayable in SQL. An increment then
+    signatures ONLY its new docs and joins their bucket rows against
+    this table — O(new docs) per batch; the corpus is never
+    re-shingled. Maintenance is append-only like the fingerprint
+    index: new batches' bucket rows append, compaction dedups."""
+    reps = _collapse_to_reps_onepass(docs, text_col, id_col)
+    sig = minhash_signatures(
+        reps, "__canon__", "id", num_hashes, portable=True, assume_canonical=True
+    )
+    banded = lsh_banded_buckets(sig, num_hashes, bands, portable=True)
+    (
+        banded.select(
+            F.col("id").alias("corpus_id"), "band_idx", "band_hash"
+        )
+        .repartitionByRange(num_files, "band_hash")
+        .sortWithinPartitions("band_hash", "corpus_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    bucket_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """New-batch docs that LSH-collide with the historical corpus:
+    collapse the batch to canonical reps, signature + band them (the
+    only shingling in the plan — the corpus side streams prebuilt
+    bucket rows), join on (band_idx, band_hash), and report each
+    colliding batch rep with its smallest matching corpus rep
+    (deterministic). Output: (doc_id, corpus_match)."""
+    reps = _collapse_to_reps_onepass(batch, text_col, id_col)
+    sig = minhash_signatures(
+        reps, "__canon__", "id", num_hashes, portable=True, assume_canonical=True
+    )
+    banded = lsh_banded_buckets(sig, num_hashes, bands, portable=True)
+    return (
+        banded.join(bucket_index, ["band_idx", "band_hash"])
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.min("corpus_id").alias("corpus_match"))
     )

@@ -83,6 +83,20 @@ def _stage_fingerprint_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _stage_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the historical corpus's LSH band-bucket index (even
+    doc_ids — the corpus half of the incremental near-dup scenario)
+    once per corpus version: the near-dup twin of
+    _stage_fingerprint_index."""
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "lsh_bucket_index")
+    if is_stale(path, sf_dir, "documents"):
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.build_lsh_bucket_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return path
+
+
 def _stage_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF-PQ index once per embeddings version; the ANN query
     probes the persisted cells. codebook/ is written last — its marker
@@ -402,6 +416,89 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.id < b.id
     """
+
+
+def _minhash_banded_ctes(
+    prefix: str, pred: str, num_hashes: int = 16, bands: int = 4
+) -> str:
+    """CTE chain ``reps_P → sh_P → hashed_P → sig_P → banded_P`` for
+    the portable MinHash banding of the documents subset matching
+    ``pred`` — shared by the incremental near-dup oracle's corpus and
+    batch sides."""
+    from nyc_opendata_etl_spark.operators.dedup import MINHASH_P, _affine
+
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = ", ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        bucket = md5_long_oracle_sql("concat_ws('|', " + concat + ")")
+        band_selects.append(
+            f"SELECT id, {b} AS band_idx, {bucket} AS band_hash"
+            f" FROM sig_{prefix}"
+        )
+    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    reps_{prefix} AS (
+        SELECT {_CANON} AS canon, min(doc_id) AS id
+        FROM documents WHERE {pred} GROUP BY 1
+    ),
+    sh_{prefix} AS (
+        SELECT DISTINCT id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+               ])) AS shingle
+        FROM (SELECT id, string_split(canon, ' ') AS toks FROM reps_{prefix})
+        WHERE len(toks) >= 3
+    ),
+    hashed_{prefix} AS (
+        SELECT id, {md5_long_oracle_sql('shingle')} AS h FROM sh_{prefix}
+    ),
+    sig_{prefix} AS (
+        SELECT id,
+               {mins}
+        FROM hashed_{prefix} GROUP BY id
+    ),
+    banded_{prefix} AS (
+        {bands_sql}
+    )"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_minhash_banded_ctes("c", "doc_id % 2 = 0")},
+    {_minhash_banded_ctes("b", "doc_id % 2 = 1")}
+    SELECT n.id AS doc_id, min(o.id) AS corpus_match
+    FROM banded_b n JOIN banded_c o
+      ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    GROUP BY n.id
+    """,
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: the new batch (odd doc_ids)
+    probed against the historical corpus's STAGED LSH band-bucket
+    index (even doc_ids) — the MinHash twin of dedup_incremental's
+    fingerprint index. The plan shingles/signatures ONLY the batch;
+    the corpus side streams prebuilt (corpus_id, band_idx, band_hash)
+    rows from parquet, so an increment costs O(new docs) at any corpus
+    size — the production shape for "is tonight's crawl already in
+    the training set, modulo near-duplication". Output: each colliding
+    batch rep with its smallest matching corpus rep. The oracle
+    recomputes BOTH sides from raw documents (portable md5-affine
+    family), so a full value match verifies the staged index contents,
+    the banding, and the probe join."""
+    index_path = _stage_lsh_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = spark.read.parquet(index_path)
+    return dedup.incremental_near_dups(batch, index)
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())

@@ -80,6 +80,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.llm_ops import (
         _stage_fingerprint_index,
         _stage_ivfpq_index,
+        _stage_lsh_index,
         _stage_text_index,
         _stage_text_index_incremental,
     )
@@ -96,6 +97,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "fingerprint_index (incremental dedup)",
             lambda: _stage_fingerprint_index(spark, sf_dir),
+        ),
+        (
+            "lsh_bucket_index (incremental near-dup)",
+            lambda: _stage_lsh_index(spark, sf_dir),
         ),
         (
             "copurchase_edges (bucketed graph)",
