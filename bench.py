@@ -44,8 +44,11 @@ from nyc_opendata_etl_spark.session import get_spark  # noqa: E402
 STEAL_FLAG_PCT = 5.0
 
 
-def _cpu_ticks() -> tuple[int, int] | None:
-    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux."""
+def _cpu_ticks() -> tuple[int, int, int] | None:
+    """(steal, iowait, total) ticks from /proc/stat, or None off-Linux.
+    iowait rides along for diagnosis only (round-11 finding: a 17 s
+    outlier row read 0.1% steal — the storm's other face is I/O/page-
+    cache pressure, which steal alone cannot see)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
@@ -55,16 +58,23 @@ def _cpu_ticks() -> tuple[int, int] | None:
         return None
     vals = [int(v) for v in parts[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    iowait = vals[4] if len(vals) > 4 else 0
+    return steal, iowait, sum(vals)
 
 
-def _steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+def _tick_pcts(
+    before: tuple[int, int, int] | None, after: tuple[int, int, int] | None
+) -> tuple[float, float] | None:
+    """(steal_pct, iowait_pct) across the window, or None."""
     if before is None or after is None:
         return None
-    dsteal, dtotal = after[0] - before[0], after[1] - before[1]
+    dtotal = after[2] - before[2]
     if dtotal <= 0:
         return None
-    return round(100.0 * dsteal / dtotal, 2)
+    return (
+        round(100.0 * (after[0] - before[0]) / dtotal, 2),
+        round(100.0 * (after[1] - before[1]) / dtotal, 2),
+    )
 
 
 def main() -> None:
@@ -141,6 +151,7 @@ def main() -> None:
     qs = dict(sorted(queries().items()))
     timings: dict[str, float] = {}
     steal_pcts: dict[str, float] = {}
+    iowait_pcts: dict[str, float] = {}
     steal_reruns: dict[str, dict[str, float]] = {}
     t_suite = time.time()
     for name, fn in qs.items():
@@ -161,7 +172,8 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 sec = -1.0
-            steal = _steal_pct(c0, _cpu_ticks())
+            pcts = _tick_pcts(c0, _cpu_ticks())
+            steal = pcts[0] if pcts is not None else None
             if (
                 sec > 0
                 and steal is not None
@@ -172,11 +184,12 @@ def main() -> None:
                 continue
             break
         timings[name] = sec
-        if steal is not None:
-            steal_pcts[name] = steal
         row = {"query": name, "sec": sec}
-        if steal is not None:
-            row["steal_pct"] = steal
+        if pcts is not None:
+            steal_pcts[name] = pcts[0]
+            iowait_pcts[name] = pcts[1]
+            row["steal_pct"] = pcts[0]
+            row["iowait_pct"] = pcts[1]
         print(json.dumps(row), flush=True)
     total = round(time.time() - t_suite, 3)
     steal_flagged = sorted(
@@ -193,6 +206,7 @@ def main() -> None:
         "staging_failed": staging_failed,
         "staging_detail": staging_detail,
         "steal_pct": steal_pcts,
+        "iowait_pct": iowait_pcts,
         "steal_flag_threshold": STEAL_FLAG_PCT,
         "steal_flagged": steal_flagged,
         "steal_reruns": steal_reruns,
