@@ -331,6 +331,16 @@ SHOWCASE = {
         "mega-host exchanges its distinct values, not its page count; "
         "boilerplate-farm gating thresholds the resulting dup ratio."
     ),
+    "dedup_incremental_minhash": (
+        "Incremental NEAR-dup probe (round 11): the corpus side is a "
+        "parquet scan of the staged LSH bucket table (corpus_id, "
+        "band_idx, band_hash) - no corpus shingling anywhere in the "
+        "plan; only the new batch collapses/signatures/bands, then one "
+        "shuffle join on the band key and a min aggregate. With the "
+        "posting-list (BM25) and content-fingerprint (exact) indexes "
+        "this completes staged incremental maintenance at all three "
+        "dedup/retrieval granularities."
+    ),
     "corpus_pack_bins_tokenized": (
         "Tokenizer-plugged packing (round 11): identical plan to "
         "corpus_pack_bins except the cost column is an ArrowEvalPython "
