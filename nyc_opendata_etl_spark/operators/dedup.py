@@ -1052,11 +1052,22 @@ def incremental_new_docs(
 
 def normalize_url(col: Column | str) -> Column:
     """Canonical URL: lowercase, fragment stripped, ``utm_*`` tracking
-    params removed (with the leftover ``?``/``&`` artifacts tidied),
-    ``www.`` host prefix dropped, trailing slashes trimmed. Each step is
-    a global regexp_replace with RE2-safe syntax (no lookaround), so the
-    DuckDB oracle applies the IDENTICAL pipeline — the normalization IS
-    the dedup key, so both engines must agree byte-for-byte."""
+    params removed, ``www.`` host prefix dropped, trailing slashes
+    trimmed. Each step is a global regexp_replace with RE2-safe syntax
+    (no lookaround), so the DuckDB oracle applies the IDENTICAL
+    pipeline — the normalization IS the dedup key, so both engines
+    must agree byte-for-byte.
+
+    Tidy contract, stated exactly: ``?utm_...&utm_...`` runs vanish
+    cleanly whether trailing or the whole query; a query with a utm
+    param FIRST and a real param after (``?utm_a=1&b=2``) keeps a
+    stray ``&`` before the surviving param (``...&b=2``) — RE2 has no
+    lookahead, and a conditional '&'→'?' rewrite needs one. The key
+    stays deterministic and engine-identical (what dedup needs); the
+    full fix is a split/filter/rejoin param normalizer
+    (F.split + F.filter + F.array_join and the DuckDB list twins),
+    noted as the production extension. Pinned in
+    tests/test_round11_ops.py."""
     c = F.col(col) if isinstance(col, str) else col
     u = F.lower(c)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
@@ -1193,7 +1204,13 @@ def incremental_near_dups(
     only shingling in the plan — the corpus side streams prebuilt
     bucket rows), join on (band_idx, band_hash), and report each
     colliding batch rep with its smallest matching corpus rep
-    (deterministic). Output: (doc_id, corpus_match)."""
+    (deterministic). Output: (doc_id, corpus_match).
+
+    ``num_hashes``/``bands`` MUST match the values the index was built
+    with (:func:`build_lsh_bucket_index` defaults agree): a mismatch
+    produces structurally valid but silently empty/garbage matches —
+    the staged table carries no parameter record, like any parquet
+    relation whose schema is its contract."""
     reps = _collapse_to_reps_onepass(batch, text_col, id_col)
     sig = minhash_signatures(
         reps, "__canon__", "id", num_hashes, portable=True, assume_canonical=True
