@@ -56,7 +56,11 @@ def _cpu_ticks() -> tuple[int, int, int] | None:
         return None
     if not parts or parts[0] != "cpu":
         return None
-    vals = [int(v) for v in parts[1:]]
+    # Sum only user..steal (fields 0-7): guest/guest_nice are already
+    # included in user/nice by the kernel, so summing all ten fields
+    # double-counts VM guest time and understates steal_pct on a host
+    # running VMs.
+    vals = [int(v) for v in parts[1:9]]
     steal = vals[7] if len(vals) > 7 else 0
     iowait = vals[4] if len(vals) > 4 else 0
     return steal, iowait, sum(vals)
@@ -162,6 +166,7 @@ def main() -> None:
         # rows whose FINAL measurement is still stormy are flagged and
         # bench_diff excludes them from regression classification.
         attempts = 0
+        first_good: tuple[float, tuple[float, float]] | None = None
         while True:
             attempts += 1
             c0 = _cpu_ticks()
@@ -181,8 +186,16 @@ def main() -> None:
                 and attempts == 1
             ):
                 steal_reruns[name] = {"sec_first": sec, "steal_pct_first": steal}
+                first_good = (sec, pcts)
                 continue
             break
+        if sec < 0 and first_good is not None:
+            # The storm-triggered re-run died (transient executor
+            # failure): the query itself DID succeed on attempt 1 —
+            # keep that valid-but-stormy measurement (it stays
+            # steal-flagged) instead of reporting a phantom error.
+            sec, pcts = first_good
+            steal = pcts[0]
         timings[name] = sec
         row = {"query": name, "sec": sec}
         if pcts is not None:

@@ -1066,26 +1066,29 @@ def normalize_url(col: Column | str) -> Column:
     stays deterministic and engine-identical (what dedup needs); the
     full fix is a split/filter/rejoin param normalizer
     (F.split + F.filter + F.array_join and the DuckDB list twins),
-    noted as the production extension. Pinned in
+    noted as the production extension. The ``www.`` strip is ANCHORED
+    to the scheme and consumes REPEATS — an unanchored single-strip
+    both rewrote URLs embedded in query params and broke idempotence
+    on ``www.www.`` hosts (round-11 review). Pinned in
     tests/test_round11_ops.py."""
     c = F.col(col) if isinstance(col, str) else col
     u = F.lower(c)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")  # tracking params
-    u = F.regexp_replace(u, r"\?&", "?")  # '?a' removed before '&b'
-    u = F.regexp_replace(u, r"://www\.", "://")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)(www\.)+", "$1")
     return F.regexp_replace(u, r"/+$", "")
 
 
 NORMALIZE_URL_ORACLE = (
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace("
     "regexp_replace(lower({u}), '#.*$', '', 'g'),"
     " '[?&]utm_[^&#]*', '', 'g'),"
-    " '\\?&', '?', 'g'),"
-    " '://www\\.', '://', 'g'),"
+    " '^([a-z][a-z0-9+.-]*://)(www\\.)+', '\\1', 'g'),"
     " '/+$', '', 'g')"
 )
-"""DuckDB twin of :func:`normalize_url` (``{u}`` = the URL expression)."""
+"""DuckDB twin of :func:`normalize_url` (``{u}`` = the URL expression;
+replacement backrefs differ by dialect — ``$1`` Java, ``\\1`` RE2 —
+the semantics are identical)."""
 
 
 def url_host(col: Column | str) -> Column:

@@ -75,8 +75,15 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
         parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
         spacing = 0.001
         while True:
+            # Stamp BACKWARDS from `base` (now): part i gets
+            # base - (n_parts - i)*spacing, so every stamp is in the
+            # PAST at any spacing. Stamping forwards would put parts
+            # (and the marker) up to n_parts*spacing in the future —
+            # at the 1 s escalation that is ~30 s of staleness mask, the
+            # exact source-regenerated-inside-the-window bug the 1 ms
+            # spacing originally fixed.
             for i, p in enumerate(parts):
-                t = base + (i + 1) * spacing
+                t = base - (len(parts) - i) * spacing
                 os.utime(os.path.join(stage, p), (t, t))
             # Read back and verify the stamps are STRICTLY increasing:
             # the ms spacing assumes the staging filesystem preserves
@@ -96,12 +103,12 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
                     f"nondeterministic under {stage}"
                 )
             spacing *= 1000
-        n_parts = len(parts)
         with open(ordered_marker, "w"):
             pass
-        # staleness invariant: marker mtime > every part mtime
-        last = base + (n_parts + 1) * spacing
-        os.utime(marker, (last, last))
+        # staleness invariant: marker mtime > every part mtime; `base`
+        # itself is strictly greater than every backdated part stamp
+        # and is not in the future.
+        os.utime(marker, (base, base))
     return stage
 
 

@@ -370,49 +370,14 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     (operators/dedup.minhash_signatures/minhash_lsh_pairs with
     portable=True): same shingles, same md5-fold base hash, same affine
     permutations mod the Mersenne prime, same md5 band-bucket keys —
-    the candidate pairs match value-for-value."""
-    from nyc_opendata_etl_spark.operators.dedup import MINHASH_P, _affine
-
-    rows = num_hashes // bands
-    mins = ",\n               ".join(
-        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
-        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
-    )
-    band_selects = []
-    for b in range(bands):
-        concat = ", ".join(
-            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        bucket = md5_long_oracle_sql("concat_ws('|', " + concat + ")")
-        band_selects.append(
-            f"SELECT id, {b} AS band_idx, {bucket} AS band_hash FROM sig"
-        )
-    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
+    the candidate pairs match value-for-value. Built on the SAME CTE
+    generator as the incremental oracle (_minhash_banded_ctes), so the
+    correctness-critical replay SQL exists exactly once — mirroring
+    how the Spark side shares lsh_banded_buckets."""
     return f"""
-    WITH reps AS (
-        SELECT {_CANON} AS canon, min(doc_id) AS id
-        FROM documents GROUP BY 1
-    ),
-    sh AS (
-        SELECT DISTINCT id,
-               unnest(list_distinct([
-                   array_to_string(toks[i:i+2], ' ')
-                   FOR i IN range(1, len(toks) - 1)
-               ])) AS shingle
-        FROM (SELECT id, string_split(canon, ' ') AS toks FROM reps)
-        WHERE len(toks) >= 3
-    ),
-    hashed AS (SELECT id, {md5_long_oracle_sql('shingle')} AS h FROM sh),
-    sig AS (
-        SELECT id,
-               {mins}
-        FROM hashed GROUP BY id
-    ),
-    banded AS (
-        {bands_sql}
-    )
+    WITH {_minhash_banded_ctes("all", "TRUE", num_hashes, bands)}
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM banded a JOIN banded b
+    FROM banded_all a JOIN banded_all b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.id < b.id
     """

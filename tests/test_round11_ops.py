@@ -58,10 +58,41 @@ def test_normalize_url_idempotent(spark):
         "https://WWW.Example.com/a/b/?utm_x=1#f",
         "https://example.com",
         "https://example.com/",
+        # the r11 review case: unanchored single-strip normalized this
+        # to www.example.com on pass 1 and example.com on pass 2
+        "https://www.www.example.com/p",
     ]
     once = _norm(spark, urls)
     again = _norm(spark, once)
     assert once == again
+    assert once[3] == "https://example.com/p"
+
+
+def test_normalize_url_anchored_www_strip(spark):
+    # www. repeats collapse with the plain host...
+    assert set(
+        _norm(
+            spark,
+            [
+                "https://example.com/p",
+                "https://www.example.com/p",
+                "https://www.www.example.com/p",
+            ],
+        )
+    ) == {"https://example.com/p"}
+    # ...but a URL EMBEDDED in a query param is never rewritten, and a
+    # host merely STARTING with 'www' (no dot) is untouched
+    kept = _norm(
+        spark,
+        [
+            "https://a.com/r?to=https://www.b.com/x",
+            "https://wwwhost.com/p",
+        ],
+    )
+    assert kept == [
+        "https://a.com/r?to=https://www.b.com/x",
+        "https://wwwhost.com/p",
+    ]
 
 
 def test_url_host_extraction(spark):
