@@ -275,6 +275,13 @@ _RECHECK_R11 = (
     "corpus_pack_bins",
     "text_token_stats",
     "corpus_curriculum_order",
+    # _stage_events mtime stamping changed twice in r11 (read-back
+    # escalation, then backdated stamps): every FileStreamSource
+    # replay consumer re-verifies.
+    "stream_tumbling_backfill",
+    "stream_stateful_dedup",
+    "stream_interval_join",
+    "stream_watermark_dedup",
 )
 
 def _ordered() -> dict[str, QueryDef]:
