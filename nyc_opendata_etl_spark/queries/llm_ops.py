@@ -1875,10 +1875,12 @@ def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bigram_logprob",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain: corpus-self-trained add-one bigram LM, per-doc
+# mean log P(w2|w1) — used by the text_bigram_logprob oracle AND the
+# perplexity-gate oracle (one copy of correctness-critical SQL, the
+# lsh_banded_buckets / _minhash_banded_ctes lesson applied up front).
+_BIGRAM_SCORED_CTES = f"""
+    toks AS (
         SELECT doc_id, string_split({_CANON}, ' ') AS t FROM documents
     ),
     grams AS (
@@ -1905,27 +1907,22 @@ def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN model m USING (bigram)
         JOIN prefix p ON p.w1 = split_part(g.bigram, ' ', 1)
         CROSS JOIN vocab vv
-    )
-    SELECT doc_id,
-           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
-           CAST(count(*) AS BIGINT) AS n_scored
-    FROM scored GROUP BY doc_id
-    """,
-)
-def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-self-trained bigram LM score per document: mean
-    log P(w2|w1) with add-one smoothing, P(w2|w1) = (C(w1w2)+1)/(C(w1·)+V).
-    One step up from the unigram filter — it penalizes shuffled-word
-    gibberish that unigram statistics cannot see. Same determinism
-    discipline as text_unigram_logprob: each bigram's logprob rounds to
-    9 dp then sums as an exact decimal, so the distributed fold is
-    order-independent and the oracle value-matches. The bigram and
-    prefix models are two partial-aggregable counts; scoring is two
-    equi-joins (model sides shrink with vocabulary, not corpus — at
-    100 TB they land in AQE-sized shuffles or broadcast)."""
+    ),
+    doc_scores AS (
+        SELECT doc_id,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+               CAST(count(*) AS BIGINT) AS n_scored
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+def _bigram_mean_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, mean_logprob, n_scored) under the corpus-self-trained
+    add-one bigram LM — the Spark body shared by text_bigram_logprob
+    and corpus_perplexity_gate. See q_text_bigram_logprob for the
+    determinism discipline (9-dp round → exact decimal fold)."""
     from nyc_opendata_etl_spark.operators.curation import shingles
 
-    docs = load_table(spark, sf_dir, "documents", spread_input=True)
     grams = docs.select(
         "doc_id", F.explode(shingles("text", 2, distinct=False)).alias("bigram")
     )
@@ -1949,6 +1946,81 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("mean_logprob"),
         F.count("*").alias("n_scored"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_SCORED_CTES}
+    SELECT doc_id, mean_logprob, n_scored FROM doc_scores
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM score per document: mean
+    log P(w2|w1) with add-one smoothing, P(w2|w1) = (C(w1w2)+1)/(C(w1·)+V).
+    One step up from the unigram filter — it penalizes shuffled-word
+    gibberish that unigram statistics cannot see. Same determinism
+    discipline as text_unigram_logprob: each bigram's logprob rounds to
+    9 dp then sums as an exact decimal, so the distributed fold is
+    order-independent and the oracle value-matches. The bigram and
+    prefix models are two partial-aggregable counts; scoring is two
+    equi-joins (model sides shrink with vocabulary, not corpus — at
+    100 TB they land in AQE-sized shuffles or broadcast)."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return _bigram_mean_logprob(docs)
+
+
+@register(
+    "corpus_perplexity_gate",
+    oracle=f"""
+    WITH {_BIGRAM_SCORED_CTES},
+    cuts AS (
+        SELECT quantile_cont(mean_logprob, 1.0/3) AS c1,
+               quantile_cont(mean_logprob, 2.0/3) AS c2
+        FROM doc_scores
+    )
+    SELECT d.doc_id, d.mean_logprob,
+           CASE WHEN d.mean_logprob > c.c2 THEN 'head'
+                WHEN d.mean_logprob > c.c1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           d.mean_logprob > c.c1 AS kept
+    FROM doc_scores d CROSS JOIN cuts c
+    """,
+)
+def q_corpus_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate — the CCNet-shaped pipeline stage:
+    score every document under the corpus-self-trained bigram LM, cut
+    the score distribution into head/middle/tail tertiles, keep
+    head+middle (tail = least-LM-predictable ≈ gibberish/boilerplate
+    under this proxy; a real deployment swaps the bigram scorer for a
+    KenLM/model-UDF score — the gate logic is scorer-agnostic).
+
+    Scale shape, deliberately NOT a global ntile: ranking into
+    tertiles with a window function is one total order = one task at
+    100 TB. The tertile CUT VALUES are a 2-number exact-percentile
+    aggregate (R-7 interpolation, identical in Spark `percentile` and
+    DuckDB `quantile_cont`) broadcast onto the scored relation, and
+    the bucket assignment is a map-side comparison — the same
+    cuts-then-compare shape CCNet uses with its sampled thresholds.
+    At real scale the cuts would come from approx_percentile or a
+    sample; the exact aggregate here keeps the full value oracle."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    scores = _bigram_mean_logprob(docs).select("doc_id", "mean_logprob")
+    cuts = scores.agg(
+        F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("mean_logprob", F.lit(2.0 / 3)).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") > F.col("c2"), "head")
+        .when(F.col("mean_logprob") > F.col("c1"), "middle")
+        .otherwise("tail")
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "mean_logprob",
+        bucket.alias("ppl_bucket"),
+        (F.col("mean_logprob") > F.col("c1")).alias("kept"),
     )
 
 

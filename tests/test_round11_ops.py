@@ -248,3 +248,30 @@ def test_normalize_url_utm_first_mixed_query_pin(spark):
     # '?page=2' form
     again = _norm(spark, ["https://WWW.a.com/x?utm_s=9&page=2#f"])
     assert again == out
+
+
+def test_perplexity_gate_tertile_laws(spark):
+    """Gate laws on the real sf0.001 corpus: every scored doc gets a
+    bucket; tertiles are near-equal (within interpolation slack);
+    kept == not tail; bucket boundaries respect the score ordering
+    (min(head) >= max(middle) boundary-wise, etc.)."""
+    from nyc_opendata_etl_spark.queries import queries
+
+    rows = queries()["corpus_perplexity_gate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.ppl_bucket, []).append(r)
+        assert r.kept == (r.ppl_bucket != "tail")
+    assert set(by) == {"head", "middle", "tail"}
+    for b, members in by.items():
+        assert abs(len(members) - n / 3) <= n * 0.05 + 2, (b, len(members))
+    assert min(r.mean_logprob for r in by["head"]) >= max(
+        r.mean_logprob for r in by["middle"]
+    )
+    assert min(r.mean_logprob for r in by["middle"]) >= max(
+        r.mean_logprob for r in by["tail"]
+    )
