@@ -331,6 +331,15 @@ SHOWCASE = {
         "mega-host exchanges its distinct values, not its page count; "
         "boilerplate-farm gating thresholds the resulting dup ratio."
     ),
+    "corpus_perplexity_gate": (
+        "LM-score quality gate (round 11): the bigram-LM scoring "
+        "subtree feeds a TWO-NUMBER exact-percentile aggregate whose "
+        "result broadcasts back onto the scored relation for a "
+        "map-side tertile compare - deliberately NOT a global ntile "
+        "window, which would be one total order = one task at 100 TB. "
+        "The cuts-then-compare shape is scorer-agnostic: a KenLM or "
+        "model-UDF score column drops into the same plan."
+    ),
     "dedup_incremental_minhash": (
         "Incremental NEAR-dup probe (round 11): the corpus side is a "
         "parquet scan of the staged LSH bucket table (corpus_id, "
