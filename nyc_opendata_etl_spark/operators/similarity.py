@@ -35,7 +35,15 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """Cosine similarity, NULL on a zero-norm side (round-11 review):
+    the bare division yields NaN there, and Spark orders NaN ABOVE
+    every real double, so one garbage all-zeros vector would rank
+    first in every desc top-k and a zero-norm centroid would capture
+    the whole corpus in the IVF argmax. NULL instead sorts last under
+    desc, fails every >= threshold filter, and loses every
+    max(struct) — the semantics each call site wants. The DuckDB twin
+    (_cos_sql) applies the same nullif guard."""
+    return dot(a, b) / F.nullif(norm2(a) * norm2(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -70,7 +78,14 @@ def cosine_topk(
 
 def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """Random-hyperplane (SimHash-style) LSH bucket id: sign bit per
-    hyperplane, packed into a long. Deterministic given the plane list."""
+    hyperplane, packed into a long. Deterministic given the plane list.
+    1–63 planes: 0 planes is meaningless (and crashed at bits[0]),
+    and 64 would need bit 63 — the long sign bit — breaking the
+    long-keyed bucket contract."""
+    if not 1 <= len(hyperplanes) <= 63:
+        raise ValueError(
+            f"lsh_bucket needs 1..63 hyperplanes, got {len(hyperplanes)}"
+        )
     bits = [
         F.when(
             F.aggregate(
@@ -99,6 +114,7 @@ def _chunked_sim_pairs(
     threshold: float,
     round_digits: int,
     chunk_target_bytes: int = 1 << 29,
+    cross_only_blks=None,
 ):
     """Emit (id_a, id_b, sim) for every ordered pair (ids[i] < ids[j])
     with rounded cosine ≥ threshold, WITHOUT materializing the full
@@ -113,6 +129,13 @@ def _chunked_sim_pairs(
     Each dot product is the same float64 GEMM accumulation whichever
     chunk its row lands in, so the emitted set is identical to the
     one-shot matmul (pinned by tests/test_round7b_ops.py).
+
+    ``cross_only_blks`` (optional int array aligned with ``ids``):
+    additionally require the pair to span two DIFFERENT block values —
+    the off-diagonal filter of the blocked all-pairs kernel
+    (:func:`cosine_neardup_pairs`), applied per chunk so the blocked
+    caller shares this memory contract instead of materializing its
+    own |group|² slab.
 
     Returns (id_a, id_b, sim) numpy arrays.
     """
@@ -130,6 +153,8 @@ def _chunked_sim_pairs(
         sims /= np.outer(norms[lo:hi], norms)
         np.round(sims, round_digits, out=sims)
         keep = (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+        if cross_only_blks is not None:
+            keep &= cross_only_blks[lo:hi, None] != cross_only_blks[None, :]
         ai, bj = np.nonzero(keep)
         out_a.append(ids[lo:hi][ai])
         out_b.append(ids[bj])
@@ -183,21 +208,25 @@ def cosine_neardup_pairs(
     )
 
     def score_pair(key, pdf):
+        # round-11 review fix: this previously materialized the full
+        # |group|² float64 slab (mat @ mat.T + np.outer + a round
+        # copy) — ~80 GB×3 for a 100k-row group, violating the
+        # documented (2n/B)·d·8 contract. The shared chunked kernel
+        # bounds the slab at chunk·|group|·8 (≤512 MiB) and emits the
+        # identical pair set; same-block pairs are masked per chunk
+        # for off-diagonal groups (they belong to the diagonal group).
         i, j = int(key[0]), int(key[1])
         ids = pdf[id_col].to_numpy()
         blks = pdf["__blk__"].to_numpy()
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        sims = np.round(sims, round_digits)
-        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        if i != j:
-            # cross-block group: same-block pairs belong to the diagonal
-            keep &= blks[:, None] != blks[None, :]
-        ai, bj = np.nonzero(keep)
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bj], "cosine_sim": sims[ai, bj]}
+        a, b2, s = _chunked_sim_pairs(
+            ids,
+            mat,
+            threshold,
+            round_digits,
+            cross_only_blks=blks if i != j else None,
         )
+        return pd.DataFrame({"id_a": a, "id_b": b2, "cosine_sim": s})
 
     out_schema = "id_a long, id_b long, cosine_sim double"
     return replicated.groupBy("__pi__", "__pj__").applyInPandas(score_pair, out_schema)
@@ -217,41 +246,37 @@ def ann_ivf_topk(
     Coarse quantizer: ``n_centroids`` deterministic seed centroids (the
     lowest-id vectors — a stand-in for k-means, which would be iterative
     and seeded). Every vector is assigned to its nearest centroid by
-    cosine (one broadcast cross join of N×C scored in-stage, argmax via
-    window); the query probes its ``n_probe`` nearest cells and re-ranks
-    exactly only within them. At 100 TB the cell assignment is a write-
-    time partitioning (cluster-by centroid_id), so a query touches
+    cosine via the shared :func:`_ivf_assign` max(struct) aggregate
+    (round 11 — the previous row_number window shuffled all N×C scored
+    rows and sorted per vector; the aggregate combines map-side and
+    shuffles ~N rows, and ``keep_vec`` carries the vector through so
+    no join-back is needed). The query probes its ``n_probe`` nearest
+    cells — scored against the C-row centroid relation only, never
+    re-derived from the full N×C relation — and re-ranks exactly
+    within them. At 100 TB the cell assignment is a write-time
+    partitioning (cluster-by centroid_id), so a query touches
     n_probe/n_centroids of the data — the standard IVF trade.
     """
-    from pyspark.sql import Window
-
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cent_id__"), F.col(vec_col).alias("__cent_vec__")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "__cent_sim__", cosine(F.col(vec_col), F.col("__cent_vec__"))
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cent_sim__").desc(), F.col("__cent_id__")
-    )
-    assigned = (
-        scored.withColumn("__rk__", F.row_number().over(w))
-        .filter(F.col("__rk__") == 1)
-        .select(id_col, vec_col, "__cent_id__")
-    )
-    probes = (
-        scored.filter(F.col(id_col) == query_vec_id)
-        .orderBy(F.col("__cent_sim__").desc(), F.col("__cent_id__"))
-        .limit(n_probe)
-        .select(F.col("__cent_id__").alias("__probe_cell__"))
-    )
+    assigned = _ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, keep_vec=True
+    ).withColumnRenamed("id", id_col)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q_vec__")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim__", cosine(F.col("cvec"), F.col("__q_vec__")))
+        .orderBy(F.col("__qsim__").desc(), "cid")
+        .limit(n_probe)
+        .select(F.col("cid").alias("__probe_cell__"))
     )
     candidates = (
         assigned.join(
             F.broadcast(probes),
-            assigned["__cent_id__"] == F.col("__probe_cell__"),
+            assigned["cid"] == F.col("__probe_cell__"),
         )
         .filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
@@ -395,8 +420,6 @@ def semantic_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import Window
-
     if collapse_exact:
         # identical vectors → one min-id representative (see
         # lsh_neardup_pairs): a g-copy group inflates its cluster's
@@ -408,17 +431,14 @@ def semantic_neardup_pairs(
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, vec_col)
         )
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cent_id__"), F.col(vec_col).alias("__cent_vec__")
-    )
-    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim__", cosine(F.col(vec_col), F.col("__cent_vec__"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim__").desc(), "__cent_id__")
+    # shared centroid-argmax aggregate (round 11 — was a row_number
+    # window over the full N×C scored relation); keep_vec carries the
+    # vector into the per-cluster verify without a join-back.
     assigned = (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(F.col("__cent_id__").alias("cent_id"), F.col(id_col), F.col(vec_col))
+        _ivf_assign(embeddings, n_centroids, id_col, vec_col, keep_vec=True)
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("cid", "cent_id")
+        .select("cent_id", id_col, vec_col)
     )
 
     def verify_cluster(key, pdf):
@@ -480,21 +500,22 @@ def kmeans_iterations(
     Returns the FINAL iteration's long-form update:
     (cent_id, dim, mean_val, n_members).
     """
-    from pyspark.sql import Window
-
     cents = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cent_id"),
+        F.col(id_col).alias("cid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cvec"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim__").desc(), "cent_id")
     out = None
     for _ in range(iterations):
-        scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim__", cosine(F.col(vec_col), F.col("cvec"))
-        )
+        # shared centroid-argmax aggregate (round 11 — was a
+        # row_number window shuffling all N·k scored rows per
+        # iteration); the explicit cents frame is this iteration's
+        # rounded means, keep_vec avoids a join-back for the
+        # mean-update explode.
         assigned = (
-            scored.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
+            _ivf_assign(
+                embeddings, k, id_col, vec_col, cents=cents, keep_vec=True
+            )
+            .withColumnRenamed("cid", "cent_id")
             .select("cent_id", vec_col)
         )
         ex = assigned.select(
@@ -519,6 +540,7 @@ def kmeans_iterations(
                     lambda s: s.mean_val,
                 ).alias("cvec")
             )
+            .select(F.col("cent_id").alias("cid"), "cvec")
             .localCheckpoint(eager=False)
         )
     return out
@@ -583,6 +605,101 @@ def gramian_block(
     )
 
 
+def _sub_rows(
+    df: DataFrame,
+    m: int,
+    d_sub: int,
+    vec_col: str,
+    key_expr: Column,
+    key_name: str,
+    sub_name: str,
+) -> DataFrame:
+    """One row per (key, subspace): explode a vector column into its
+    ``m`` ``d_sub``-wide subvectors — THE PQ slicing recipe, shared by
+    encoding, the persisted codebook build, and both query-LUT paths
+    (round-11 review: it previously existed as five hand-synchronized
+    copies whose 'bit-identical rankings' contract depended on nobody
+    editing one of them)."""
+    structs = [
+        F.struct(
+            F.lit(mi).alias("m"),
+            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("sub"),
+        )
+        for mi in range(m)
+    ]
+    return df.select(
+        key_expr.alias(key_name), F.explode(F.array(*structs)).alias("s")
+    ).select(key_name, F.col("s.m").alias("m"), F.col("s.sub").alias(sub_name))
+
+
+def _query_sub_rows(
+    emb: DataFrame, query_vec_id: int, m: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(m, qsub) for the single query row."""
+    return _sub_rows(
+        emb.filter(F.col(id_col) == query_vec_id),
+        m,
+        d_sub,
+        vec_col,
+        F.lit(0),
+        "__q__",
+        "qsub",
+    ).select("m", "qsub")
+
+
+def _codebook_sub_rows(
+    emb: DataFrame, n_codes: int, m: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(code, m, csub): the convention codebook's subvectors."""
+    return _sub_rows(
+        emb.filter(F.col(id_col) < n_codes),
+        m,
+        d_sub,
+        vec_col,
+        F.col(id_col),
+        "code",
+        "csub",
+    )
+
+
+def _adc_lut(q_rows: DataFrame, cb_rows: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: ||q_sub − csub||² per (m, code),
+    9-dp-rounded into DECIMAL(28,12) so the downstream per-candidate
+    fold is order-independent and cross-engine exact. m·n_codes rows —
+    always broadcast at the join site."""
+    d2 = (
+        dot(F.col("qsub"), F.col("qsub"))
+        - 2 * dot(F.col("qsub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    return q_rows.join(cb_rows, "m").select(
+        "m", "code", F.round(d2, 9).cast("decimal(28,12)").alias("d9")
+    )
+
+
+def _exact_l2_recall_topk(
+    emb: DataFrame, query_vec_id: int, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, hit=True) for the exact squared-L2 top-k — the in-plan
+    recall evaluation both IVF-PQ paths attach."""
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    ex_d2 = (
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("qvec"))
+        + dot(F.col("qvec"), F.col("qvec"))
+    )
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col).alias("id"), F.round(ex_d2, 9).alias("ed2"))
+        .orderBy("ed2", "id")
+        .limit(k)
+        .select("id", F.lit(True).alias("hit"))
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -611,16 +728,7 @@ def pq_encode(
     sequential-fold dot products (the engine's bit-identical-vs-DuckDB
     primitive), rounded to 9 dp with the code id as tie-break, so the
     full code assignment is hash-verifiable cross-engine."""
-    structs = [
-        F.struct(
-            F.lit(mi).alias("m"),
-            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("sub"),
-        )
-        for mi in range(m)
-    ]
-    subs = emb.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*structs)).alias("s")
-    ).select("id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    subs = _sub_rows(emb, m, d_sub, vec_col, F.col(id_col), "id", "sub")
     cents = subs.filter(F.col("id") < k).select(
         F.col("id").alias("code"), "m", F.col("sub").alias("cvec")
     )
@@ -704,34 +812,10 @@ def ivfpq_topk(
     )
 
     # ── per-query ADC lookup table: ||q_sub_m − centroid_sub||² for all
-    # (m, code) — m·n_codes rows, broadcast
-    q_subs = [
-        F.struct(
-            F.lit(mi).alias("m"),
-            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("qsub"),
-        )
-        for mi in range(m)
-    ]
-    q = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.explode(F.array(*q_subs)).alias("s")
-    ).select(F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
-    c_subs = [
-        F.struct(
-            F.lit(mi).alias("m"),
-            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("csub"),
-        )
-        for mi in range(m)
-    ]
-    cb = emb.filter(F.col(id_col) < n_codes).select(
-        F.col(id_col).alias("code"), F.explode(F.array(*c_subs)).alias("s")
-    ).select("code", F.col("s.m").alias("m"), F.col("s.csub").alias("csub"))
-    d2 = (
-        dot(F.col("qsub"), F.col("qsub"))
-        - 2 * dot(F.col("qsub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
-    )
-    lut = q.join(cb, "m").select(
-        "m", "code", F.round(d2, 9).cast("decimal(28,12)").alias("d9")
+    # (m, code) — m·n_codes rows, broadcast (shared _adc_lut recipe)
+    lut = _adc_lut(
+        _query_sub_rows(emb, query_vec_id, m, d_sub, id_col, vec_col),
+        _codebook_sub_rows(emb, n_codes, m, d_sub, id_col, vec_col),
     )
 
     # ── query path: candidates from the probed cells, ADC-scored
@@ -751,24 +835,7 @@ def ivfpq_topk(
     top = adc.orderBy("adc_dist2", "id").limit(k)
 
     # ── exact squared-L2 top-k for the in-plan recall evaluation
-    qv = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
-    )
-    ex_d2 = (
-        dot(F.col(vec_col), F.col(vec_col))
-        - 2 * dot(F.col(vec_col), F.col("qvec"))
-        + dot(F.col("qvec"), F.col("qvec"))
-    )
-    exact_top = (
-        emb.filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col(id_col).alias("id"), F.round(ex_d2, 9).alias("ed2")
-        )
-        .orderBy("ed2", "id")
-        .limit(k)
-        .select("id", F.lit(True).alias("hit"))
-    )
+    exact_top = _exact_l2_recall_topk(emb, query_vec_id, k, id_col, vec_col)
     return (
         top.join(F.broadcast(exact_top), "id", "left")
         .select(
@@ -791,29 +858,42 @@ def ivfpq_topk(
 
 
 def _ivf_assign(
-    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cid): each vector's nearest convention centroid by cosine,
-    ties to the smaller cid — the shared coarse-quantizer math of
-    ivfpq_topk and build_ivfpq_index (argmax as a max(struct) hash
-    aggregate: map-side partials, no per-vector sort)."""
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    """(id, cid[, vec]): each vector's nearest centroid by cosine, ties
+    to the smaller cid — THE centroid-argmax of the module (round-11
+    review retired the three per-vector row_number windows that
+    duplicated it: the window shape shuffles all N·C scored rows and
+    sorts per vector; this is a max(struct) hash aggregate with
+    map-side partials, shuffling ~N combined rows).
+
+    ``cents``: explicit (cid, cvec) centroid frame — iterating callers
+    (k-means rounds) pass their current means; default is the
+    convention seeds (lowest-id vectors of ``emb``). ``keep_vec=True``
+    carries the vector through the aggregate inside the struct — it
+    never participates in the comparison (sim ties break on the UNIQUE
+    ncid before the vec field is reached), so no join-back is needed
+    where the caller wants (id, cid, vec)."""
+    if cents is None:
+        cents = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", cosine(F.col(vec_col), F.col("cvec"))
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
-            ).alias("b")
-        )
-        .select(
-            F.col(id_col).alias("id"), (-F.col("b.ncid")).alias("cid")
-        )
-    )
+    fields = [F.col("sim"), (-F.col("cid")).alias("ncid")]
+    if keep_vec:
+        fields.append(F.col(vec_col).alias("v"))
+    agg = scored.groupBy(id_col).agg(F.max(F.struct(*fields)).alias("b"))
+    cols = [F.col(id_col).alias("id"), (-F.col("b.ncid")).alias("cid")]
+    if keep_vec:
+        cols.append(F.col("b.v").alias(vec_col))
+    return agg.select(*cols)
 
 
 def build_ivfpq_index(
@@ -860,23 +940,26 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
-    c_subs = [
-        F.struct(
-            F.lit(mi).alias("m"),
-            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("csub"),
-        )
-        for mi in range(m)
-    ]
     (
-        emb.filter(F.col(id_col) < n_codes)
-        .select(
-            F.col(id_col).alias("code"),
-            F.explode(F.array(*c_subs)).alias("s"),
-        )
-        .select("code", F.col("s.m").alias("m"), F.col("s.csub").alias("csub"))
+        _codebook_sub_rows(emb, n_codes, m, d_sub, id_col, vec_col)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/codebook")
+    )
+    # ``params/``: the index is SELF-DESCRIBING (round-11 review): a
+    # probe run with a different m/d_sub than the build silently sums
+    # a subset of the ADC subspace terms (the (m, code) join keeps the
+    # overlap; a d_sub mismatch null-pads the zip_with dot) — wrong
+    # top-k, no exception. The probe validates against this record.
+    # Written LAST: its _SUCCESS marker proves the whole build.
+    (
+        emb.sparkSession.createDataFrame(
+            [(int(n_centroids), int(m), int(d_sub), int(n_codes))],
+            "n_centroids int, m int, d_sub int, n_codes int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/params")
     )
 
 
@@ -904,7 +987,20 @@ def ivfpq_topk_indexed(
 
     Query cost: n_centroids-row routing + (n_probe/n_centroids of the
     codes) + a 128-row LUT broadcast — independent of how the rest of
-    the corpus grew since the index was written."""
+    the corpus grew since the index was written.
+
+    ``m``/``d_sub`` are validated against the index's persisted
+    ``params/`` record: a mismatch used to produce silently-wrong ADC
+    distances (subset of subspace terms summed) — now it raises."""
+    p = spark.read.parquet(f"{index_path}/params").first()
+    if (m, d_sub) != (p["m"], p["d_sub"]):
+        raise ValueError(
+            f"ivfpq_topk_indexed called with m={m}, d_sub={d_sub} but the "
+            f"index at {index_path} was built with m={p['m']}, "
+            f"d_sub={p['d_sub']} — a mismatch sums only a subset of ADC "
+            f"subspace terms (wrong distances, no error); rebuild the "
+            f"index or match the probe parameters"
+        )
     cents = spark.read.parquet(f"{index_path}/centroids")
     qrow = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv")
@@ -923,25 +1019,11 @@ def ivfpq_topk_indexed(
         F.col("cid").isin(probe_cids)  # static partition pruning
     )
 
-    # per-query ADC LUT from the persisted codebook (m·n_codes rows)
-    q_subs = [
-        F.struct(
-            F.lit(mi).alias("m"),
-            F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("qsub"),
-        )
-        for mi in range(m)
-    ]
-    q = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.explode(F.array(*q_subs)).alias("s")
-    ).select(F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
-    cb = spark.read.parquet(f"{index_path}/codebook")
-    d2 = (
-        dot(F.col("qsub"), F.col("qsub"))
-        - 2 * dot(F.col("qsub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
-    )
-    lut = q.join(cb, "m").select(
-        "m", "code", F.round(d2, 9).cast("decimal(28,12)").alias("d9")
+    # per-query ADC LUT from the persisted codebook (m·n_codes rows;
+    # shared _adc_lut recipe — identical math to the inline path)
+    lut = _adc_lut(
+        _query_sub_rows(emb, query_vec_id, m, d_sub, id_col, vec_col),
+        spark.read.parquet(f"{index_path}/codebook"),
     )
 
     adc = (
@@ -952,22 +1034,7 @@ def ivfpq_topk_indexed(
     )
     top = adc.orderBy("adc_dist2", "id").limit(k)
 
-    qv = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
-    )
-    ex_d2 = (
-        dot(F.col(vec_col), F.col(vec_col))
-        - 2 * dot(F.col(vec_col), F.col("qvec"))
-        + dot(F.col("qvec"), F.col("qvec"))
-    )
-    exact_top = (
-        emb.filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qv))
-        .select(F.col(id_col).alias("id"), F.round(ex_d2, 9).alias("ed2"))
-        .orderBy("ed2", "id")
-        .limit(k)
-        .select("id", F.lit(True).alias("hit"))
-    )
+    exact_top = _exact_l2_recall_topk(emb, query_vec_id, k, id_col, vec_col)
     return top.join(F.broadcast(exact_top), "id", "left").select(
         F.col("id").alias("vec_id"),
         "adc_dist2",

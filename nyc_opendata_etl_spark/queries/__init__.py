@@ -282,6 +282,21 @@ _RECHECK_R11 = (
     "stream_stateful_dedup",
     "stream_interval_join",
     "stream_watermark_dedup",
+    # similarity.py review fixes (r11): zero-norm-safe cosine (nullif,
+    # both engines), chunked blocked all-pairs kernel, self-describing
+    # IVF-PQ params, shared _ivf_assign argmax + ADC helpers — every
+    # embedding-family consumer's plan changed.
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ivfpq_topk",
+    "similarity_pq_encode",
+    "similarity_ann_recall",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "embedding_kmeans_update",
+    "embedding_kmeans_iterate",
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -99,12 +99,13 @@ def _stage_lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _stage_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF-PQ index once per embeddings version; the ANN query
-    probes the persisted cells. codebook/ is written last — its marker
-    proves the whole build completed."""
+    probes the persisted cells. params/ is written last (r11 layout —
+    the self-describing parameter record) — its marker proves the
+    whole build completed, and pre-params stage dirs rebuild once."""
     from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
 
     path = stage_dir(sf_dir, "ivfpq_index")
-    if is_stale(path, sf_dir, "embeddings", marker="codebook/_SUCCESS"):
+    if is_stale(path, sf_dir, "embeddings", marker="params/_SUCCESS"):
         emb = load_table(spark, sf_dir, "embeddings")
         similarity.build_ivfpq_index(emb, path)
     return path
@@ -534,19 +535,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+# cosine(a, b) in DuckDB double math — twin of operators/similarity.cosine
+def _cos_sql(a: str, b: str) -> str:
+    # nullif guard mirrors operators/similarity.cosine (zero-norm →
+    # NULL, never NaN-ranks-first)
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / nullif(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0)"
+    )
+
+
 @register(
     "similarity_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(
-             list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                              CAST(q.q_vec AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]),
-                                      CAST(q.q_vec AS DOUBLE[])))), 6)
-               AS cosine_sim
+           round({_cos_sql('e.embedding', 'q.q_vec')}, 6) AS cosine_sim
     FROM embeddings e, q
     WHERE vec_id <> 0
     ORDER BY cosine_sim DESC, vec_id
@@ -557,15 +562,6 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 neighbors of vec_id 0."""
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     return similarity.cosine_topk(emb, query_vec_id=0, k=10)
-
-
-# cosine(a, b) in DuckDB double math — twin of operators/similarity.cosine
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
-        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
-    )
 
 
 @register(
@@ -707,24 +703,11 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(
-             list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])))), 6)
-               AS cosine_sim
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(
-             list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])))), 6) >= 0.4
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
