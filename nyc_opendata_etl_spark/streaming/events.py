@@ -16,6 +16,8 @@ per-window-per-key, not per-event.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -157,9 +159,13 @@ def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFram
             state.update((True,))
             yield pd.DataFrame({key_col: [key[0]]})
 
+    # output schema derives from the ACTUAL key type (round-11 review:
+    # a hardcoded 'long' crashed the Arrow conversion mid-stream for
+    # any non-bigint grouping key, e.g. key_col="event_type")
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         first_seen,
-        outputStructType=f"{key_col} long",
+        outputStructType=f"{key_col} {key_type}",
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -186,10 +192,20 @@ def tws_count_threshold(
 
     Environment gate: transformWithStateInPandas moves state through a
     protobuf-encoded side channel, so it needs the ``protobuf`` package
-    at RUNTIME (this container does not ship it — the operator is
-    implemented and unit-testable wherever protobuf exists, and raises
-    a clear error here instead of a mid-stream worker crash).
+    at RUNTIME. The import check below runs on the DRIVER only — it
+    catches the all-one-environment case (this container, local mode);
+    on a cluster the EXECUTORS' Python needs protobuf too, and a
+    driver-only pass with bare executors still dies mid-stream with an
+    executor-side ImportError (ship protobuf in the executor image —
+    the gate cannot see that from here).
     """
+    if threshold < 1:
+        raise ValueError(
+            f"threshold must be >= 1 (got {threshold}): the crossing "
+            f"test n < threshold <= n+add can never fire for a "
+            f"non-positive threshold, silently diverging from the "
+            f"batch GROUP BY/HAVING oracle that would return every key"
+        )
     try:
         import google.protobuf  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
@@ -219,9 +235,10 @@ def tws_count_threshold(
         def close(self) -> None:
             pass
 
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=CountThreshold(),
-        outputStructType=f"{key_col} BIGINT",
+        outputStructType=f"{key_col} {key_type}",
         outputMode="Append",
         timeMode="None",
     )
@@ -267,19 +284,26 @@ def stream_to_partitioned_sink(
     sink_path: str,
     ts_col: str = "ts",
     query_name: str = "sink",
+    checkpoint_location: str | None = None,
 ) -> None:
     """Stream → (month, batch)-partitioned warehouse parquet via
-    ``foreachBatch``: idempotent AND loss-free.
+    ``foreachBatch``, with dynamic partition overwrite keyed by
+    (month, batch_id).
 
-    Each micro-batch writes with dynamic partition overwrite into
-    partitions keyed by (month, batch_id), so
-
-    * a REPLAYED batch (at-least-once delivery, restart) rewrites
-      exactly its own (month, batch_id) partitions — no duplicates;
-    * a LATER batch touching the same month lands in different
-      batch_id partitions — earlier batches are never clobbered
-      (overwriting by month alone would silently drop every earlier
-      batch of the month).
+    Idempotency contract, stated exactly (round-11 review): the scheme
+    is replay-safe because a re-delivered micro-batch rewrites exactly
+    its own (month, batch_id) partitions, and a LATER batch touching
+    the same month lands in different batch_id partitions (overwriting
+    by month alone would drop every earlier batch of the month). That
+    guarantee holds when replays reproduce the SAME batch boundaries —
+    which is what ``checkpoint_location`` provides: Structured
+    Streaming's offset log pins batch composition across restarts, so
+    production callers MUST pass a durable checkpoint. Without one
+    (tests, throwaway backfills) each invocation re-batches from
+    scratch; a re-run whose batching differs can leave a stale
+    higher-numbered batch_id partition from the previous run alongside
+    the new layout — re-runs without a checkpoint should write to a
+    fresh ``sink_path``.
 
     Readers scan ``sink_path`` normally (month pruning still applies;
     batch_id is an extra partition level); periodic
@@ -304,13 +328,18 @@ def stream_to_partitioned_sink(
             .parquet(sink_path)
         )
 
-    q = (
+    writer = (
         events.writeStream.foreachBatch(sink_batch)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
     q.awaitTermination()
+
+
+_SHUFFLE_CONF_LOCK = threading.Lock()
 
 
 def run_available_now(
@@ -337,12 +366,19 @@ def run_available_now(
     it to the stream's key cardinality/throughput is a deliberate
     deployment decision, not a tunable afterthought. None = inherit the
     session's ``spark.sql.shuffle.partitions``.
+
+    The partition override is necessarily a SESSION conf (a streaming
+    query's state shard count has no per-query knob), so the
+    set → drain → restore window is serialized under a module lock:
+    without it, two concurrent callers corrupt each other's saved
+    value and one caller's count leaks into the restored session
+    default. Unrelated batch work running in the same session DURING
+    the window still sees the override — callers that can't tolerate
+    that should drain on a dedicated session.
     """
     spark = stream_df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+
+    def _drain() -> None:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
@@ -351,7 +387,17 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+    if state_partitions is None:
+        _drain()
+    else:
+        with _SHUFFLE_CONF_LOCK:
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
+            try:
+                _drain()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(query_name)

@@ -315,3 +315,82 @@ def test_interval_join_multibatch_equals_single_batch(spark):
         return {tuple(r) for r in out.collect()}
 
     assert run(4) == run(None)
+
+
+def test_stateful_first_seen_string_key(spark, tmp_path):
+    """Round-11 review pin: the output schema derives from the ACTUAL
+    key type — a hardcoded 'long' crashed the Arrow conversion for any
+    non-bigint grouping key (e.g. event_type)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stateful_first_seen,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 11, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 12, "view", 2.0, "{}"),
+        (4, "2024-01-01 00:03:00", 13, "signup", 3.0, "{}"),
+        (5, "2024-01-01 00:04:00", 14, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "events")
+    df.repartition(2).write.parquet(path)
+
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_first_seen(stream, "event_type"),
+        "t_dedup_str",
+        output_mode="append",
+    )
+    assert sorted(r.event_type for r in out.collect()) == [
+        "click",
+        "signup",
+        "view",
+    ]
+
+
+def test_stream_sink_accepts_checkpoint_location(spark, tmp_path):
+    """The durable-checkpoint parameter (round-11 review: the
+    idempotency contract needs one to pin batch boundaries across
+    restarts) drives an actual offset log on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.streaming.events import (
+        read_event_stream,
+        stream_to_partitioned_sink,
+    )
+
+    rows = [(1, "2024-02-01 00:00:00", 1, "click", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_to_partitioned_sink(
+        read_event_stream(spark, src), sink, query_name="s_ck",
+        checkpoint_location=ckpt,
+    )
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+    assert spark.read.parquet(sink).count() == 1
+    # a replay over the SAME checkpoint re-delivers nothing new and
+    # leaves the sink unchanged
+    stream_to_partitioned_sink(
+        read_event_stream(spark, src), sink, query_name="s_ck2",
+        checkpoint_location=ckpt,
+    )
+    assert spark.read.parquet(sink).count() == 1
