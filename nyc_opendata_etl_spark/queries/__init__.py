@@ -50,19 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "sketch_kll_quantiles": 6,
-    "events_anomaly_bands": 6,
-    "scd1_merge": 6,
-    "q12_latency_priority": 6,
-    "q2_min_cost_supplier": 6,
-    "q9_product_profit": 6,
-    "q11_important_stock": 6,
-    "q16_supplier_part_counts": 6,
-    "q20_promotion_candidates": 6,
-    "time_keys": 7,
-    "ampm_parse_time": 7,
-    "bool_flag": 7,
-    "join_inner_agg": 7,
     "join_semi": 7,
     "join_anti": 7,
     "join_full_outer": 7,
@@ -82,17 +69,8 @@ _LAST_VERIFIED: dict[str, int] = {
     "agg_mode_median": 7,
     "stats_equidepth_bins": 7,
     "stats_regression": 7,
-    "dedup_exact": 7,
     "dedup_fingerprint": 7,
-    "similarity_cosine_topk": 7,
-    "similarity_ann_lsh": 7,
-    "dedup_semantic": 7,
-    "similarity_ivfpq_topk": 7,
-    "search_bm25": 7,
-    "search_bm25_incremental": 7,
-    "search_hybrid_rrf": 7,
     "sketch_countmin_freq": 7,
-    "dedup_substring_exact": 7,
     "corpus_mix_realize": 7,
     "stats_chi2_contingency": 7,
     "layout_zorder_locality": 7,
@@ -105,7 +83,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "json_extract": 8,
     "json_agg_by_key": 8,
     "map_props_agg": 8,
-    "linkage_fs_collapsed": 8,
     "q3_shipping_priority": 8,
     "q5_local_supplier_volume": 8,
     "unpivot_measures": 8,
@@ -114,26 +91,17 @@ _LAST_VERIFIED: dict[str, int] = {
     "join_interval_bucketed": 8,
     "market_basket_pairs_relative": 8,
     "stats_equidepth_bins_approx": 8,
-    "text_token_stats": 8,
     "text_quality": 8,
-    "text_lang_id": 8,
-    "dedup_embedding_cosine": 8,
-    "similarity_ann_ivf": 8,
     "text_tfidf_top": 8,
     "join_skew_salted": 8,
-    "corpus_curation": 8,
     "corpus_split": 8,
-    "dedup_incremental": 8,
     "text_pii_scan": 8,
-    "dedup_embedding_lsh": 8,
     "text_unigram_logprob": 8,
-    "corpus_decontaminate": 8,
     "corpus_chunk_docs": 8,
     "corpus_sample_stratified": 8,
     "corpus_sample_priority": 8,
     "window_tumbling": 8,
     "window_session": 8,
-    "stream_watermark_dedup": 8,
     "events_funnel": 8,
     "events_cohort_retention": 8,
     "events_ewma": 8,
@@ -159,23 +127,17 @@ _LAST_VERIFIED: dict[str, int] = {
     "join_asof_forward": 9,
     "join_bloom_prefiltered": 9,
     "join_bloom_packed": 9,
-    "dedup_minhash_lsh": 9,
-    "dedup_simhash": 9,
     "text_rolling_hash": 9,
     "agg_distinct_twophase": 9,
     "text_repetition": 9,
     "text_ngram_topk": 9,
     "corpus_domain_mix": 9,
-    "embedding_kmeans_update": 9,
     "outlier_robust_z": 9,
     "text_boilerplate_ngrams": 9,
     "corpus_sample_weighted": 9,
     "text_bigram_logprob": 9,
-    "similarity_ann_recall": 9,
-    "embedding_kmeans_iterate": 9,
     "corpus_vocab_stats": 9,
     "window_sliding": 9,
-    "stream_interval_join": 9,
     "events_transitions": 9,
     "events_gapfill_locf": 9,
     "events_attribution": 9,
@@ -231,77 +193,108 @@ _LAST_VERIFIED: dict[str, int] = {
     "dedup_clusters": 10,
     "text_length_histogram": 10,
     "corpus_pack_sequences": 10,
-    "corpus_pack_bins": 10,
-    "corpus_curriculum_order": 10,
     "dedup_keep_best": 10,
     "text_char_entropy": 10,
     "embedding_gramian": 10,
     "corpus_mix_temperature": 10,
-    "similarity_pq_encode": 10,
     "search_rerank_crossenc": 10,
     "dedup_containment": 10,
     "dedup_sorted_neighborhood": 10,
     "dedup_snm_adaptive": 10,
-    "stream_tumbling_backfill": 10,
-    "stream_stateful_dedup": 10,
     "events_user_sequences": 10,
+    "time_keys": 11,
+    "ampm_parse_time": 11,
+    "bool_flag": 11,
+    "filter_window_yesterday": 11,
+    "join_inner_agg": 11,
+    "linkage_fs_collapsed": 11,
+    "dedup_exact": 11,
+    "dedup_url_normalized": 11,
+    "dedup_host_profile": 11,
+    "corpus_host_gate": 11,
+    "dedup_incremental_minhash": 11,
+    "dedup_minhash_lsh": 11,
+    "dedup_simhash": 11,
+    "similarity_cosine_topk": 11,
+    "similarity_ann_lsh": 11,
+    "text_token_stats": 11,
+    "text_lang_id": 11,
+    "dedup_embedding_cosine": 11,
+    "similarity_ann_ivf": 11,
+    "corpus_curation": 11,
+    "dedup_incremental": 11,
+    "dedup_embedding_lsh": 11,
+    "corpus_decontaminate": 11,
+    "corpus_pack_bins": 11,
+    "corpus_pack_bins_tokenized": 11,
+    "corpus_curriculum_order": 11,
+    "embedding_kmeans_update": 11,
+    "corpus_perplexity_gate": 11,
+    "similarity_ann_recall": 11,
+    "embedding_kmeans_iterate": 11,
+    "dedup_semantic": 11,
+    "similarity_pq_encode": 11,
+    "similarity_ivfpq_topk": 11,
+    "search_bm25": 11,
+    "search_bm25_incremental": 11,
+    "search_hybrid_rrf": 11,
+    "dedup_substring_exact": 11,
+    "stream_tumbling_backfill": 11,
+    "stream_stateful_dedup": 11,
+    "stream_watermark_dedup": 11,
+    "stream_interval_join": 11,
+    "sketch_kll_quantiles": 11,
+    "events_anomaly_bands": 11,
+    "scd1_merge": 11,
+    "q12_latency_priority": 11,
+    "q2_min_cost_supplier": 11,
+    "q9_product_profit": 11,
+    "q11_important_stock": 11,
+    "q16_supplier_part_counts": 11,
+    "q20_promotion_candidates": 11,
 }
 
-# Queries that MUST carry a round-11 verdict regardless of history:
-# (1) the ten queries whose code or oracle was touched by the round-10
-# closing self-review commit (2634c36) AFTER their last driver verdict —
-# judge-verified PASS in the r10 verdict, but the driver gate is the
-# record of truth; (2) every query whose implementation changes THIS
-# round (appended as the round's work lands — dedup_incremental is
-# already in group 1, corpus_curation's fused text pass is added here).
-# New round-11 registrations join group 0 automatically as
-# never-checked. Remaining slots fill with the r6 cohort (stalest
-# greens, 9 queries) then r7 greens via the verdict-age sort below.
-_RECHECK_R11 = (
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_substring_exact",
-    "dedup_incremental",
-    "search_bm25",
-    "search_bm25_incremental",
-    "search_hybrid_rrf",
-    "linkage_fs_collapsed",
-    "corpus_decontaminate",
-    "corpus_curation",
-    "text_lang_id",
-    # bpe_ish_token_count went null-safe (r11): every consumer's plan
-    # changed, so their green verdicts need refreshing.
-    "corpus_pack_bins",
-    "text_token_stats",
-    "corpus_curriculum_order",
-    # _stage_events mtime stamping changed twice in r11 (read-back
-    # escalation, then backdated stamps): every FileStreamSource
-    # replay consumer re-verifies.
-    "stream_tumbling_backfill",
-    "stream_stateful_dedup",
-    "stream_interval_join",
-    "stream_watermark_dedup",
-    # similarity.py review fixes (r11): zero-norm-safe cosine (nullif,
-    # both engines), chunked blocked all-pairs kernel, self-describing
-    # IVF-PQ params, shared _ivf_assign argmax + ADC helpers — every
-    # embedding-family consumer's plan changed.
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
+# Queries that MUST carry a round-12 verdict regardless of history:
+# every query whose implementation or oracle changes THIS round
+# (appended as the round's work lands). New round-12 registrations
+# join group 0 automatically as never-checked. Remaining slots fill
+# with the stalest greens via the verdict-age sort below — after the
+# r11 rotation that is the 29-query r7 cohort (join matrix, set ops,
+# grouping sets, percentile, pivot, window extras, fuzzy match,
+# graph_triangles, zorder, pipeline_integrated_fact…) followed by the
+# r8 cohort, exactly the staleness debt VERDICT r11 item 1 names.
+_RECHECK_R12 = (
+    # ADVICE r11 medium: build_lsh_bucket_index now persists a params
+    # relation and incremental_near_dups validates against it — the
+    # staged-index consumer re-verifies.
+    "dedup_incremental_minhash",
+    # ADVICE r11 low: normalize_url split/filter/rejoin param
+    # normalizer (stray-'&' fix) — both url-keyed consumers changed
+    # in Spark AND oracle.
+    "dedup_url_normalized",
+    "dedup_host_profile",
+    "corpus_host_gate",
+    # ADVICE r11 low: _ivf_assign drops NULL-sim (zero-norm) vectors
+    # instead of letting the min-cid tie-break pile them on centroid
+    # 0 — every staged-IVF consumer's plan changed.
     "similarity_ann_ivf",
     "similarity_ivfpq_topk",
-    "similarity_pq_encode",
     "similarity_ann_recall",
     "dedup_semantic",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "embedding_kmeans_update",
     "embedding_kmeans_iterate",
+    # r12: real staged-merges BPE replaced the regex token counter in
+    # the tokenizer slot — both tokenized consumers re-gate.
+    "corpus_pack_bins_tokenized",
+    # r12: dedup_clusters gained the large-star/small-star twin; the
+    # shared edge kernel was untouched but the equality pin rides on
+    # dedup_clusters' output contract staying green.
+    "dedup_clusters",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R11)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R12)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
