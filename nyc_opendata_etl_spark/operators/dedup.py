@@ -1052,43 +1052,80 @@ def incremental_new_docs(
 
 def normalize_url(col: Column | str) -> Column:
     """Canonical URL: lowercase, fragment stripped, ``utm_*`` tracking
-    params removed, ``www.`` host prefix dropped, trailing slashes
-    trimmed. Each step is a global regexp_replace with RE2-safe syntax
-    (no lookaround), so the DuckDB oracle applies the IDENTICAL
-    pipeline — the normalization IS the dedup key, so both engines
-    must agree byte-for-byte.
+    params removed via SPLIT/FILTER/REJOIN (not a regex over the raw
+    string), ``www.`` host prefix dropped, trailing slashes trimmed
+    from the PATH (before the surviving query re-attaches). Every step
+    is engine-portable (RE2-safe regex or list ops with exact DuckDB
+    twins), so the oracle applies the IDENTICAL pipeline — the
+    normalization IS the dedup key, so both engines must agree
+    byte-for-byte.
 
-    Tidy contract, stated exactly: ``?utm_...&utm_...`` runs vanish
-    cleanly whether trailing or the whole query; a query with a utm
-    param FIRST and a real param after (``?utm_a=1&b=2``) keeps a
-    stray ``&`` before the surviving param (``...&b=2``) — RE2 has no
-    lookahead, and a conditional '&'→'?' rewrite needs one. The key
-    stays deterministic and engine-identical (what dedup needs); the
-    full fix is a split/filter/rejoin param normalizer
-    (F.split + F.filter + F.array_join and the DuckDB list twins),
-    noted as the production extension. The ``www.`` strip is ANCHORED
-    to the scheme and consumes REPEATS — an unanchored single-strip
-    both rewrote URLs embedded in query params and broke idempotence
-    on ``www.www.`` hosts (round-11 review). Pinned in
-    tests/test_round11_ops.py."""
+    The split/filter/rejoin param normalizer (round-11 advisor —
+    replaces the ``[?&]utm_[^&#]*`` regex): the query string splits at
+    the FIRST ``?``, params split on ``&``, empties and ``utm_*`` drop,
+    survivors rejoin with ``&`` and re-attach with ``?``. The regex
+    form left a stray ``&`` when a utm param came first
+    (``?utm_a=1&b=2`` → ``...x&b=2``) — under-merging against the
+    ``?b=2`` form AND colliding with a raw URL whose path literally
+    ends in ``x&b=2``; url_dedup_groups would then silently drop a
+    distinct page. Side benefits, all pinned: ``&&`` runs collapse, a
+    bare trailing ``?`` drops, and slash-variants with live params
+    (``/x/?p=2`` vs ``/x?p=2``) now merge because the path trim runs
+    before re-attachment. The ``www.`` strip is ANCHORED to the scheme
+    and consumes REPEATS — an unanchored single-strip both rewrote
+    URLs embedded in query params and broke idempotence on
+    ``www.www.`` hosts (round-11 review). Pinned in
+    tests/test_round11_ops.py + test_round12_ops.py."""
     c = F.col(col) if isinstance(col, str) else col
     u = F.lower(c)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")  # tracking params
-    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)(www\.)+", "$1")
-    return F.regexp_replace(u, r"/+$", "")
+    qpos = F.instr(u, "?")  # first '?' — later '?' belong to the query
+    base = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(qpos > 0, F.substring(u, qpos + 1, F.length(u)))
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    base = F.regexp_replace(base, r"^([a-z][a-z0-9+.-]*://)(www\.)+", "$1")
+    base = F.regexp_replace(base, r"/+$", "")
+    return F.concat(
+        base, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
 
 
+# The oracle twin must stay a PURE scalar expression (it is spliced
+# into larger expressions, including nested inside URL_HOST_ORACLE),
+# so the shared "fragment-stripped lowercase" prefix is textually
+# repeated rather than bound to a CTE name.
+_NU_S = "regexp_replace(lower({u}), '#.*$', '', 'g')"
+_NU_BASE = (
+    f"(CASE WHEN strpos({_NU_S}, '?') > 0"
+    f" THEN substr({_NU_S}, 1, strpos({_NU_S}, '?') - 1)"
+    f" ELSE {_NU_S} END)"
+)
+_NU_QUERY = (
+    f"(CASE WHEN strpos({_NU_S}, '?') > 0"
+    f" THEN substr({_NU_S}, strpos({_NU_S}, '?') + 1) ELSE '' END)"
+)
+_NU_KEPT = (
+    f"array_to_string(list_filter(str_split({_NU_QUERY}, '&'),"
+    f" x -> x <> '' AND NOT starts_with(x, 'utm_')), '&')"
+)
 NORMALIZE_URL_ORACLE = (
-    "regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(lower({u}), '#.*$', '', 'g'),"
-    " '[?&]utm_[^&#]*', '', 'g'),"
+    "(regexp_replace(regexp_replace(" + _NU_BASE + ","
     " '^([a-z][a-z0-9+.-]*://)(www\\.)+', '\\1', 'g'),"
     " '/+$', '', 'g')"
+    " || (CASE WHEN " + _NU_KEPT + " <> ''"
+    " THEN '?' || " + _NU_KEPT + " ELSE '' END))"
 )
 """DuckDB twin of :func:`normalize_url` (``{u}`` = the URL expression;
-replacement backrefs differ by dialect — ``$1`` Java, ``\\1`` RE2 —
-the semantics are identical)."""
+replacement backrefs differ by dialect — ``$1`` Java, ``\\1`` RE2 — the
+semantics are identical; first-``?`` substr split + str_split on '&' +
+list_filter + array_to_string mirror F.instr/F.substring + F.split +
+F.filter + F.array_join)."""
 
 
 def url_host(col: Column | str) -> Column:
@@ -1190,13 +1227,28 @@ def build_lsh_bucket_index(
         .repartitionByRange(num_files, "band_hash")
         .sortWithinPartitions("band_hash", "corpus_id")
         .write.mode("overwrite")
-        .parquet(path)
+        .parquet(f"{path}/buckets")
+    )
+    # ``params/``: the index is SELF-DESCRIBING (round-11 advisor): a
+    # probe banded with a different num_hashes/bands than the build
+    # joins on (band_idx, band_hash) values from a DIFFERENT hash
+    # family — structurally valid but silently empty/garbage matches.
+    # The probe validates against this record. Written LAST: its
+    # _SUCCESS marker proves the whole build (same protocol as
+    # similarity.build_ivfpq_index).
+    (
+        docs.sparkSession.createDataFrame(
+            [(int(num_hashes), int(bands))], "num_hashes int, bands int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/params")
     )
 
 
 def incremental_near_dups(
     batch: DataFrame,
-    bucket_index: DataFrame,
+    index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
@@ -1205,15 +1257,27 @@ def incremental_near_dups(
     """New-batch docs that LSH-collide with the historical corpus:
     collapse the batch to canonical reps, signature + band them (the
     only shingling in the plan — the corpus side streams prebuilt
-    bucket rows), join on (band_idx, band_hash), and report each
-    colliding batch rep with its smallest matching corpus rep
-    (deterministic). Output: (doc_id, corpus_match).
+    bucket rows from ``index_path``), join on (band_idx, band_hash),
+    and report each colliding batch rep with its smallest matching
+    corpus rep (deterministic). Output: (doc_id, corpus_match).
 
-    ``num_hashes``/``bands`` MUST match the values the index was built
-    with (:func:`build_lsh_bucket_index` defaults agree): a mismatch
-    produces structurally valid but silently empty/garbage matches —
-    the staged table carries no parameter record, like any parquet
-    relation whose schema is its contract."""
+    ``num_hashes``/``bands`` are validated against the index's
+    persisted ``params/`` record (:func:`build_lsh_bucket_index`): a
+    mismatch bands the probe with a different hash family than the
+    corpus rows — structurally valid join keys, silently empty or
+    garbage matches, no exception — so it raises instead."""
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{index_path}/params").first()
+    if (num_hashes, bands) != (p["num_hashes"], p["bands"]):
+        raise ValueError(
+            f"incremental_near_dups called with num_hashes={num_hashes}, "
+            f"bands={bands} but the index at {index_path} was built with "
+            f"num_hashes={p['num_hashes']}, bands={p['bands']} — a mismatch "
+            f"joins band hashes from different hash families (silently "
+            f"empty/garbage matches); rebuild the index or match the probe "
+            f"parameters"
+        )
+    bucket_index = spark.read.parquet(f"{index_path}/buckets")
     reps = _collapse_to_reps_onepass(batch, text_col, id_col)
     sig = minhash_signatures(
         reps, "__canon__", "id", num_hashes, portable=True, assume_canonical=True

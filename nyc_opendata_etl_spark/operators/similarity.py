@@ -890,6 +890,13 @@ def _ivf_assign(
     if keep_vec:
         fields.append(F.col(vec_col).alias("v"))
     agg = scored.groupBy(id_col).agg(F.max(F.struct(*fields)).alias("b"))
+    # A zero-norm vector has NULL cosine to EVERY centroid (the nullif
+    # guard), so max(struct) would degrade to the ncid tie-break and
+    # silently pile every garbage all-zeros vector onto the smallest
+    # cid — polluting that cell's k-means mean and semantic-neardup
+    # verify group (round-11 advisor). Drop NULL-best assignments
+    # instead; oracle twins replay the same IS NOT NULL filter.
+    agg = agg.filter(F.col("b.sim").isNotNull())
     cols = [F.col(id_col).alias("id"), (-F.col("b.ncid")).alias("cid")]
     if keep_vec:
         cols.append(F.col("b.v").alias(vec_col))

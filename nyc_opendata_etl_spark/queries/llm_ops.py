@@ -87,11 +87,14 @@ def _stage_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage the historical corpus's LSH band-bucket index (even
     doc_ids — the corpus half of the incremental near-dup scenario)
     once per corpus version: the near-dup twin of
-    _stage_fingerprint_index."""
+    _stage_fingerprint_index. params/ is written last (r12 layout —
+    the self-describing (num_hashes, bands) record) — its marker
+    proves the whole build completed, and pre-params stage dirs
+    rebuild once."""
     from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
 
     path = stage_dir(sf_dir, "lsh_bucket_index")
-    if is_stale(path, sf_dir, "documents"):
+    if is_stale(path, sf_dir, "documents", marker="params/_SUCCESS"):
         docs = load_table(spark, sf_dir, "documents")
         dedup.build_lsh_bucket_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     return path
@@ -463,8 +466,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _stage_lsh_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    index = spark.read.parquet(index_path)
-    return dedup.incremental_near_dups(batch, index)
+    return dedup.incremental_near_dups(batch, index_path)
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -733,11 +735,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e CROSS JOIN c
     ),
     assigned AS (
+        -- sim IS NOT NULL mirrors _ivf_assign's NULL-best drop: a
+        -- zero-norm vector is excluded, never piled onto the min cid
         SELECT vec_id, embedding, cent_id FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
                                          ORDER BY sim DESC, cent_id) AS rk
             FROM scored
-        ) WHERE rk = 1
+        ) WHERE rk = 1 AND sim IS NOT NULL
     ),
     probes AS (
         SELECT cent_id FROM scored WHERE vec_id = 0
@@ -1639,9 +1643,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_CENT = (
     "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)"
-    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
-    "                          CAST(e.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(c.cvec, c.cvec)))"
+    " / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    "                                CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(c.cvec, c.cvec)), 0)"
 )
 
 
@@ -1661,7 +1665,7 @@ _COS_CENT = (
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY sim DESC, cent_id) AS rn
               FROM scored)
-        WHERE rn = 1
+        WHERE rn = 1 AND sim IS NOT NULL
     ),
     ex AS (
         SELECT cent_id,
@@ -2078,9 +2082,9 @@ def _kmeans_iterate_oracle(k: int = 8, iterations: int = 3) -> str:
     Spark side, so every iteration's assignments agree bit-for-bit)."""
     cos = (
         "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)"
-        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
-        "                          CAST(e.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(c.cvec, c.cvec)))"
+        " / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "                                CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(c.cvec, c.cvec)), 0)"
     )
     parts = [
         f"c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec"
@@ -2090,11 +2094,11 @@ def _kmeans_iterate_oracle(k: int = 8, iterations: int = 3) -> str:
         parts.append(f"""
     a{i} AS (
         SELECT vec_id, embedding, cent_id
-        FROM (SELECT e.vec_id, e.embedding, c.cent_id,
+        FROM (SELECT e.vec_id, e.embedding, c.cent_id, {cos} AS sim,
                      row_number() OVER (PARTITION BY e.vec_id
                                         ORDER BY {cos} DESC, c.cent_id) AS rn
               FROM embeddings e, c{i} c)
-        WHERE rn = 1
+        WHERE rn = 1 AND sim IS NOT NULL
     ),
     m{i} AS (
         SELECT cent_id, CAST(dim AS BIGINT) AS dim,
@@ -2198,7 +2202,7 @@ _PAIR_COS = (
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY sim DESC, cent_id) AS rn
               FROM scored)
-        WHERE rn = 1
+        WHERE rn = 1 AND sim IS NOT NULL
     )
     SELECT a1.cent_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
            round({_PAIR_COS}, 6) AS cosine_sim
@@ -2427,16 +2431,16 @@ def q_similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT e.vec_id, c.cid,
                list_dot_product(e.vec, c.cvec)
-               / (sqrt(list_dot_product(e.vec, e.vec))
-                * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+               / nullif(sqrt(list_dot_product(e.vec, e.vec))
+                * sqrt(list_dot_product(c.cvec, c.cvec)), 0) AS sim
         FROM e CROSS JOIN cents c
     ),
     assigned AS (
         SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
+            SELECT vec_id, cid, sim,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY sim DESC, cid) AS rn
-            FROM scored) WHERE rn = 1
+            FROM scored) WHERE rn = 1 AND sim IS NOT NULL
     ),
     probes AS (
         SELECT cid FROM scored WHERE vec_id = 42

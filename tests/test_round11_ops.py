@@ -237,15 +237,14 @@ def test_host_gate_drops_farm_keeps_fresh(spark):
 
 
 def test_normalize_url_utm_first_mixed_query_pin(spark):
-    """Documented limitation, pinned so it never silently changes: a
-    utm param FIRST with a real param after keeps a stray '&' (RE2 has
-    no lookahead for a conditional '&'->'?' rewrite). The key remains
-    deterministic and identical across engines - the dedup contract -
-    and trailing/whole-query utm runs vanish cleanly (covered above)."""
+    """Round-12 closed the round-11 documented limitation: the
+    split/filter/rejoin param normalizer re-attaches the surviving
+    query with '?', so utm-first-with-real-param-after merges with the
+    plain '?page=2' form instead of keeping a stray '&' (full edge
+    matrix in test_round12_ops.py)."""
     out = _norm(spark, ["https://a.com/x?utm_s=1&page=2"])
-    assert out == ["https://a.com/x&page=2"]
-    # and it still collapses with its own variants, just not with the
-    # '?page=2' form
+    assert out == ["https://a.com/x?page=2"]
+    # and it collapses with its own variants AND the '?page=2' form
     again = _norm(spark, ["https://WWW.a.com/x?utm_s=9&page=2#f"])
     assert again == out
 

@@ -91,6 +91,15 @@ def main() -> int:
     stealy = set(old_doc.get("steal_flagged", [])) | set(
         new_doc.get("steal_flagged", [])
     )
+    # Rows whose official timing came from a storm-triggered RE-RUN on
+    # either side are banded separately too (round-11 advisor): the
+    # re-run executes with plan/codegen and page cache already hot, so
+    # its timing is warm-biased — an IMPROVED verdict built on one is a
+    # measurement artifact, not a win. bench.py records these in
+    # steal_reruns (first-attempt sec + steal preserved for the record).
+    rerun = set(old_doc.get("steal_reruns", {})) | set(
+        new_doc.get("steal_reruns", {})
+    )
     lo, hi = 1.0 / (1.0 + band), 1.0 + band
 
     rows = []
@@ -106,6 +115,10 @@ def main() -> int:
             r = n / o
             if q in stealy:
                 cls = "STEAL"
+            elif q in rerun:
+                # warm-biased official row — report the ratio but keep
+                # it out of REGRESSED/IMPROVED evidence
+                cls = "RERUN"
             else:
                 cls = "REGRESSED" if r > hi else "IMPROVED" if r < lo else "~"
             rows.append((r, q, o, n, cls))
@@ -133,6 +146,7 @@ def main() -> int:
                 "regressed": [q for _, q, _, _, c in rows if c == "REGRESSED"],
                 "improved": [q for _, q, _, _, c in rows if c == "IMPROVED"],
                 "steal_excluded": [q for _, q, _, _, c in rows if c == "STEAL"],
+                "rerun_excluded": [q for _, q, _, _, c in rows if c == "RERUN"],
                 "added": [q for _, q, _, _, c in rows if c == "NEW"],
                 "removed": [q for _, q, _, _, c in rows if c == "GONE"],
             }
