@@ -970,6 +970,78 @@ def build_ivfpq_index(
     )
 
 
+def _pq_encode_against(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(id, m, code): nearest entry of a PERSISTED codebook relation
+    ((code, m, csub) — the build_ivfpq_index layout) per subvector row.
+    The same squared-L2 + 9-dp-round + code-id tie-break kernel as
+    :func:`pq_encode`, but the codebook is an input instead of the
+    convention slice of the data — the encode-without-retraining half
+    of incremental index maintenance."""
+    joined = subs.join(F.broadcast(codebook), "m")
+    d2 = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    best = (
+        joined.select(
+            "id", "m", F.struct(F.round(d2, 9).alias("dist2"), "code").alias("b")
+        )
+        .groupBy("id", "m")
+        .agg(F.min("b").alias("b"))
+    )
+    return best.select("id", "m", F.col("b.code").alias("code"))
+
+
+def update_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of NEW vectors to a staged build_ivfpq_index
+    layout in O(new vectors) — the add()-without-retraining semantics
+    of FAISS's IVF lists, and the fourth staged-artifact granularity's
+    incremental path (text postings: update_text_index; exact dedup:
+    update_fingerprint_index; near-dup: the LSH bucket append;
+    embeddings: this).
+
+    Routing and encoding REUSE the persisted quantizers: each new
+    vector is assigned to its nearest EXISTING centroid (the shared
+    :func:`_ivf_assign` argmax, explicit ``cents``) and encoded against
+    the EXISTING codebook (:func:`_pq_encode_against`), then the
+    (id, m, code) rows append into the cell-partitioned ``codes/``
+    layout — new files inside existing cell directories, so a probe's
+    partition pruning sees old and new rows identically. Nothing else
+    is touched: centroids/codebook/params stay the build's (that is the
+    contract — drift between corpus and quantizers is what periodic
+    re-trains are for). Zero-norm new vectors drop at assignment (the
+    NULL-best-sim rule) rather than polluting cell 0.
+
+    Cost shape at 100 TB: n_centroids-row + m·n_codes-row broadcasts
+    against ONLY the batch, two map-side-combined aggregates, one
+    append write — independent of the existing index size; a full
+    rebuild re-scans the entire corpus instead."""
+    spark = new_emb.sparkSession
+    p = spark.read.parquet(f"{path}/params").first()
+    cents = spark.read.parquet(f"{path}/centroids")
+    codebook = spark.read.parquet(f"{path}/codebook")
+    assigned = _ivf_assign(
+        new_emb, p["n_centroids"], id_col, vec_col, cents=cents
+    )
+    subs = _sub_rows(
+        new_emb, p["m"], p["d_sub"], vec_col, F.col(id_col), "id", "sub"
+    )
+    codes = _pq_encode_against(subs, codebook)
+    (
+        codes.join(assigned, "id")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/codes")
+    )
+
+
 def ivfpq_topk_indexed(
     spark,
     emb: DataFrame,

@@ -114,6 +114,33 @@ def _stage_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _stage_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the IVF-PQ index by INCREMENTAL construction: build from
+    the even-vec_id half of the embeddings, then update_ivfpq_index the
+    odd half — the append/route/encode maintenance path end to end,
+    mirroring _stage_text_index_incremental. The quantizers (centroids,
+    codebook) come from the BUILD half only (vec_id < 16 among evens ⇒
+    8 cells, 8 codes) and the update reuses them without retraining —
+    exactly the FAISS add() contract — so the staged index equals a
+    one-shot assignment of the FULL corpus against the build-half
+    quantizers, which is what the oracle replays. _INCR_DONE is written
+    last, proving both phases completed."""
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "ivfpq_index_incr")
+    if is_stale(path, sf_dir, "embeddings", marker="_INCR_DONE"):
+        import os
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+        similarity.update_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path
+        )
+        with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
+            fh.write("")  # both phases completed
+    return path
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -2516,6 +2543,116 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
     index = _stage_ivfpq_index(spark, sf_dir)
     return similarity.ivfpq_topk_indexed(spark, emb, index, query_vec_id=42)
+
+
+@register(
+    "similarity_ivfpq_incremental",
+    # Same protocol replay as similarity_ivfpq_topk with ONE semantic
+    # change: the quantizers (cents, pqc) come from the BUILD half only
+    # (even vec_ids) — the incremental update routes/encodes the odd
+    # half against those frozen quantizers, so the staged index equals
+    # a one-shot assignment of the FULL corpus against build-half
+    # quantizers. Query vector 43 is odd: it entered via the APPEND
+    # path, and its top-k candidates span both halves.
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM e
+        WHERE vec_id < 16 AND vec_id % 2 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.vec, c.cvec)
+               / nullif(sqrt(list_dot_product(e.vec, e.vec))
+                * sqrt(list_dot_product(c.cvec, c.cvec)), 0) AS sim
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM scored) WHERE rn = 1 AND sim IS NOT NULL
+    ),
+    probes AS (
+        SELECT cid FROM scored WHERE vec_id = 43
+        ORDER BY sim DESC, cid LIMIT 2
+    ),
+    ms AS (SELECT i AS m FROM generate_series(0, 7) t(i)),
+    subs AS (
+        SELECT e.vec_id AS id, ms.m,
+               CAST(list_slice(e.vec, ms.m * 8 + 1, ms.m * 8 + 8)
+                    AS DOUBLE[]) AS sub
+        FROM e CROSS JOIN ms
+    ),
+    pqc AS (
+        SELECT id AS code, m, sub AS csub FROM subs
+        WHERE id < 16 AND id % 2 = 0
+    ),
+    codes AS (
+        SELECT id, m, code FROM (
+            SELECT s.id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+                       round(list_dot_product(s.sub, s.sub)
+                             - 2 * list_dot_product(s.sub, c.csub)
+                             + list_dot_product(c.csub, c.csub), 9),
+                       c.code) AS rn
+            FROM subs s JOIN pqc c ON c.m = s.m) WHERE rn = 1
+    ),
+    qsub AS (SELECT m, sub AS qs FROM subs WHERE id = 43),
+    lut AS (
+        SELECT q.m, c.code,
+               CAST(round(list_dot_product(q.qs, q.qs)
+                          - 2 * list_dot_product(q.qs, c.csub)
+                          + list_dot_product(c.csub, c.csub), 9)
+                    AS DECIMAL(28,12)) AS d9
+        FROM qsub q JOIN pqc c ON c.m = q.m
+    ),
+    cand AS (
+        SELECT a.vec_id AS id FROM assigned a
+        JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 43
+    ),
+    adc AS (
+        SELECT cd.id, CAST(sum(l.d9) AS DOUBLE) AS adc_dist2
+        FROM codes cd
+        JOIN cand ON cand.id = cd.id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+        GROUP BY cd.id
+    ),
+    top AS (SELECT id, adc_dist2 FROM adc ORDER BY adc_dist2, id LIMIT 10),
+    ext AS (
+        SELECT e.vec_id AS id,
+               round(list_dot_product(e.vec, e.vec)
+                     - 2 * list_dot_product(e.vec, q.vec)
+                     + list_dot_product(q.vec, q.vec), 9) AS ed2
+        FROM e CROSS JOIN (SELECT vec FROM e WHERE vec_id = 43) q
+        WHERE e.vec_id <> 43
+        ORDER BY ed2, id LIMIT 10
+    )
+    SELECT t.id AS vec_id, t.adc_dist2,
+           (x.id IS NOT NULL) AS in_exact_topk
+    FROM top t LEFT JOIN ext x ON x.id = t.id
+    """,
+)
+def q_similarity_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe over an INCREMENTALLY MAINTAINED staged index —
+    the fourth and last staged-artifact granularity's O(new docs)
+    path (operators/similarity.update_ivfpq_index over
+    build_ivfpq_index): the index is built from the even-vec_id half,
+    then the odd half is routed to the existing centroids and encoded
+    against the existing codebook (no retraining — the FAISS add()
+    contract) and appended into the cell-partitioned codes/ layout.
+    The probe (query 43 — itself an appended vector) reads its 2
+    probed cells via partition pruning exactly as over a one-shot
+    build; the oracle replays the full protocol from raw embeddings
+    (build-half quantizers, full-corpus assignment), so a value match
+    verifies routing, encoding, the append, AND that old and new rows
+    serve identically. Exact-L2 recall boolean rides along."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    index = _stage_ivfpq_index_incremental(spark, sf_dir)
+    return similarity.ivfpq_topk_indexed(spark, emb, index, query_vec_id=43)
 
 
 @register(

@@ -80,6 +80,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.llm_ops import (
         _stage_fingerprint_index,
         _stage_ivfpq_index,
+        _stage_ivfpq_index_incremental,
         _stage_lsh_index,
         _stage_text_index,
         _stage_text_index_incremental,
@@ -94,6 +95,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
             lambda: _stage_text_index_incremental(spark, sf_dir),
         ),
         ("ivfpq_index (ANN codebooks)", lambda: _stage_ivfpq_index(spark, sf_dir)),
+        (
+            "ivfpq_index_incr (incremental ANN)",
+            lambda: _stage_ivfpq_index_incremental(spark, sf_dir),
+        ),
         (
             "fingerprint_index (incremental dedup)",
             lambda: _stage_fingerprint_index(spark, sf_dir),

@@ -195,3 +195,58 @@ def test_ivf_assign_zero_norm_centroid_never_wins(spark):
     # vectors with a real-sim centroid available pick it; the zero-norm
     # centroid 0 captures nothing, and vector 0 itself (zero-norm) drops
     assert got == {1: 1, 2: 1}
+
+
+# ── incremental IVF-PQ index maintenance (VERDICT r11 item 2) ───────
+
+
+def test_update_ivfpq_index_equals_oneshot_against_build_quantizers(
+    spark, tmp_path
+):
+    """build(evens) + update(odds) must serve the SAME codes relation
+    as one-shot routing/encoding of the full corpus against the
+    build-half quantizers — the add()-without-retraining contract."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    inc_path = str(tmp_path / "inc")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), inc_path)
+    similarity.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), inc_path)
+
+    # one-shot: route + encode ALL vectors against the build-half
+    # quantizers (read back from the staged index)
+    cents = spark.read.parquet(f"{inc_path}/centroids")
+    cb = spark.read.parquet(f"{inc_path}/codebook")
+    assigned = similarity._ivf_assign(emb, 16, "vec_id", "embedding", cents=cents)
+    subs = similarity._sub_rows(
+        emb, 8, 8, "embedding", F.col("vec_id"), "id", "sub"
+    )
+    expect = {
+        (r["id"], r["m"]): (r["code"], r["cid"])
+        for r in similarity._pq_encode_against(subs, cb)
+        .join(assigned, "id")
+        .collect()
+    }
+    got = {
+        (r["id"], r["m"]): (r["code"], r["cid"])
+        for r in spark.read.parquet(f"{inc_path}/codes").collect()
+    }
+    assert got == expect
+    assert len(got) == 40 * 8  # every vector, every subspace, exactly once
+
+
+def test_update_ivfpq_index_appends_not_overwrites(spark, tmp_path):
+    rows = [(i, [float(i + 1)] * 8 + [0.0] * 56) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") < 16), path)
+    before = spark.read.parquet(f"{path}/codes").count()
+    similarity.update_ivfpq_index(emb.filter(F.col("vec_id") >= 16), path)
+    after = spark.read.parquet(f"{path}/codes").count()
+    assert before == 16 * 8
+    assert after == 20 * 8  # build rows intact, update rows appended
