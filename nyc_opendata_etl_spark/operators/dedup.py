@@ -508,6 +508,113 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def duplicate_clusters_logstar(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id)
+    with cluster_id = min member id — OUTPUT-IDENTICAL to
+    :func:`duplicate_clusters`, but via the two-phase large-star /
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014), which converges in O(log n)
+    ROUNDS regardless of component shape. Min-label propagation's round
+    count is the component DIAMETER: a chain-shaped dup cluster (doc A
+    near-dups B near-dups C …, each hop under the threshold but
+    neighbors over it) makes it unbounded at 100 TB; star contraction
+    halves path lengths every alternation instead.
+
+    Per round, both phases are one shuffle aggregate + one
+    co-partitioned join over the current edge set:
+
+    - large-star (center u): every STRICTLY LARGER neighbor v > u
+      re-attaches to m(u) = min(Γ(u) ∪ {u});
+    - small-star (edges oriented big→small; center u over its smaller
+      neighbors Γ⁻): every x ∈ Γ⁻(u) ∪ {u} with x ≠ m(u) = min(Γ⁻(u))
+      attaches to m(u).
+
+    Both preserve connectivity and only ever point nodes at smaller
+    ids; the fixed point is a star per component centered on its min
+    id. Convergence detection: the canonicalized edge set's (count,
+    Σsrc, Σdst, Σxxhash64) 4-tuple — exact decimal sums, no label
+    relation to maintain. Each round ends in ``localCheckpoint`` to
+    truncate iterative lineage (the shared idiom with
+    duplicate_clusters)."""
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # canonical big→small orientation, self-loops impossible (id_a<id_b)
+    edges = (
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(ed: DataFrame):
+        return ed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
+            F.sum(
+                F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+            ).alias("sh"),
+        ).collect()[0]
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        bidir = ed.union(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = bidir.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            bidir.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # ed is big→small oriented: Γ⁻(u) = dsts of u's rows
+        m = ed.groupBy("src").agg(F.min("dst").alias("m"))
+        nbr_edges = (
+            ed.join(m, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        center_edges = m.select(F.col("src"), F.col("m").alias("dst"))
+        return nbr_edges.union(center_edges).distinct()
+
+    prev = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = _sig(edges)
+        if (cur["n"], cur["ss"], cur["sd"], cur["sh"]) == (
+            prev["n"],
+            prev["ss"],
+            prev["sd"],
+            prev["sh"],
+        ):
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        # log2(n) rounds suffice by the contraction bound; hitting this
+        # means max_iter was set below that, not a data pathology.
+        raise RuntimeError(
+            f"duplicate_clusters_logstar: star contraction did not reach a "
+            f"fixed point within {max_iter} rounds; raise max_iter "
+            f"(needs ~log2(nodes) rounds)"
+        )
+    # fixed point: edges = (member, component_min) stars; the center
+    # itself labels as its own min
+    members = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    centers = edges.select("dst").distinct().select(
+        F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    return members.union(centers)
+
+
 def duplicate_clusters_collapsed(
     df: DataFrame,
     text_col: str = "text",
@@ -515,6 +622,7 @@ def duplicate_clusters_collapsed(
     n: int = 3,
     threshold: float = 0.8,
     max_iter: int = 20,
+    cc_kernel=None,
 ) -> DataFrame:
     """Connected components over exact-Jaccard near-dup pairs, computed
     the scale-correct way: collapse byte-identical canonical texts to
@@ -575,7 +683,13 @@ def duplicate_clusters_collapsed(
         threshold=threshold,
         assume_canonical=True,
     )
-    rep_clusters = duplicate_clusters(rep_pairs, max_iter=max_iter).select(
+    # the CC kernel is pluggable (min-label propagation by default;
+    # duplicate_clusters_logstar is the O(log n)-round alternative) —
+    # both return (doc_id, cluster_id=min member id), so the collapse/
+    # expand envelope is kernel-agnostic
+    if cc_kernel is None:
+        cc_kernel = duplicate_clusters
+    rep_clusters = cc_kernel(rep_pairs, max_iter=max_iter).select(
         F.col("doc_id").alias("rep"), "cluster_id"
     )
     linked = mem.join(rep_clusters, "rep").select("id", "cluster_id")

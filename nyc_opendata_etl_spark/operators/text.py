@@ -83,6 +83,198 @@ def pandas_bpe_ish_token_count(col: Column | str) -> Column:
     return _count(c)
 
 
+# ──────────────────────────────────────────────────────────────────────
+# Real BPE (staged merges table): Sennrich et al. 2016, learned from
+# word frequencies, applied as rank-ordered merge passes. Two engine-
+# portability restrictions, both pinned by tests:
+#
+# - merges never have left == right, so all occurrences of a pair in
+#   one pass are non-overlapping and "replace every occurrence" is a
+#   position-local rule — exactly what the DuckDB oracle's indexed-
+#   lambda list transform replays (queries/llm_ops._BPE_PASS_SQL);
+# - apply = one full pass per merge IN RANK ORDER, which equals the
+#   classic lowest-rank-present-first apply: a merge's constituents
+#   exist before it is learned, so any pair created by applying rank r
+#   contains the rank-r composite and therefore has rank > r — no
+#   earlier-rank pair can ever (re)appear after its pass.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def load_bpe_merges() -> list[tuple[str, str]]:
+    """The shipped merges-table fixture (resources/bpe_merges.json) —
+    learned once from the sf0.1 documents corpus by
+    :func:`learn_bpe_merges` (provenance recorded in the file). Shipped
+    rather than staged per-run so the DuckDB oracle can embed the SAME
+    table as a VALUES relation: tokenizer vocabularies are deployment
+    constants, not per-corpus derivations."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "resources" / "bpe_merges.json"
+    doc = json.loads(p.read_text())
+    return [tuple(m) for m in doc["merges"]]
+
+
+def learn_bpe_merges(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 128,
+    top_words: int = 4096,
+) -> list[tuple[str, str]]:
+    """Learn a deterministic BPE merges table from the corpus.
+
+    The distributed part is one word-frequency aggregate over the
+    BPE_ISH_RE pretokens with a bounded top-k (count desc, word asc —
+    TakeOrderedAndProject, never a full sort); the pair-merge loop then
+    runs driver-side over that BOUNDED frequency table — the standard
+    BPE training shape (the loop is over the vocab, not the corpus, so
+    100 TB changes only the one aggregate). Determinism: ties in pair
+    frequency break lexicographically; self-pairs (left == right) are
+    skipped (see module note); learning stops early when the best pair
+    occurs < 2 times."""
+    wf_rows = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(top_words)
+        .collect()  # bounded by construction: ≤ top_words rows
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["n"] for r in wf_rows if r["word"]
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                if syms[i] != syms[i + 1]:  # self-pairs excluded
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        x, y = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_word_token_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """Reference BPE apply for ONE word: one full pass per merge in
+    rank order (the formulation the DuckDB oracle replays level by
+    level). Kept dead simple — the pandas UDF uses the equivalent
+    lowest-rank-present-first loop for speed, and tests pin the two
+    equal on random inputs."""
+    syms = list(word)
+    for x, y in merges:
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def pandas_bpe_token_count(
+    col: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """REAL subword token count as an Arrow-batched pandas UDF: the
+    staged-merges BPE now occupies the tokenizer slot that
+    :func:`pandas_bpe_ish_token_count` stubbed with the bare regex —
+    pretokenize with the dual-dialect BPE_ISH_RE, BPE-merge each
+    pretoken against the (broadcast-by-closure) merges table, sum.
+    NULL text → NULL, same contract as the regex twin.
+
+    Hot-path shape: the merges list is O(100) entries riding the
+    serialized UDF; per-batch work is dominated by the per-DISTINCT-
+    word merge loop thanks to a worker-side word→count cache (Zipf
+    makes the distinct set tiny relative to token volume; the cache is
+    capped so a pathological corpus can't grow it unboundedly). Apply
+    order is lowest-rank-present-first, provably equal to the oracle's
+    rank-ordered passes (module note)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: r for r, p in enumerate(merges)}
+    pat_src = BPE_ISH_RE
+
+    @pandas_udf("long")
+    def _count(texts):  # pd.Series -> pd.Series
+        pat = re.compile(pat_src)
+        cache: dict[str, int] = {}
+
+        def word_count(w: str) -> int:
+            n = cache.get(w)
+            if n is not None:
+                return n
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                if best_rank is None:
+                    break
+                x, y = merges[best_rank]
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n = len(syms)
+            if len(cache) > 1_000_000:
+                cache.clear()
+            cache[w] = n
+            return n
+
+        def text_count(t):
+            if t is None:
+                return None
+            return sum(word_count(w) for w in pat.findall(t))
+
+        return pd.Series(
+            [text_count(t) for t in texts], dtype="Int64"
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Deterministic quality-scoring features: length, token stats,
     punctuation/digit/whitespace ratios, mean token length."""

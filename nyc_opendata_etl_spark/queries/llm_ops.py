@@ -877,6 +877,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_logstar",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via LARGE-STAR/SMALL-STAR alternation
+    (operators/dedup.duplicate_clusters_logstar; Kiveris et al. 2014)
+    — the O(log n)-ROUND connected-components twin of dedup_clusters,
+    pinned output-identical (same cluster_id = min member id; same
+    recursive-CTE oracle). Min-label propagation converges in
+    O(component diameter) rounds, which a chain-shaped dup cluster
+    makes unbounded at 100 TB; star contraction halves path lengths
+    every alternation, so round count is logarithmic in the largest
+    component regardless of shape. Same collapse-first envelope: the
+    star graph is over distinct-canonical-text representatives only."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    return dedup.duplicate_clusters_collapsed(
+        docs, threshold=0.8, cc_kernel=dedup.duplicate_clusters_logstar
+    )
+
+
+@register(
     "join_skew_salted",
     oracle="""
     WITH dim AS (
@@ -1388,20 +1423,72 @@ def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_bins_decreasing(docs, token_budget=512)
 
 
+def _bpe_merges_values_sql() -> tuple[str, int]:
+    """(VALUES-relation SQL for the shipped merges fixture, n_merges).
+    Single-quote-safe: merge symbols come from BPE_ISH_RE pretokens
+    (alnum runs / single punctuation), so embedded quotes are escaped
+    defensively anyway."""
+    merges = text.load_bpe_merges()
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(r, x.replace("'", "''"), y.replace("'", "''"))
+        for r, (x, y) in enumerate(merges)
+    )
+    return f"SELECT * FROM (VALUES {rows}) v", len(merges)
+
+
+_BPE_VALUES_SQL, _BPE_N = _bpe_merges_values_sql()
+
+# One BPE merge pass as a position-local indexed-lambda transform —
+# sound because learned merges never have left == right (operators/
+# text.py module note), so occurrences cannot overlap and "start" /
+# "consumed" are unambiguous local predicates.
+_BPE_PASS_SQL = """
+        list_filter(
+          list_transform(b.syms, (e, i) ->
+            CASE WHEN e = m.lft AND i < len(b.syms)
+                      AND b.syms[i + 1] = m.rgt THEN m.lft || m.rgt
+                 WHEN e = m.rgt AND i > 1
+                      AND b.syms[i - 1] = m.lft THEN NULL
+                 ELSE e END),
+          x -> x IS NOT NULL)"""
+
+
 @register(
     "corpus_pack_bins_tokenized",
-    # Verbatim the corpus_pack_bins oracle: the Arrow-batched counter
-    # must be BIT-EQUAL to the expression twin on this corpus, so the
-    # same SQL checking the same output IS the integration pin.
+    # The oracle replays the REAL staged-merges BPE: distinct pretoken
+    # words -> a recursive CTE applying merge rank r at level r (one
+    # indexed-lambda pass per level) -> per-doc token sums -> the
+    # corpus_pack_bins packing verbatim. A full value match verifies
+    # the UDF's merge loop, the cache, the pretokenizer, AND the
+    # packing on top of it.
     oracle=f"""
-    WITH t AS (
+    WITH RECURSIVE m(r, lft, rgt) AS ({_BPE_VALUES_SQL}),
+    dw AS (
         SELECT doc_id,
-               CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
-                   AS shard,
-               CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) + 1
-                    AS BIGINT) AS cost
+               unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) AS word
         FROM documents
+    ),
+    w(word) AS (SELECT DISTINCT word FROM dw),
+    b(word, syms, r) AS (
+        SELECT word, str_split(word, ''), 0 FROM w
+        UNION ALL
+        SELECT b.word, {_BPE_PASS_SQL}, b.r + 1
+        FROM b JOIN m ON m.r = b.r
+        WHERE b.r < {_BPE_N}
+    ),
+    wc AS (SELECT word, len(syms) AS n FROM b WHERE r = {_BPE_N}),
+    dc AS (
+        SELECT dw.doc_id, CAST(sum(wc.n) AS BIGINT) AS n
+        FROM dw JOIN wc USING (word) GROUP BY dw.doc_id
+    ),
+    t AS (
+        SELECT d.doc_id,
+               CAST({md5_long_oracle_sql("CAST(d.doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+               CAST(CASE WHEN d.text IS NULL THEN NULL
+                         ELSE COALESCE(dc.n, 0) + 1 END AS BIGINT) AS cost
+        FROM documents d LEFT JOIN dc USING (doc_id)
     ),
     p AS (
         SELECT doc_id, shard, cost,
@@ -1419,23 +1506,24 @@ def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_corpus_pack_bins_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corpus_pack_bins with the cost column swapped for the
-    Arrow-batched pandas-UDF token counter — the REAL-tokenizer
-    integration path (text.pandas_bpe_ish_token_count documents the
-    exact line where ``tokenizer.encode_batch`` drops in). The oracle
-    is corpus_pack_bins' verbatim: on this corpus the UDF must count
-    bit-identically to the JVM expression, so a full value match
-    proves the Python-side plumbing (Arrow batches, null handling,
-    dual-dialect regex) without a tokenizer lib in the container.
-    Scale shape is unchanged — the UDF runs in the scan stage before
-    the one shard exchange; only a long survives it."""
+    """corpus_pack_bins with the cost column computed by a REAL BPE
+    tokenizer (text.pandas_bpe_token_count over the shipped
+    resources/bpe_merges.json merges table — learned from the corpus
+    by text.learn_bpe_merges, Sennrich et al. 2016), replacing the
+    round-8..11 regex stand-in in the tokenizer slot. The Arrow-batched
+    UDF pretokenizes with the dual-dialect BPE_ISH_RE and merges each
+    distinct word once (worker-side cache); the oracle replays the
+    identical merges table level-by-level in a recursive CTE, so the
+    value match pins the merge semantics cross-engine, not just the
+    plumbing. Scale shape unchanged: the UDF runs in the scan stage
+    before the one shard exchange; only a long survives it."""
     from nyc_opendata_etl_spark.operators import curation
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return curation.pack_bins_decreasing(
         docs,
         token_budget=512,
-        cost_col=text.pandas_bpe_ish_token_count("text"),
+        cost_col=text.pandas_bpe_token_count("text", text.load_bpe_merges()),
     )
 
 

@@ -250,3 +250,231 @@ def test_update_ivfpq_index_appends_not_overwrites(spark, tmp_path):
     after = spark.read.parquet(f"{path}/codes").count()
     assert before == 16 * 8
     assert after == 20 * 8  # build rows intact, update rows appended
+
+
+# ── large-star/small-star connected components (VERDICT r11 item 3) ─
+
+
+def _cc_both(spark, edges: list[tuple[int, int]]):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters_logstar(pairs).collect()
+    }
+    return base, star
+
+
+def test_logstar_equals_label_propagation_mixed_shapes(spark):
+    # two cliques, a chain bridging nothing, a 2-clique, a star
+    edges = [
+        (1, 2), (1, 3), (2, 3),          # clique {1,2,3}
+        (10, 11), (11, 12), (12, 13),    # chain {10..13}
+        (20, 21),                        # pair
+        (30, 31), (30, 32), (30, 33),    # star centered 30
+    ]
+    base, star = _cc_both(spark, edges)
+    assert base == star
+    labels = dict(star)
+    assert {labels[i] for i in (1, 2, 3)} == {1}
+    assert {labels[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_logstar_long_chain_converges_in_log_rounds(spark):
+    # a 64-node chain: diameter 63 — label propagation would need
+    # max_iter >= 63; log-star must finish within its default 12
+    edges = [(i, i + 1) for i in range(100, 163)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.duplicate_clusters_logstar(pairs, max_iter=12).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert len(labels) == 64
+    assert set(labels.values()) == {100}
+
+
+def test_logstar_empty_and_reversed_ids(spark):
+    # empty input converges immediately to empty output
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_clusters_logstar(empty).collect() == []
+    # id_a > id_b pairs (non-canonical orientation) still work
+    base, star = _cc_both(spark, [(5, 2), (9, 5)])
+    assert base == star
+    assert dict(star) == {2: 2, 5: 2, 9: 2}
+
+
+def test_logstar_collapsed_query_equals_labelprop_query(spark):
+    from nyc_opendata_etl_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in queries()["dedup_clusters"](spark, sf).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in queries()["dedup_clusters_logstar"](spark, sf).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+# ── real staged-merges BPE in the tokenizer slot (VERDICT item 4) ───
+
+
+def test_bpe_apply_orders_equivalent():
+    """lowest-rank-present-first (the UDF loop) == one pass per merge
+    in rank order (bpe_word_token_count, what the SQL oracle replays).
+    Random words over a small alphabet so merges chain deeply."""
+    import random
+
+    from nyc_opendata_etl_spark.operators import text as T
+
+    rng = random.Random(42)
+    # learn merges from a synthetic vocab driver-side (no Spark needed)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 12)))
+             for _ in range(300)]
+    vocab: dict[tuple, int] = {}
+    for w in words:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+    # reuse the library's own learning loop via a local frame is heavy;
+    # derive merges with the same rules instead
+    merges = []
+    v = dict(vocab)
+    for _ in range(40):
+        counts = {}
+        for syms, n in v.items():
+            for i in range(len(syms) - 1):
+                if syms[i] != syms[i + 1]:
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        x, y = best
+        nv = {}
+        for syms, n in v.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + n
+        v = nv
+    assert len(merges) >= 10
+
+    ranks = {p: r for r, p in enumerate(merges)}
+
+    def lowest_rank_first(w):
+        syms = list(w)
+        while len(syms) > 1:
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                break
+            x, y = merges[best_rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    probe = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 20)))
+             for _ in range(500)]
+    for w in probe:
+        assert lowest_rank_first(w) == T.bpe_word_token_count(w, merges), w
+
+
+def test_bpe_fixture_properties():
+    from nyc_opendata_etl_spark.operators import text as T
+
+    merges = T.load_bpe_merges()
+    assert len(merges) >= 32
+    # no self-pairs (the one-pass soundness restriction)
+    assert all(x != y for x, y in merges)
+    # composite symbols only reference earlier-created symbols
+    known = set()
+    for x, y in merges:
+        for side in (x, y):
+            assert len(side) == 1 or side in known, (x, y)
+        known.add(x + y)
+
+
+def test_bpe_udf_matches_reference_and_duckdb(spark):
+    import duckdb
+
+    from nyc_opendata_etl_spark.operators import text as T
+    from nyc_opendata_etl_spark.queries.llm_ops import (
+        _BPE_N,
+        _BPE_PASS_SQL,
+        _BPE_VALUES_SQL,
+        _WS_CHARS,
+    )
+
+    merges = T.load_bpe_merges()
+    texts = [
+        "the merger parts flowed in order",
+        "hello,world!!  multiple   spaces\tand\ttabs",
+        "numbers 12345 and 9 mixed2tokens",
+        "",
+        None,
+        "zzzzz unseen-alphabet éé",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["n"]
+        for r in df.select(
+            T.pandas_bpe_token_count("text", merges).alias("n")
+        ).collect()
+    ]
+    # reference: per-word rank-ordered passes
+    import re
+
+    pat = re.compile(T.BPE_ISH_RE)
+
+    def ref(t):
+        if t is None:
+            return None
+        return sum(T.bpe_word_token_count(w, merges) for w in pat.findall(t))
+
+    assert got == [ref(t) for t in texts]
+
+    # DuckDB recursive replay agrees word-by-word
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                + ") t(doc_id, text)", texts)
+    q = f"""
+    WITH RECURSIVE m(r, lft, rgt) AS ({_BPE_VALUES_SQL}),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) AS word
+        FROM documents
+    ),
+    w(word) AS (SELECT DISTINCT word FROM dw),
+    b(word, syms, r) AS (
+        SELECT word, str_split(word, ''), 0 FROM w
+        UNION ALL
+        SELECT b.word, {_BPE_PASS_SQL}, b.r + 1
+        FROM b JOIN m ON m.r = b.r WHERE b.r < {_BPE_N}
+    ),
+    wc AS (SELECT word, len(syms) AS n FROM b WHERE r = {_BPE_N}),
+    dc AS (SELECT dw.doc_id, sum(wc.n) AS n FROM dw JOIN wc USING (word)
+           GROUP BY dw.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(dc.n, 0) END AS n
+    FROM documents d LEFT JOIN dc USING (doc_id) ORDER BY d.doc_id
+    """
+    duck = [r[1] for r in con.execute(q).fetchall()]
+    assert [g if g is not None else None for g in got] == duck
