@@ -103,6 +103,186 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ──────────────────────────────────────────────────────────────────────
+# REAL image decode (round 12): the container ships no image libs, but
+# PNG is stdlib-decodable — zlib + struct + the filter algebra from the
+# public spec (RFC 2083). synthesize_png_media builds small VALID
+# grayscale PNGs whose pixel content is a closed-form function of the
+# doc id (so the DuckDB oracle can replay the decoded statistics
+# without decoding anything), and extract_image_features recovers the
+# pixels FROM THE COMPRESSED BYTES inside the same mapInPandas kernel
+# the fake-decode stub occupied — encode∘decode identity on the stats
+# is exactly what the full value match proves.
+# ──────────────────────────────────────────────────────────────────────
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_gray(seed: int, width: int, height: int) -> bytes:
+    """A valid 8-bit grayscale PNG; pixel(i) = (seed*7 + i*3) % 256 in
+    row-major order (the closed form the oracle replays). Filter 0 on
+    every scanline; one IDAT chunk; CRCs real."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    i = 0
+    for _ in range(height):
+        raw.append(0)  # filter type 0 (None)
+        for _ in range(width):
+            raw.append((seed * 7 + i * 3) % 256)
+            i += 1
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode an 8-bit grayscale PNG: parse chunks, inflate IDAT, undo
+    scanline filters (all five types, per the spec — bpp = 1). Returns
+    (width, height, pixels row-major). Raises ValueError on anything
+    that is not an 8-bit grayscale PNG — a decoder that guesses is
+    worse than none in a curation pipeline."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if (depth, ctype) != (8, 0):
+                raise ValueError(
+                    f"unsupported PNG: bit_depth={depth} color_type={ctype} "
+                    f"(this decoder handles 8-bit grayscale)"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    pixels: list[int] = []
+    prev = [0] * stride
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = list(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = []
+            for x, v in enumerate(line):
+                cur.append((v + (cur[x - 1] if x else 0)) % 256)
+        elif ftype == 2:  # Up
+            cur = [(v + prev[x]) % 256 for x, v in enumerate(line)]
+        elif ftype == 3:  # Average
+            cur = []
+            for x, v in enumerate(line):
+                a = cur[x - 1] if x else 0
+                cur.append((v + (a + prev[x]) // 2) % 256)
+        elif ftype == 4:  # Paeth
+            cur = []
+            for x, v in enumerate(line):
+                a = cur[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur.append((v + pred) % 256)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        pixels.extend(cur)
+        prev = cur
+    return width, height, pixels
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, codec, payload): small REAL PNGs, dimensions and
+    pixels closed-form in the id (w = id%13+1, h = id%11+1, seed =
+    id%251) so decoded statistics are SQL-replayable. The payload is
+    built worker-side in an Arrow-batched UDF — bytes never touch the
+    driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _png(ids):  # pd.Series[int64] -> pd.Series[bytes]
+        return ids.map(
+            lambda i: png_encode_gray(
+                int(i) % 251, int(i) % 13 + 1, int(i) % 11 + 1
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("png").alias("codec"),
+        _png(F.col(id_col)).alias("payload"),
+    )
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode in the Arrow/mapInPandas kernel: width/height/pixel
+    stats come from parsing and inflating the PNG bytes, not from
+    metadata columns (the media relation deliberately carries none).
+    Same scale shape as extract_features: embarrassingly parallel in
+    the scan stage, no shuffle, blobs never leave the executors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode_gray(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": len(px),
+                        "pixel_sum": sum(px),
+                        "px_min": min(px),
+                        "px_max": max(px),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, max_dim: int = 224) -> DataFrame:
     """'Resize' pass: real implementations decode + resample; the stub
     truncates payloads proportionally and rewrites metadata. Only image

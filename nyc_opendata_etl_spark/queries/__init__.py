@@ -290,6 +290,9 @@ _RECHECK_R12 = (
     # shared edge kernel was untouched but the equality pin rides on
     # dedup_clusters' output contract staying green.
     "dedup_clusters",
+    # r12: multimodal_features upgraded from fake byte stats to real
+    # PNG encode+decode with a new closed-form-pixel oracle.
+    "multimodal_features",
 )
 
 def _ordered() -> dict[str, QueryDef]:

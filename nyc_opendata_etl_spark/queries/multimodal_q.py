@@ -15,27 +15,52 @@ from nyc_opendata_etl_spark.sources.tables import load_table
 
 @register(
     "multimodal_features",
+    # The oracle replays the closed-form pixel content (pixel(i) =
+    # (seed*7 + i*3) % 256) — Spark instead ENCODES real PNGs and
+    # DECODES them back from the compressed bytes, so the value match
+    # proves the decoder recovers every pixel (encode∘decode identity
+    # on the stats), not just plumbing.
     oracle="""
     WITH m AS (
-        SELECT doc_id AS media_id, encode(substring(text, 1, 64)) AS payload
+        SELECT doc_id AS media_id,
+               doc_id % 251 AS seed,
+               CAST(doc_id % 13 + 1 AS INT) AS width,
+               CAST(doc_id % 11 + 1 AS INT) AS height
         FROM documents
+    ),
+    px AS (
+        SELECT media_id,
+               (seed * 7 + unnest(range(width * height)) * 3) % 256 AS v
+        FROM m
+    ),
+    st AS (
+        SELECT media_id,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS pixel_sum,
+               CAST(min(v) AS INT) AS px_min,
+               CAST(max(v) AS INT) AS px_max
+        FROM px GROUP BY media_id
     )
-    SELECT m.media_id,
-           CAST(octet_length(m.payload) AS BIGINT) AS n_bytes,
-           CAST(ascii(substring(d.text, 1, 1)) AS INT) AS first_byte
-    FROM m JOIN documents d ON d.doc_id = m.media_id
+    SELECT m.media_id, m.width, m.height,
+           st.n_pixels, st.pixel_sum, st.px_min, st.px_max
+    FROM m JOIN st USING (media_id)
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Payload features through the real mapInPandas path; the oracle
-    recomputes n_bytes and first_byte from the same synthetic payloads
-    (last_byte/byte_sum need byte iteration DuckDB lacks — covered by
-    unit tests instead)."""
+    """REAL image decode through the Arrow/mapInPandas kernel (round
+    12 — retires the fake-byte-stats stub): synthesize_png_media builds
+    valid 8-bit grayscale PNGs worker-side (stdlib zlib/struct, RFC
+    2083), and extract_image_features recovers width/height/pixel
+    statistics by parsing chunks, inflating IDAT, and undoing scanline
+    filters — from the COMPRESSED BYTES, with no metadata columns to
+    crib from. Pixel content is a closed form of the doc id, so the
+    DuckDB oracle replays the decoded stats without a decoder; a full
+    value match is an encode∘decode identity proof. Scale shape:
+    embarrassingly parallel in the scan stage, blobs never leave the
+    executors, only the 7 stat columns survive."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synthesize_media(docs)
-    return multimodal.extract_features(media).select(
-        "media_id", "n_bytes", "first_byte"
-    )
+    media = multimodal.synthesize_png_media(docs)
+    return multimodal.extract_image_features(media)
 
 
 @register(

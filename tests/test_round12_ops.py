@@ -478,3 +478,116 @@ def test_bpe_udf_matches_reference_and_duckdb(spark):
     """
     duck = [r[1] for r in con.execute(q).fetchall()]
     assert [g if g is not None else None for g in got] == duck
+
+
+# ── real PNG decode in the multimodal path (VERDICT item 6) ─────────
+
+
+def test_png_roundtrip_stats():
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    for seed, w, h in [(0, 1, 1), (7, 13, 11), (250, 5, 3), (123, 12, 1)]:
+        blob = mm.png_encode_gray(seed, w, h)
+        gw, gh, px = mm.png_decode_gray(blob)
+        assert (gw, gh) == (w, h)
+        expect = [(seed * 7 + i * 3) % 256 for i in range(w * h)]
+        assert px == expect
+
+
+def test_png_decode_handles_all_filters():
+    """The encoder writes filter 0 only, but the decoder implements the
+    full spec — exercise Sub/Up/Average/Paeth with hand-built chunks
+    and verify against a reference unfiltering."""
+    import struct
+    import zlib
+
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    # 4x4 image, rows filtered with types 1..4 against known pixels
+    pixels = [
+        [10, 20, 30, 40],
+        [15, 25, 35, 45],
+        [100, 110, 120, 130],
+        [7, 8, 9, 10],
+    ]
+    raw = bytearray()
+    prev = [0, 0, 0, 0]
+    for y, row in enumerate(pixels):
+        f = y + 1  # filters 1,2,3,4
+        raw.append(f)
+        cur = row
+        for x, v in enumerate(cur):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 1:
+                enc = (v - a) % 256
+            elif f == 2:
+                enc = (v - b) % 256
+            elif f == 3:
+                enc = (v - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc = (v - pred) % 256
+            raw.append(enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    blob = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = mm.png_decode_gray(blob)
+    assert (w, h) == (4, 4)
+    assert px == [v for row in pixels for v in row]
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="signature"):
+        mm.png_decode_gray(b"GIF89a not a png")
+    # RGB color type rejected loudly, not mis-decoded
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    rgb = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="color_type=2"):
+        mm.png_decode_gray(rgb)
+
+
+def test_png_spark_pipeline_decodes_from_bytes(spark):
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 5, 26, 142)], "doc_id long, text string"
+    )
+    out = {
+        r["media_id"]: r
+        for r in mm.extract_image_features(mm.synthesize_png_media(docs)).collect()
+    }
+    for i in (0, 5, 26, 142):
+        w, h, seed = i % 13 + 1, i % 11 + 1, i % 251
+        expect = [(seed * 7 + j * 3) % 256 for j in range(w * h)]
+        r = out[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == sum(expect)
+        assert (r["px_min"], r["px_max"]) == (min(expect), max(expect))
