@@ -69,3 +69,49 @@ def read_schemas(df: DataFrame) -> list[str]:
 def is_take_ordered(df: DataFrame) -> bool:
     """True if the plan computes a global top-k without a full sort."""
     return count_node(df, "TakeOrderedAndProject") > 0
+
+
+def _walk_logical(node, out):
+    out.append(node)
+    for i in range(node.children().size()):
+        _walk_logical(node.children().apply(i), out)
+    return out
+
+
+def global_window_classes(df: DataFrame) -> list[str]:
+    """Boundedness class of every PARTITION-LESS Window in the
+    optimized logical plan — the audit behind the bounded-global-window
+    pin (round 12). A global window executes as a single-task sort, so
+    every such site must prove its input bounded; the class names the
+    proof found in the window's input subtree:
+
+    - ``limit``       — a GlobalLimit bounds the rows
+    - ``scalar_agg``  — a grouping-less Aggregate (exactly one row)
+    - ``local``       — a literal LocalRelation
+    - ``grouped_agg`` — an Aggregate grouped on domain columns (bounded
+                        by value cardinality, not row count — caller
+                        must justify the domain, e.g. source names)
+    - ``unbounded``   — none of the above (a scale defect unless the
+                        query documents itself as an exact anchor with
+                        a registered approx twin)
+    """
+    lp = df._jdf.queryExecution().optimizedPlan()
+    classes: list[str] = []
+    for node in _walk_logical(lp, []):
+        if node.nodeName() != "Window" or node.partitionSpec().size() != 0:
+            continue
+        cls = "unbounded"
+        for sub in _walk_logical(node, [])[1:]:
+            nn = sub.nodeName()
+            if nn in ("GlobalLimit", "LocalRelation"):
+                cls = "limit" if nn == "GlobalLimit" else "local"
+                break
+            if nn == "Aggregate":
+                cls = (
+                    "scalar_agg"
+                    if sub.groupingExpressions().isEmpty()
+                    else "grouped_agg"
+                )
+                break
+        classes.append(cls)
+    return classes

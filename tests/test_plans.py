@@ -507,3 +507,41 @@ def test_packed_bloom_probe_is_scan_local(spark):
     # and the bitset side arrives by broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in plan
     assert not pi.uses_sort_merge_join(df)
+
+
+# ── bounded-global-window pin (round 12, VERDICT r11 item 7) ────────
+# A partition-less Window is a single-task sort: every site must prove
+# its input bounded or be a documented exact anchor with a registered
+# approx twin. tools/global_window_audit.py sweeps the whole registry;
+# these are ALL its findings, pinned. A new global window anywhere
+# must be added here with its justification — the audit class is the
+# mechanical half, the comment is the human half.
+_GLOBAL_WINDOW_SITES = {
+    # priority sampling: window over an orderBy().limit() candidate set
+    "corpus_sample_priority": ["limit"],
+    # RRF fuses two top-k lists — each a GlobalLimit relation
+    "search_hybrid_rrf": ["limit", "limit"],
+    # cross-encoder rerank: three windows, all over the top-20
+    # first-stage candidate list (the pattern this pin generalizes)
+    "search_rerank_crossenc": ["limit", "limit", "limit"],
+    # round-robin domain interleave: the global row_number runs over
+    # SELECT DISTINCT source — bounded by the corpus's domain
+    # cardinality (single-digit source names), not its row count
+    "corpus_curriculum_order": ["grouped_agg"],
+    # exact equi-depth ntile — the DOCUMENTED single-task anchor; the
+    # registered scale twin is stats_equidepth_bins_approx (sketch cut
+    # points + range binning, no global sort)
+    "stats_equidepth_bins": ["unbounded"],
+}
+
+
+def test_global_windows_are_bounded(spark):
+    for name, expected in _GLOBAL_WINDOW_SITES.items():
+        got = pi.global_window_classes(queries()[name](spark, SF))
+        assert got == expected, (name, got, expected)
+    # the one allowed 'unbounded' anchor must keep pointing at its twin
+    from nyc_opendata_etl_spark.queries import REGISTRY
+
+    assert "stats_equidepth_bins_approx" in REGISTRY
+    doc = queries()["stats_equidepth_bins"].__doc__ or ""
+    assert "approx" in doc, "anchor must document its scale twin"

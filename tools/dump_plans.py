@@ -351,11 +351,40 @@ SHOWCASE = {
         "dedup/retrieval granularities."
     ),
     "corpus_pack_bins_tokenized": (
-        "Tokenizer-plugged packing (round 11): identical plan to "
-        "corpus_pack_bins except the cost column is an ArrowEvalPython "
-        "stage in the scan - the exact slot a real subword tokenizer's "
-        "encode_batch occupies; only the long cost survives into the "
-        "shard exchange."
+        "REAL-BPE packing (round 12): identical plan to corpus_pack_bins "
+        "except the cost column is an ArrowEvalPython stage in the scan "
+        "running the staged-merges BPE (resources/bpe_merges.json, "
+        "distinct-word cache worker-side); only the long cost survives "
+        "into the shard exchange. The DuckDB oracle replays the same "
+        "merges table as a recursive CTE."
+    ),
+    "similarity_ivfpq_incremental": (
+        "Incremental IVF-PQ probe (round 12): same probe plan as "
+        "similarity_ivfpq_topk - bounded 2-cell routing collect, static "
+        "partition pruning on the cell-partitioned codes, broadcast ADC "
+        "LUT - but the staged index was built(evens)+update(odds): the "
+        "update routed/encoded ONLY the batch against frozen quantizers "
+        "and appended into the cell directories, so old and new rows "
+        "serve identically. Completes O(new docs) maintenance at the "
+        "fourth granularity (postings, fingerprints, LSH buckets, "
+        "embeddings)."
+    ),
+    "dedup_clusters_logstar": (
+        "Connected components via large-star/small-star alternation "
+        "(round 12): each round is two hash aggregates + two "
+        "co-partitioned joins over the rep-pair edge set, and the ROUND "
+        "COUNT is O(log n) regardless of component shape - the "
+        "diameter-bound escape hatch for chain-shaped dup clusters that "
+        "make min-label propagation unbounded at 100 TB. Same "
+        "collapse-first envelope and output contract as dedup_clusters."
+    ),
+    "multimodal_features": (
+        "REAL image decode (round 12): synthesize-PNG ArrowEvalPython "
+        "then a mapInPandas decode kernel (zlib inflate + scanline "
+        "unfilter) - blobs stay in the scan stage on executors, no "
+        "shuffle, only the 7 stat columns survive; the oracle's "
+        "closed-form pixel replay makes the value match an "
+        "encode-decode identity proof."
     ),
 }
 
