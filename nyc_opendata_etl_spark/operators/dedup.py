@@ -1360,6 +1360,35 @@ def build_lsh_bucket_index(
     )
 
 
+def update_lsh_bucket_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a new batch's band-bucket rows to a
+    :func:`build_lsh_bucket_index` layout — O(new docs): only the batch
+    collapses/signatures/bands; the existing index is never re-read.
+    Banding parameters come FROM the index's ``params/`` record (the
+    one source of truth — an update cannot drift from the build by
+    construction). Appended rows may repeat (band_idx, band_hash)
+    bucket keys already present; the probe's min-aggregate is
+    idempotent to that, and periodic compaction dedups, as with any
+    append-log relation (the update_fingerprint_index contract)."""
+    spark = new_docs.sparkSession
+    p = spark.read.parquet(f"{path}/params").first()
+    reps = _collapse_to_reps_onepass(new_docs, text_col, id_col)
+    sig = minhash_signatures(
+        reps, "__canon__", "id", p["num_hashes"], portable=True, assume_canonical=True
+    )
+    banded = lsh_banded_buckets(sig, p["num_hashes"], p["bands"], portable=True)
+    (
+        banded.select(F.col("id").alias("corpus_id"), "band_idx", "band_hash")
+        .write.mode("append")
+        .parquet(f"{path}/buckets")
+    )
+
+
 def incremental_near_dups(
     batch: DataFrame,
     index_path: str,

@@ -87,16 +87,27 @@ def _stage_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage the historical corpus's LSH band-bucket index (even
     doc_ids — the corpus half of the incremental near-dup scenario)
     once per corpus version: the near-dup twin of
-    _stage_fingerprint_index. params/ is written last (r12 layout —
-    the self-describing (num_hashes, bands) record) — its marker
-    proves the whole build completed, and pre-params stage dirs
-    rebuild once."""
+    _stage_fingerprint_index, and like it built INCREMENTALLY to
+    exercise the append maintenance path: base build from
+    doc_id % 4 == 0 (params/ written last — the r12 self-describing
+    (num_hashes, bands) record), then update_lsh_bucket_index appends
+    doc_id % 4 == 2 — together exactly the even half, so the
+    dedup_incremental_minhash oracle (which recomputes the even-corpus
+    side from raw documents) doubles as the append-equivalence proof.
+    _INCR_DONE is written last, proving both phases completed."""
     from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
 
     path = stage_dir(sf_dir, "lsh_bucket_index")
-    if is_stale(path, sf_dir, "documents", marker="params/_SUCCESS"):
+    if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
+        import os
+
         docs = load_table(spark, sf_dir, "documents")
-        dedup.build_lsh_bucket_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        dedup.build_lsh_bucket_index(docs.filter(F.col("doc_id") % 4 == 0), path)
+        dedup.update_lsh_bucket_index(
+            docs.filter(F.col("doc_id") % 4 == 2), path
+        )
+        with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
+            fh.write("")  # both phases completed
     return path
 
 

@@ -591,3 +591,35 @@ def test_png_spark_pipeline_decodes_from_bytes(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["pixel_sum"] == sum(expect)
         assert (r["px_min"], r["px_max"]) == (min(expect), max(expect))
+
+
+def test_update_lsh_bucket_index_appends_and_probe_sees_both(spark, tmp_path):
+    """build(first half) + update(second half) must serve the same
+    probe results as a one-shot build of the full corpus — the
+    append-maintenance contract; params come from the index record."""
+    rows = [
+        (i, f"document number {i} about {'spark' if i % 2 else 'duck'} "
+            f"planning and execution details repeated for shingles")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, rows[0][1]), (101, rows[1][1])], "doc_id long, text string"
+    )
+
+    one_shot = str(tmp_path / "oneshot")
+    dedup.build_lsh_bucket_index(docs, one_shot)
+    incr = str(tmp_path / "incr")
+    dedup.build_lsh_bucket_index(docs.filter(F.col("doc_id") < 4), incr)
+    dedup.update_lsh_bucket_index(docs.filter(F.col("doc_id") >= 4), incr)
+
+    a = {
+        (r["doc_id"], r["corpus_match"])
+        for r in dedup.incremental_near_dups(batch, one_shot).collect()
+    }
+    b = {
+        (r["doc_id"], r["corpus_match"])
+        for r in dedup.incremental_near_dups(batch, incr).collect()
+    }
+    assert a == b
+    assert (100, 0) in a and (101, 1) in a  # byte-identical matches hit
