@@ -275,6 +275,104 @@ def pandas_bpe_token_count(
     return _count(c)
 
 
+def bpe_vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token→id map for a merges table: single-character
+    symbols get their Unicode codepoint (mirrored by DuckDB's
+    ``unicode()``), merge composites get ``1_000_000 + rank`` (min rank
+    when two merges produce the same string, e.g. (a,bc) and (ab,c)
+    both yielding 'abc') — the offset keeps composite ids disjoint from
+    every codepoint. Every symbol a BPE apply can emit is covered: it
+    is either one char or the output of some merge."""
+    vocab: dict[str, int] = {}
+    for r, (x, y) in enumerate(merges):
+        tok = x + y
+        if tok not in vocab:
+            vocab[tok] = 1_000_000 + r
+    return vocab
+
+
+def pandas_bpe_encode(
+    col: Column | str, merges: list[tuple[str, str]], head: int = 32
+) -> Column:
+    """REAL BPE ENCODING as an Arrow-batched pandas UDF:
+    ``struct<n_tokens: long, ids_head: string>`` — the total token
+    count plus the first ``head`` token IDS space-joined (scalar
+    output, per the driver's no-array contract). Token order is
+    pretoken order × symbol order within each pretoken, exactly what
+    the training pipeline emits; the id scheme is
+    :func:`bpe_vocab_ids`. Shares the merge loop + distinct-word cache
+    shape with :func:`pandas_bpe_token_count` but caches the SYMBOL
+    LIST so the encoder pays the merge loop once per distinct word.
+    NULL text → NULL struct fields."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: r for r, p in enumerate(merges)}
+    comp_ids = bpe_vocab_ids(merges)
+    pat_src = BPE_ISH_RE
+
+    @pandas_udf("n_tokens long, ids_head string")
+    def _enc(texts):  # pd.Series -> pd.DataFrame
+        pat = re.compile(pat_src)
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            ids = cache.get(w)
+            if ids is not None:
+                return ids
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                if best_rank is None:
+                    break
+                x, y = merges[best_rank]
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ids = [
+                comp_ids[s] if len(s) > 1 else ord(s) for s in syms
+            ]
+            if len(cache) > 1_000_000:
+                cache.clear()
+            cache[w] = ids
+            return ids
+
+        n_col, head_col = [], []
+        for t in texts:
+            if t is None:
+                n_col.append(None)
+                head_col.append(None)
+                continue
+            ids: list[int] = []
+            n = 0
+            for w in pat.findall(t):
+                wi = word_ids(w)
+                n += len(wi)
+                if len(ids) < head:
+                    ids.extend(wi)
+            n_col.append(n)
+            head_col.append(" ".join(str(i) for i in ids[:head]))
+        return pd.DataFrame(
+            {"n_tokens": pd.array(n_col, dtype="Int64"), "ids_head": head_col}
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _enc(c)
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Deterministic quality-scoring features: length, token stats,
     punctuation/digit/whitespace ratios, mean token length."""

@@ -1539,6 +1539,81 @@ def q_corpus_pack_bins_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_tokenize_ids",
+    # Vocab is DERIVED in SQL from the same merges VALUES table the
+    # counting oracle embeds: composites id = 1e6 + min rank, single
+    # chars id = unicode(sym) — the bpe_vocab_ids scheme. Token order
+    # is pretoken position × symbol index, reassembled with parallel
+    # unnests and an ordered list aggregate.
+    oracle=f"""
+    WITH RECURSIVE m(r, lft, rgt) AS ({_BPE_VALUES_SQL}),
+    cm AS (
+        SELECT lft || rgt AS tok, 1000000 + min(r) AS id FROM m GROUP BY 1
+    ),
+    dws AS (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]') AS ws
+        FROM documents
+    ),
+    dwp AS (
+        SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+        FROM dws
+    ),
+    w(word) AS (SELECT DISTINCT word FROM dwp),
+    b(word, syms, r) AS (
+        SELECT word, str_split(word, ''), 0 FROM w
+        UNION ALL
+        SELECT b.word, {_BPE_PASS_SQL}, b.r + 1
+        FROM b JOIN m ON m.r = b.r
+        WHERE b.r < {_BPE_N}
+    ),
+    wc AS (SELECT word, syms FROM b WHERE r = {_BPE_N}),
+    tok AS (
+        SELECT d.doc_id, d.pos, unnest(wc.syms) AS sym,
+               unnest(range(len(wc.syms))) AS si
+        FROM dwp d JOIN wc USING (word)
+    ),
+    ids AS (
+        SELECT doc_id, pos, si,
+               CASE WHEN len(sym) = 1 THEN unicode(sym) ELSE cm.id END AS id
+        FROM tok LEFT JOIN cm ON cm.tok = sym
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               array_to_string(
+                   list_slice(list(id ORDER BY pos, si), 1, 32), ' ')
+                   AS ids_head
+        FROM ids GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NULL THEN NULL
+                     ELSE COALESCE(a.n_tokens, 0) END AS BIGINT) AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(a.ids_head, '') END AS ids_head
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_corpus_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE ENCODING — the artifact a training pipeline actually
+    emits: per document, the total subword count and the first 32
+    token IDS under the shipped merges table + deterministic vocab
+    (text.pandas_bpe_encode / bpe_vocab_ids: codepoints for single
+    chars, 1e6+rank for merge composites). Completes the tokenizer
+    story begun in r11 (slot) and r12 (real counting): learn → count →
+    ENCODE, all three oracle-pinned. Scale shape: one Arrow-batched
+    UDF in the scan stage with a distinct-word symbol cache; only two
+    scalar columns leave the Python worker; no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    enc = text.pandas_bpe_encode("text", text.load_bpe_merges(), head=32)
+    return docs.select("doc_id", enc.alias("e")).select(
+        "doc_id",
+        F.col("e.n_tokens").alias("n_tokens"),
+        F.col("e.ids_head").alias("ids_head"),
+    )
+
+
+@register(
     "corpus_chunk_docs",
     oracle=f"""
     WITH t AS (

@@ -623,3 +623,27 @@ def test_update_lsh_bucket_index_appends_and_probe_sees_both(spark, tmp_path):
     }
     assert a == b
     assert (100, 0) in a and (101, 1) in a  # byte-identical matches hit
+
+
+def test_bpe_encode_ids_consistent_with_count(spark):
+    """Encoder totals must equal the counting UDF; head ids decode the
+    first tokens in pretoken order under the bpe_vocab_ids scheme."""
+    from nyc_opendata_etl_spark.operators import text as T
+
+    merges = T.load_bpe_merges()
+    texts = ["the order flows", "", None, "ab12!cd"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    enc = df.select(
+        T.pandas_bpe_encode("text", merges, head=32).alias("e"),
+        T.pandas_bpe_token_count("text", merges).alias("n"),
+    ).collect()
+    for r in enc:
+        if r["e"]["n_tokens"] is None:
+            assert r["n"] is None
+        else:
+            assert r["e"]["n_tokens"] == r["n"]
+            ids = r["e"]["ids_head"].split() if r["e"]["ids_head"] else []
+            assert len(ids) == min(r["n"], 32)
+    vocab = T.bpe_vocab_ids(merges)
+    # composite ids disjoint from codepoints, stable min-rank on dupes
+    assert all(v >= 1_000_000 for v in vocab.values())
