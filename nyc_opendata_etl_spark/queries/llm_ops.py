@@ -2930,6 +2930,92 @@ def q_search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
 
 
+def _stage_text_index_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the posting-list index through the full LIFECYCLE: build
+    over the whole corpus, DELETE every doc_id % 5 == 0 (the takedown
+    batch), compact — the maintenance pass that makes deletions
+    visible and re-derives vocab/stats exactly from the survivors
+    (operators/index_maintenance). _COMPACT_DONE is written last,
+    proving build + delete + compact all completed."""
+    from nyc_opendata_etl_spark.operators import index_maintenance
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "text_index_del")
+    if is_stale(path, sf_dir, "documents", marker="_COMPACT_DONE"):
+        import os
+
+        docs = load_table(spark, sf_dir, "documents")
+        text.build_text_index(docs, path)
+        index_maintenance.compact_text_index(
+            spark,
+            path,
+            delete_ids=docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        )
+        with open(os.path.join(path, "_COMPACT_DONE"), "w") as fh:
+            fh.write("")  # build + delete + compact completed
+    return path
+
+
+@register(
+    "search_bm25_after_delete",
+    # the search_bm25 oracle restricted to the SURVIVING corpus: a
+    # value match proves the delete+compact pass removed exactly the
+    # takedown batch from postings AND reconciled vocab (df) and stats
+    # (n, sum_dl) to the survivors — BM25 scores depend on all three,
+    # so a stale df or sum_dl shifts every score.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents WHERE doc_id % 5 <> 0
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12)) AS c
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_hit_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_search_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe over an index that went through the full LIFECYCLE:
+    build → delete (every 5th doc — the takedown/opt-out batch) →
+    compact (operators/index_maintenance.compact_text_index). Deletes
+    become visible AT compaction (the batch-lakehouse contract), so
+    the probe plan is byte-identical to search_bm25's — no tombstone
+    anti-join rides the hot path; the maintenance job paid the
+    deletion. The oracle recomputes BM25 over the surviving corpus
+    from raw documents, so a value match verifies postings removal AND
+    the exact vocab/stats reconciliation (df, n, sum_dl all shift when
+    docs leave; a stale one shifts every score). Compaction cost is
+    O(index), never O(corpus text); the rewrite is temp-swap
+    crash-tolerant."""
+    index = _stage_text_index_compacted(spark, sf_dir)
+    return text.bm25_topk_indexed(spark, index, ["hash", "join", "vector"])
+
+
 # The full hybrid-RRF pipeline as ONE reusable CTE chain — the single
 # source of truth for BOTH the fusion oracle (search_hybrid_rrf) and
 # the rerank oracle (search_rerank_crossenc), so a BM25 constant or

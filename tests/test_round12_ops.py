@@ -647,3 +647,70 @@ def test_bpe_encode_ids_consistent_with_count(spark):
     vocab = T.bpe_vocab_ids(merges)
     # composite ids disjoint from codepoints, stable min-rank on dupes
     assert all(v >= 1_000_000 for v in vocab.values())
+
+
+# ── index lifecycle: delete + compact (round-12 extension) ──────────
+
+
+def test_compact_lsh_index_deletes_and_dedups(spark, tmp_path):
+    from nyc_opendata_etl_spark.operators import index_maintenance as im
+
+    path = str(tmp_path / "lsh")
+    docs = _docs(spark)
+    dedup.build_lsh_bucket_index(docs, path)
+    # append the same batch again: duplicate bucket rows accumulate
+    dedup.update_lsh_bucket_index(docs.filter(F.col("doc_id") == 2), path)
+    before = spark.read.parquet(f"{path}/buckets").count()
+    im.compact_lsh_index(
+        spark, path, delete_ids=spark.createDataFrame([(0,)], "doc_id long")
+    )
+    after = spark.read.parquet(f"{path}/buckets")
+    assert after.filter(F.col("corpus_id") == 0).count() == 0
+    assert after.count() < before  # dups gone too
+    # params survive compaction; probe still validates against them
+    p = spark.read.parquet(f"{path}/params").first()
+    assert (p["num_hashes"], p["bands"]) == (16, 4)
+    # a probe after compaction no longer matches the deleted rep 0:
+    # doc 3 is byte-identical to 0, so its canon collapses to rep 0 in
+    # the probe batch — but 0 is gone from the corpus side
+    out = {
+        r["doc_id"]: r["corpus_match"]
+        for r in dedup.incremental_near_dups(
+            docs.filter(F.col("doc_id") == 3), path
+        ).collect()
+    }
+    assert out.get(3) != 0
+
+
+def test_compact_fingerprint_index_dedups(spark, tmp_path):
+    from nyc_opendata_etl_spark.operators import index_maintenance as im
+
+    path = str(tmp_path / "fp")
+    docs = _docs(spark)
+    dedup.build_fingerprint_index(docs, path)
+    dedup.update_fingerprint_index(docs, path)  # same hashes again
+    before = spark.read.parquet(path).count()
+    im.compact_fingerprint_index(spark, path)
+    after = spark.read.parquet(path)
+    assert after.count() < before
+    assert after.count() == after.distinct().count()
+
+
+def test_compact_ivfpq_index_deletes_codes(spark, tmp_path):
+    from nyc_opendata_etl_spark.operators import index_maintenance as im
+
+    rows = [(i, [float(i % 7 + 1)] * 64) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivfpq_index(emb, path)
+    im.compact_ivfpq_index(
+        spark, path,
+        delete_ids=spark.createDataFrame([(20,), (21,)], "vec_id long"),
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("id").isin(20, 21)).count() == 0
+    assert codes.count() == 22 * 8
+    # quantizers untouched
+    assert spark.read.parquet(f"{path}/centroids").count() == 16
+    p = spark.read.parquet(f"{path}/params").first()
+    assert p["m"] == 8
