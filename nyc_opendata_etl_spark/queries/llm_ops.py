@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
+from nyc_opendata_etl_spark.functions.hashing import md5_long, md5_long_oracle_sql
 from nyc_opendata_etl_spark.operators import dedup, similarity, text
 from nyc_opendata_etl_spark.queries import register
 from nyc_opendata_etl_spark.queries._sql import PY_WS_RE2
@@ -919,6 +919,70 @@ def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
     return dedup.duplicate_clusters_collapsed(
         docs, threshold=0.8, cc_kernel=dedup.duplicate_clusters_logstar
+    )
+
+
+@register(
+    "corpus_split_leakage_safe",
+    # clusters replayed by the dedup_clusters recursive CTE; the split
+    # key is the cluster id (doc id for singletons) so every near-dup
+    # group lands WHOLLY in one split; the 80/10/10 cut replays the
+    # md5_long fold on the key.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {md5_long_oracle_sql("CAST(split_key AS VARCHAR)")} % 10 < 8
+                     THEN 'train'
+                WHEN {md5_long_oracle_sql("CAST(split_key AS VARCHAR)")} % 10 = 8
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash-assign by NEAR-DUP
+    CLUSTER, not by document — a near-duplicate of a training doc in
+    the eval set is silent benchmark contamination, the
+    Lee-et-al.-2022 failure mode a plain per-doc hash split cannot
+    prevent. Clusters come from the collapse-first exact-Jaccard
+    kernel (duplicate_clusters_collapsed); singletons key on their own
+    id; the 80/10/10 cut is the deterministic md5_long fold on the
+    key, so adding documents never reshuffles existing assignments
+    (the stable-split property incremental corpus builds need). Plan
+    shape: the clustering's rep-graph work + one broadcast-ish left
+    join + pure expressions; the split itself adds no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    clusters = dedup.duplicate_clusters_collapsed(docs, threshold=0.8)
+    keyed = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = md5_long(F.col("split_key").cast("string")) % 10
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

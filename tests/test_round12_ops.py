@@ -714,3 +714,30 @@ def test_compact_ivfpq_index_deletes_codes(spark, tmp_path):
     assert spark.read.parquet(f"{path}/centroids").count() == 16
     p = spark.read.parquet(f"{path}/params").first()
     assert p["m"] == 8
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    from nyc_opendata_etl_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["corpus_split_leakage_safe"](spark, sf).collect()
+    assert rows
+    splits = {"train", "val", "test"}
+    by_key = {}
+    for r in rows:
+        assert r["split"] in splits
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    # every split_key (cluster or singleton) maps to exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # near-dup CLUSTERS (multi-doc keys) exist in this corpus and are
+    # whole-in-one-split — the property a per-doc hash split violates
+    multi = [k for k, _ in by_key.items()
+             if sum(1 for r in rows if r["split_key"] == k) > 1]
+    assert multi
+    # stability: adding docs never moves existing ones — the split is
+    # a pure function of the key
+    again = {
+        (r["doc_id"], r["split"])
+        for r in queries()["corpus_split_leakage_safe"](spark, sf).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
