@@ -227,9 +227,15 @@ def chunk_documents(
     no tokens yield no chunks.
 
     Scale shape: a narrow projection + ``explode`` — no shuffle, runs
-    inside the scan stage, output ~``n/s`` rows per doc. The token
-    arrays never leave the executor; only the joined chunk text is
-    emitted. Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    inside the scan stage, output ~``n/s`` rows per doc. The slice
+    happens INSIDE the transform, BEFORE the explode (round-12 review):
+    exploding bare chunk indices and slicing afterwards made Generate
+    copy the doc's FULL token array into every generated UnsafeRow —
+    ~``n/s``× memory-bandwidth amplification per doc inside the task;
+    exploding pre-sliced (chunk_id, piece) structs materializes each
+    token once plus the overlap. The token arrays never leave the
+    executor; only the joined chunk text is emitted. Output: (id,
+    chunk_id, n_chunk_tokens, chunk_text).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
@@ -244,21 +250,21 @@ def chunk_documents(
     n_chunks = F.when(F.col("__n__") <= chunk_tokens, F.lit(1)).otherwise(
         F.floor((F.col("__n__") - chunk_tokens + stride - 1) / stride) + 1
     )
-    exploded = base.select(
-        id_col,
-        "__toks__",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
-        ).alias("chunk_id"),
+    pieces = F.transform(
+        F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long")),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(
+                F.col("__toks__"), i.cast("int") * stride + 1, chunk_tokens
+            ).alias("piece"),
+        ),
     )
-    piece = F.slice(
-        "__toks__", F.col("chunk_id").cast("int") * stride + 1, chunk_tokens
-    )
+    exploded = base.select(id_col, F.explode(pieces).alias("c"))
     return exploded.select(
         id_col,
-        "chunk_id",
-        F.size(piece).cast("long").alias("n_chunk_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.piece").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.piece", " ").alias("chunk_text"),
     )
 
 

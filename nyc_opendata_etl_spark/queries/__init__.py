@@ -293,6 +293,10 @@ _RECHECK_R12 = (
     # r12: multimodal_features upgraded from fake byte stats to real
     # PNG encode+decode with a new closed-form-pixel oracle.
     "multimodal_features",
+    # r12 curation review: chunk_documents now slices INSIDE the
+    # transform before exploding (Generate no longer copies the full
+    # token array per chunk row) — same output, new plan.
+    "corpus_chunk_docs",
 )
 
 def _ordered() -> dict[str, QueryDef]:
