@@ -83,6 +83,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         _stage_ivfpq_index_incremental,
         _stage_lsh_index,
         _stage_text_index,
+        _stage_text_index_compacted,
         _stage_text_index_incremental,
     )
     from nyc_opendata_etl_spark.queries.parity import _stage_documents
@@ -93,6 +94,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "text_index_incr (incremental postings)",
             lambda: _stage_text_index_incremental(spark, sf_dir),
+        ),
+        (
+            "text_index_del (delete+compact lifecycle)",
+            lambda: _stage_text_index_compacted(spark, sf_dir),
         ),
         ("ivfpq_index (ANN codebooks)", lambda: _stage_ivfpq_index(spark, sf_dir)),
         (

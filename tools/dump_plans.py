@@ -386,6 +386,27 @@ SHOWCASE = {
         "closed-form pixel replay makes the value match an "
         "encode-decode identity proof."
     ),
+    "search_bm25_after_delete": (
+        "Index LIFECYCLE probe (round 12): the staged index went "
+        "through build -> delete -> compact, and the probe plan is "
+        "byte-identical to search_bm25's - no tombstone anti-join on "
+        "the hot path, because deletes become visible AT compaction "
+        "(the batch-lakehouse contract); vocab/stats were re-derived "
+        "exactly from the survivors by the maintenance pass."
+    ),
+    "corpus_split_leakage_safe": (
+        "Cluster-keyed train/val/test split (round 12): the near-dup "
+        "clustering envelope (collapse-first, rep-graph CC) plus ONE "
+        "left join and pure md5-fold expressions - no additional "
+        "shuffle for the split itself; assignments are a pure function "
+        "of the cluster key, so corpus growth never reshuffles them."
+    ),
+    "corpus_tokenize_ids": (
+        "Real BPE ENCODING (round 12): one ArrowEvalPython stage in "
+        "the scan emits (n_tokens, ids_head) per doc - the merge loop "
+        "runs once per DISTINCT word via the worker-side symbol cache; "
+        "no shuffle anywhere in the plan."
+    ),
 }
 
 
