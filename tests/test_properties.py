@@ -221,3 +221,100 @@ def test_portable_simhash_matches_python_reference(spark, docs):
     }
     for i, (_, text) in enumerate(rows):
         assert got[i] == _ref_simhash(text), text
+
+
+# ── round 12: BPE merge semantics, Python vs DuckDB, on ARBITRARY
+# learned merges (not just the shipped fixture) ─────────────────────
+
+_BPE_WORD = st.text(alphabet="abcdef", min_size=1, max_size=16)
+
+
+def _learn_local(words: list[str], n_merges: int = 24) -> list[tuple[str, str]]:
+    """Pure-Python twin of text.learn_bpe_merges' driver loop (the
+    distributed part is just a word count, irrelevant to the property)."""
+    vocab: dict[tuple, int] = {}
+    for w in words:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                if syms[i] != syms[i + 1]:
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        x, y = best
+        nv: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + c
+        vocab = nv
+    return merges
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(_BPE_WORD, min_size=4, max_size=60),
+    st.lists(_BPE_WORD, min_size=1, max_size=30),
+)
+def test_bpe_python_equals_duckdb_on_arbitrary_merges(train_words, probe_words):
+    """For merges learned from ANY corpus, the Python rank-ordered
+    apply and the DuckDB recursive indexed-lambda replay agree on every
+    probe word — the cross-engine contract corpus_pack_bins_tokenized /
+    corpus_tokenize_ids rest on, checked beyond the shipped fixture."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.operators.text import bpe_word_token_count
+
+    merges = _learn_local(train_words)
+    expect = {w: bpe_word_token_count(w, merges) for w in set(probe_words)}
+
+    con = duckdb.connect()
+    if merges:
+        vals = ", ".join(
+            f"({r}, '{x}', '{y}')" for r, (x, y) in enumerate(merges)
+        )
+        m_cte = f"m(r, lft, rgt) AS (SELECT * FROM (VALUES {vals}) v),"
+        n = len(merges)
+        rec = f"""
+        UNION ALL
+        SELECT b.word,
+          list_filter(
+            list_transform(b.syms, (e, i) ->
+              CASE WHEN e = m.lft AND i < len(b.syms)
+                        AND b.syms[i + 1] = m.rgt THEN m.lft || m.rgt
+                   WHEN e = m.rgt AND i > 1
+                        AND b.syms[i - 1] = m.lft THEN NULL
+                   ELSE e END),
+            x -> x IS NOT NULL),
+          b.r + 1
+        FROM b JOIN m ON m.r = b.r
+        WHERE b.r < {n}
+        """
+    else:
+        m_cte, n, rec = "", 0, ""
+    q = f"""
+    WITH RECURSIVE {m_cte}
+    w(word) AS (SELECT unnest(?)),
+    b(word, syms, r) AS (
+        SELECT word, str_split(word, ''), 0 FROM w
+        {rec}
+    )
+    SELECT word, len(syms) FROM b WHERE r = {n}
+    """
+    got = dict(con.execute(q, [sorted(set(probe_words))]).fetchall())
+    assert got == expect
