@@ -987,6 +987,134 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_e2e_curation",
+    # every stage is a proven oracle fragment composed end-to-end:
+    # recursive-CTE clusters -> survivor anti-filter -> md5-fold split
+    # -> regex token cost -> the pack_bins cumsum windows keyed per
+    # (split, shard).
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    keep AS (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+                         THEN 'train'
+                    WHEN {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 10 = 8
+                         THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+                         THEN 0 WHEN {md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 10 = 8
+                         THEN 1 ELSE 2 END AS split_idx,
+               CAST({md5_long_oracle_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) + 1
+                    AS BIGINT) AS cost
+        FROM keep
+    ),
+    p AS (
+        SELECT doc_id, split, shard, cost,
+               CAST(split_idx AS BIGINT) * 1125899906842624
+               + CAST(shard AS BIGINT) * 1099511627776
+               + CAST(floor(COALESCE(sum(cost) OVER (
+                     PARTITION BY split, shard ORDER BY cost DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512.0) AS BIGINT) AS pack_id
+        FROM s
+    )
+    SELECT doc_id, split, shard, cost, pack_id,
+           CAST(sum(cost) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_fill
+    FROM p
+    """,
+)
+def q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data team actually
+    runs, as ONE composed plan: near-dup cluster (collapse-first
+    exact-Jaccard CC) → keep one survivor per cluster (the min-id rep —
+    every survivor's id IS its cluster id, so the leakage-safe split
+    key is free) → 80/10/10 md5-fold split → tokenizer-cost
+    decreasing-order packing per (split, shard). Nothing here is new
+    machinery — it is the composition proof: the dedup kernel, the
+    split rule, and the packing windows snap together without any
+    driver-side glue, and the whole pipeline stays one lazy DataFrame a
+    writer materializes with one action. Shuffle ledger: the clustering
+    envelope + ONE window exchange on (split, shard) + the pack-stats
+    window on its finer key; the split/cost stages are scan-local
+    expressions. Output: (doc_id, split, shard, cost, pack_id,
+    pack_fill), one row per surviving doc."""
+    from nyc_opendata_etl_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    clusters = dedup.duplicate_clusters_collapsed(docs, threshold=0.8)
+    dup_members = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    keep = docs.join(dup_members, "doc_id", "left_anti")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    split_idx = (
+        F.when(bucket < 8, 0).when(bucket == 8, 1).otherwise(2).cast("long")
+    )
+    s = keep.select(
+        "doc_id",
+        split.alias("split"),
+        split_idx.alias("__si__"),
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(8))
+        .cast("int")
+        .alias("shard"),
+        (bpe_ish_token_count("text").cast("long") + F.lit(1)).alias("cost"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("split", "shard")
+        .orderBy(F.col("cost").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("cost").over(w), F.lit(0))
+    packed = s.select(
+        "doc_id",
+        "split",
+        "shard",
+        "cost",
+        (
+            F.col("__si__") * F.lit(1 << 50)
+            + F.col("shard").cast("long") * F.lit(1 << 40)
+            + F.floor(cum / 512)
+        ).alias("pack_id"),
+    )
+    wp = W.partitionBy("pack_id")
+    return packed.select(
+        "doc_id",
+        "split",
+        "shard",
+        "cost",
+        "pack_id",
+        F.sum("cost").over(wp).alias("pack_fill"),
+    )
+
+
+@register(
     "join_skew_salted",
     oracle="""
     WITH dim AS (

@@ -741,3 +741,31 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
         for r in queries()["corpus_split_leakage_safe"](spark, sf).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_e2e_curation_stage_laws(spark):
+    from nyc_opendata_etl_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["corpus_e2e_curation"](spark, sf).collect()
+    assert rows
+    docs_n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) < docs_n  # dedup actually removed members
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack in by_pack.values():
+        # a pack never spans splits or shards; fill = sum of its costs
+        assert len({p["split"] for p in pack}) == 1
+        assert len({p["shard"] for p in pack}) == 1
+        assert pack[0]["pack_fill"] == sum(p["cost"] for p in pack)
+        # window-chunk overshoot bound: fill < budget + max cost in pack
+        assert pack[0]["pack_fill"] < 512 + max(p["cost"] for p in pack)
+    # survivors' split equals the standalone leakage-safe rule on the
+    # same key space (survivor id == cluster key)
+    splits = {(r["doc_id"], r["split"]) for r in rows}
+    leak = {
+        (r["doc_id"], r["split"])
+        for r in queries()["corpus_split_leakage_safe"](spark, sf).collect()
+    }
+    assert splits <= leak
