@@ -407,6 +407,14 @@ SHOWCASE = {
         "runs once per DISTINCT word via the worker-side symbol cache; "
         "no shuffle anywhere in the plan."
     ),
+    "corpus_e2e_curation": (
+        "The composed curation pipeline (round 12) as ONE plan: the "
+        "collapse-first clustering envelope feeds a left-anti survivor "
+        "filter, the split/cost stages are scan-local expressions, and "
+        "packing adds exactly one (split, shard) window exchange plus "
+        "the pack-stats window on its finer key - no driver-side glue "
+        "between stages, one action materializes the training set."
+    ),
 }
 
 
