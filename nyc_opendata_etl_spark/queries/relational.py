@@ -1659,6 +1659,58 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest",
+    oracle="""
+    WITH j AS (
+        SELECT e.event_id, o.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                                - epoch_us(e.ts)),
+                            o.o_orderdate, o.o_orderkey) AS rn
+        FROM events e
+        JOIN orders o ON e.user_id % 1500 + 1 = o.o_custkey
+    )
+    SELECT e.event_id, e.user_id, e.ts, j.o_orderkey AS nearest_order_key
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM j WHERE rn = 1) j
+      USING (event_id)
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join — the third member of the family
+    (backward `join_asof`, forward `join_asof_forward`; pandas/polars
+    ``merge_asof(direction='nearest')`` parity): the order whose date
+    is CLOSEST to each event's timestamp in either direction, distance
+    in exact microseconds (UTC session ⇔ DuckDB epoch_us, bit-equal),
+    ties → earlier date then smaller key. Same scalable shape as its
+    siblings: one equi-key shuffle + a min_by(struct) hash aggregate
+    per event — no inequality filter at all, so the per-customer order
+    set aggregates once and nothing resembles a range cross product."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.select(
+        "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
+    )
+    j = e.join(orders, F.col("join_cust") == orders["o_custkey"], "left")
+    # ts arrives TIMESTAMP_NTZ (the nanos-parquet conversion);
+    # unix_micros needs TIMESTAMP — the NTZ→LTZ cast is exact under the
+    # UTC session, matching DuckDB's epoch_us on the naive value
+    dist = F.abs(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    picked = j.groupBy("event_id").agg(
+        F.min_by(
+            "o_orderkey",
+            F.struct(dist, F.col("o_orderdate"), F.col("o_orderkey")),
+        ).alias("nearest_order_key")
+    )
+    return events.select("event_id", "user_id", "ts").join(
+        picked, "event_id", "left"
+    )
+
+
+@register(
     "market_basket_pairs",
     oracle="""
     WITH b AS (
