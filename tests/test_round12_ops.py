@@ -769,3 +769,54 @@ def test_e2e_curation_stage_laws(spark):
         for r in queries()["corpus_split_leakage_safe"](spark, sf).collect()
     }
     assert splits <= leak
+
+
+def test_compact_text_index_equals_fresh_build_of_survivors(spark, tmp_path):
+    """build(all) + delete + compact must serve byte-identical probe
+    results to a from-scratch build over the surviving corpus — the
+    contract search_bm25_after_delete's oracle checks at the BM25
+    level, pinned here at the postings/vocab/stats level."""
+    from nyc_opendata_etl_spark.operators import index_maintenance as im
+    from nyc_opendata_etl_spark.operators import text as T
+
+    rows = [
+        (i, f"doc {i} with shared words hash join vector plus filler {i % 3}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+
+    lifecycle = str(tmp_path / "life")
+    T.build_text_index(docs, lifecycle)
+    im.compact_text_index(
+        spark, lifecycle,
+        delete_ids=docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+    )
+    fresh = str(tmp_path / "fresh")
+    T.build_text_index(survivors, fresh)
+
+    for rel, key in [("postings", ["term", "doc_id"]), ("vocab", ["term"]),
+                     ("stats", [])]:
+        a = {tuple(r) for r in spark.read.parquet(f"{lifecycle}/{rel}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{fresh}/{rel}").collect()}
+        assert a == b, rel
+    # and the probe agrees end-to-end
+    pa = {tuple(r) for r in T.bm25_topk_indexed(spark, lifecycle, ["hash", "join"]).collect()}
+    pb = {tuple(r) for r in T.bm25_topk_indexed(spark, fresh, ["hash", "join"]).collect()}
+    assert pa == pb
+
+
+def test_bench_steal_window_math():
+    """bench.py's /proc/stat window math: steal/iowait percentages over
+    a tick delta, guest fields excluded from the total (double-count
+    fix pinned), degenerate windows -> None."""
+    import bench
+
+    before = (100, 50, 10_000)
+    after = (150, 80, 11_000)  # +50 steal, +30 iowait, +1000 total
+    assert bench._tick_pcts(before, after) == (5.0, 3.0)
+    assert bench._tick_pcts(before, before) is None   # zero-width window
+    assert bench._tick_pcts(None, after) is None
+    # _cpu_ticks on this Linux box returns a consistent triple
+    t = bench._cpu_ticks()
+    assert t is not None and t[2] >= t[0] + t[1]
