@@ -1151,6 +1151,118 @@ def incremental_new_docs(
 
 
 # ──────────────────────────────────────────────────────────────────────
+# Refcounted fingerprint index: the deletion-capable variant.
+#
+# The bare index above stores DISTINCT content hashes, which makes
+# id-based deletion dishonest: removing one doc's hash is only correct
+# if NO surviving doc shares the canon (operators/index_maintenance.py
+# module docstring). The refcounted variant stores (h, cnt) DELTAS in
+# an append log — build writes per-canon doc counts, updates append
+# positive deltas, deletions append NEGATIVE deltas — so both directions
+# of maintenance stay O(batch) writes that never read the index. A
+# canon is live iff SUM(cnt) > 0, which a probe evaluates over just the
+# batch's hashes and compaction reconciles to exact (h, refcount) rows.
+# This is the counting-merge-on-compaction design every LSM/lakehouse
+# delete path uses; unlike the other three staged indexes (whose
+# deletes only take effect at compaction), refcount sums make deletes
+# visible to probes IMMEDIATELY, because correctness of "is this text
+# new?" after a takedown cannot wait for the nightly rewrite.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def build_fingerprint_index_rc(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_files: int = 8,
+) -> None:
+    """Materialize the refcounted fingerprint index: one ``(h, cnt)``
+    row per distinct canonical text, ``cnt`` = number of corpus docs
+    sharing that canon. Same hash as :func:`build_fingerprint_index`
+    (an rc probe is bit-identical to re-hashing), same range-sorted
+    layout (footer min/max bounds each file; sort-merge anti joins
+    co-partition for free at cluster scale)."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    (
+        docs.select(fingerprint(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .repartitionByRange(num_files, "h")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def update_fingerprint_index_rc(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Append a new batch's per-canon doc counts as positive deltas —
+    O(new docs); the existing index is never re-read. Repeated appends
+    of the same canon accumulate delta rows; probes SUM them and
+    compaction folds them to one row."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    (
+        new_docs.select(fingerprint(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def delete_from_fingerprint_index_rc(
+    deleted_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Append NEGATIVE per-canon deltas for withdrawn docs (takedowns,
+    opt-outs) — O(deleted docs), index never re-read. A canon whose
+    live refcount reaches 0 stops serving at the NEXT PROBE (sum
+    semantics), not merely at compaction; a canon some surviving doc
+    still shares stays live, the exact case the bare-hash index cannot
+    express. Callers pass each withdrawn doc ONCE (the relation being
+    deleted from the corpus table) — double-deleting drives the sum
+    negative, which probes and compaction both treat as absent."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    (
+        deleted_docs.select(fingerprint(text_col).alias("h"))
+        .groupBy("h")
+        .agg((-F.count(F.lit(1))).cast("long").alias("cnt"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def incremental_new_docs_rc(
+    batch: DataFrame,
+    fingerprint_index_rc: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids in ``batch`` whose canonical text has no LIVE refcount in
+    the delta log (``SUM(cnt) <= 0`` or absent). Plan shape: the
+    batch's distinct hashes broadcast into a left-semi over the index
+    scan (only ``h``/``cnt`` columns read), a partial-agg SUM over just
+    the touched hashes, then a broadcast anti join back onto the batch
+    — one index scan, no index shuffle, state bounded by the batch.
+    Matches :func:`incremental_new_docs` output on a delete-free log."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    keyed = batch.select(F.col(id_col), fingerprint(text_col).alias("h"))
+    probe_hashes = keyed.select("h").distinct()
+    live = (
+        fingerprint_index_rc.join(F.broadcast(probe_hashes), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("rc"))
+        .filter(F.col("rc") > 0)
+        .select("h")
+    )
+    return keyed.join(F.broadcast(live), "h", "left_anti").select(id_col)
+
+
+# ──────────────────────────────────────────────────────────────────────
 # URL / host-level dedup: the web-corpus granularities.
 #
 # Production web-corpus pipelines dedup at FOUR granularities: document

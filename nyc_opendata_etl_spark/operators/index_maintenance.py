@@ -34,8 +34,10 @@ The fingerprint index stores bare content hashes (no doc ids), so
 id-based deletion does not apply there: removing a doc's hash is only
 correct if NO surviving doc shares the canon, which requires a
 refcount the minimal relation deliberately omits. compact_fingerprint_index
-therefore dedups only; a deployment needing fingerprint deletion adds
-a (h, refcount) variant — documented here rather than faked.
+therefore dedups only; deployments needing fingerprint deletion use the
+refcounted variant (operators/dedup.py: build/update/delete
+``*_fingerprint_index_rc``), whose delta log compact_fingerprint_index_rc
+folds to exact ``(h, refcount)`` rows here.
 """
 
 from __future__ import annotations
@@ -133,6 +135,32 @@ def compact_fingerprint_index(spark: SparkSession, path: str) -> None:
         path,
         lambda tmp: (
             hashes.repartitionByRange(8, "h")
+            .sortWithinPartitions("h")
+            .write.parquet(tmp)
+        ),
+    )
+
+
+def compact_fingerprint_index_rc(spark: SparkSession, path: str) -> None:
+    """Fold a refcounted fingerprint delta log (build + update appends +
+    negative delete deltas) to its exact state: one ``(h, refcount)``
+    row per LIVE canon (``SUM(cnt) > 0``), range-sorted. Probes sum
+    deltas anyway, so compaction changes no answer — it retires log
+    length, restores the clustered layout, and drops dead canons. Net
+    refcounts ≤ 0 (fully withdrawn, or over-deleted per the
+    delete_from_fingerprint_index_rc contract) are dropped entirely, so
+    ``compact(build(all) + delete(gone)) == build(survivors)`` row for
+    row — pinned in tests/test_round12b_ops.py."""
+    folded = (
+        spark.read.parquet(path)
+        .groupBy("h")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    _swap_dir(
+        path,
+        lambda tmp: (
+            folded.repartitionByRange(8, "h")
             .sortWithinPartitions("h")
             .write.parquet(tmp)
         ),

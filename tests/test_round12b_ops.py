@@ -1,0 +1,129 @@
+"""Round-12 extension pins: the refcounted fingerprint index — the
+deletion-capable variant operators/index_maintenance.py documented as
+missing ("a deployment needing fingerprint deletion adds a (h,
+refcount) variant"). Contract under test: (h, cnt) delta-log appends
+for both ingest and takedown, probe-time SUM semantics (deletes visible
+immediately, canons shared with survivors stay live), and compaction
+folding the log to exactly what a fresh build of the survivors writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators import dedup
+from nyc_opendata_etl_spark.operators import index_maintenance as im
+
+DUP_TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _docs(spark):
+    rows = [
+        (0, DUP_TEXT),
+        (1, DUP_TEXT + "!"),
+        (2, "completely different text about spark physical planning xyz"),
+        (3, DUP_TEXT),  # byte-identical to doc 0: shared canon, rc=2
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe_ids(spark, path, batch) -> set[int]:
+    idx = spark.read.parquet(path)
+    return {
+        r["doc_id"]
+        for r in dedup.incremental_new_docs_rc(batch, idx).collect()
+    }
+
+
+def test_build_rc_counts_docs_per_canon(spark, tmp_path):
+    path = str(tmp_path / "fp_rc")
+    dedup.build_fingerprint_index_rc(_docs(spark), path)
+    rows = spark.read.parquet(path).collect()
+    # 3 distinct canons; the shared one carries refcount 2
+    assert sorted(r["cnt"] for r in rows) == [1, 1, 2]
+
+
+def test_delete_shared_canon_keeps_survivor_live(spark, tmp_path):
+    path = str(tmp_path / "fp_rc")
+    docs = _docs(spark)
+    dedup.build_fingerprint_index_rc(docs, path)
+    # withdraw doc 3 — doc 0 still shares the canon, so a re-ingested
+    # byte-identical copy must NOT be flagged new (bare-hash index
+    # could only get this right by refusing to delete at all)
+    dedup.delete_from_fingerprint_index_rc(
+        docs.filter(F.col("doc_id") == 3), path
+    )
+    reingest = spark.createDataFrame([(9, DUP_TEXT)], "doc_id long, text string")
+    assert _probe_ids(spark, path, reingest) == set()
+    # withdraw doc 0 too — the canon's live refcount hits 0 and the
+    # probe flips to "new" IMMEDIATELY, before any compaction
+    dedup.delete_from_fingerprint_index_rc(
+        docs.filter(F.col("doc_id") == 0), path
+    )
+    assert _probe_ids(spark, path, reingest) == {9}
+
+
+def test_compact_rc_equals_fresh_build_of_survivors(spark, tmp_path):
+    live = str(tmp_path / "fp_rc")
+    fresh = str(tmp_path / "fp_rc_fresh")
+    docs = _docs(spark)
+    dedup.build_fingerprint_index_rc(docs.filter(F.col("doc_id") <= 1), live)
+    dedup.update_fingerprint_index_rc(docs.filter(F.col("doc_id") >= 2), live)
+    dedup.delete_from_fingerprint_index_rc(
+        docs.filter(F.col("doc_id").isin(0, 2)), live
+    )
+    im.compact_fingerprint_index_rc(spark, live)
+    dedup.build_fingerprint_index_rc(
+        docs.filter(F.col("doc_id").isin(1, 3)), fresh
+    )
+    got = sorted(map(tuple, spark.read.parquet(live).collect()))
+    want = sorted(map(tuple, spark.read.parquet(fresh).collect()))
+    assert got == want
+    # and dead canons are gone as ROWS, not carried at cnt<=0
+    assert all(cnt > 0 for _, cnt in got)
+
+
+def test_compact_rc_changes_no_probe_answer(spark, tmp_path):
+    path = str(tmp_path / "fp_rc")
+    docs = _docs(spark)
+    dedup.build_fingerprint_index_rc(docs, path)
+    dedup.delete_from_fingerprint_index_rc(
+        docs.filter(F.col("doc_id").isin(0, 3)), path
+    )
+    batch = spark.createDataFrame(
+        [(10, DUP_TEXT), (11, DUP_TEXT + "!"), (12, "never seen before zzz")],
+        "doc_id long, text string",
+    )
+    before = _probe_ids(spark, path, batch)
+    im.compact_fingerprint_index_rc(spark, path)
+    assert _probe_ids(spark, path, batch) == before == {10, 12}
+
+
+def test_rc_probe_matches_bare_probe_on_delete_free_log(spark, tmp_path):
+    bare = str(tmp_path / "fp")
+    rc = str(tmp_path / "fp_rc")
+    docs = _docs(spark)
+    dedup.build_fingerprint_index(docs.filter(F.col("doc_id") <= 2), bare)
+    dedup.build_fingerprint_index_rc(docs.filter(F.col("doc_id") <= 2), rc)
+    batch = spark.createDataFrame(
+        [(3, DUP_TEXT), (4, "brand new text qqq")], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_new_docs(
+            batch, spark.read.parquet(bare)
+        ).collect()
+    }
+    assert _probe_ids(spark, rc, batch) == want == {4}
+
+
+def test_rc_probe_never_shuffles_the_index(spark, tmp_path):
+    path = str(tmp_path / "fp_rc")
+    dedup.build_fingerprint_index_rc(_docs(spark), path)
+    plan = dedup.incremental_new_docs_rc(
+        _docs(spark), spark.read.parquet(path)
+    )._jdf.queryExecution().executedPlan().toString()
+    # batch hashes broadcast into the index scan; no sort-merge join
+    # (which would shuffle the full index on h) anywhere in the probe
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
