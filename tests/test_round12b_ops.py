@@ -9,6 +9,12 @@ folding the log to exactly what a fresh build of the survivors writes.
 
 from __future__ import annotations
 
+import hashlib
+import shutil
+import tempfile
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.operators import dedup
@@ -115,6 +121,71 @@ def test_rc_probe_matches_bare_probe_on_delete_free_log(spark, tmp_path):
         ).collect()
     }
     assert _probe_ids(spark, rc, batch) == want == {4}
+
+
+# Tiny alphabet with case + runs of whitespace so distinct raw strings
+# genuinely collide on the canonical form (the refcount unit is the
+# CANON, not the raw text) — the property is vacuous without collisions.
+_RC_TEXT = st.text(alphabet="aB ", min_size=0, max_size=8)
+
+
+def _canon_fp(text: str) -> int:
+    canon = " ".join(text.lower().split())
+    return int(hashlib.md5(canon.encode()).hexdigest(), 16) % (10**9)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_rc_index_matches_brute_force_on_arbitrary_interleavings(spark, data):
+    """For ANY build corpus, append batch, sub-multiset of deletions and
+    probe batch: the delta-log probe must flag exactly the probe texts
+    whose canonical form has no live refcount under a pure-Python
+    multiset recomputation, and compaction must fold the log to exactly
+    the live (fingerprint, refcount) rows. One scenario per example
+    (the per-example Spark round-trips bound max_examples)."""
+    corpus = data.draw(st.lists(_RC_TEXT, min_size=1, max_size=10))
+    upd = data.draw(st.lists(_RC_TEXT, min_size=0, max_size=5))
+    everything = corpus + upd
+    gone_flags = data.draw(
+        st.lists(
+            st.booleans(), min_size=len(everything), max_size=len(everything)
+        )
+    )
+    gone = [t for t, g in zip(everything, gone_flags) if g]
+    probe = data.draw(st.lists(_RC_TEXT, min_size=1, max_size=6))
+
+    rc = Counter(_canon_fp(t) for t in everything)
+    rc.subtract(_canon_fp(t) for t in gone)
+    live = {h for h, n in rc.items() if n > 0}
+    want_new = sorted(i for i, t in enumerate(probe) if _canon_fp(t) not in live)
+
+    root = tempfile.mkdtemp(prefix="rc_prop_")
+    try:
+        path = f"{root}/idx"
+
+        def df(texts, start=0):
+            return spark.createDataFrame(
+                list(enumerate(texts, start)), "doc_id long, text string"
+            )
+
+        dedup.build_fingerprint_index_rc(df(corpus), path)
+        if upd:
+            dedup.update_fingerprint_index_rc(df(upd, len(corpus)), path)
+        if gone:
+            dedup.delete_from_fingerprint_index_rc(df(gone), path)
+        got_new = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_new_docs_rc(
+                df(probe), spark.read.parquet(path)
+            ).collect()
+        )
+        assert got_new == want_new
+        im.compact_fingerprint_index_rc(spark, path)
+        got_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+        want_rows = sorted((h, rc[h]) for h in live)
+        assert got_rows == want_rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_rc_probe_never_shuffles_the_index(spark, tmp_path):
