@@ -283,6 +283,138 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ──────────────────────────────────────────────────────────────────────
+# REAL audio decode (late round 12): the PNG move replayed for audio.
+# PCM WAV is stdlib-decodable — synthesize_wav_media builds small VALID
+# RIFF/WAVE PCM16 payloads whose samples are a closed-form function of
+# the id (SQL-replayable stats, same trick as png_encode_gray), and
+# extract_audio_features recovers them FROM THE ENCODED BYTES via the
+# stdlib ``wave`` module — a genuinely independent decoder (the encoder
+# below writes the RIFF header by hand with ``struct``; encode and
+# decode share no code, so the roundtrip is a real check, not an
+# identity). Same scale shape: Arrow-batched mapInPandas in the scan
+# stage, no shuffle, blobs never leave the executors; the kernel is the
+# drop-in point for soundfile/ffmpeg.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def wav_encode_pcm16(
+    seed: int, n_samples: int, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """A valid PCM16 WAV; interleaved sample(i) =
+    ((seed*31 + i*17) % 65536) - 32768 for i in frame-major order (the
+    closed form an oracle replays). RIFF sizes exact, header by hand."""
+    import struct
+
+    total = n_samples * n_channels
+    frames = b"".join(
+        struct.pack("<h", ((seed * 31 + i * 17) % 65536) - 32768)
+        for i in range(total)
+    )
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a PCM16 WAV via the stdlib ``wave`` reader: returns
+    (n_channels, sample_rate, interleaved samples). Raises ValueError on
+    non-WAV bytes or non-16-bit PCM — a decoder that guesses is worse
+    than none in a curation pipeline."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported WAV: sample_width={w.getsampwidth()} "
+                    f"(this decoder handles 16-bit PCM)"
+                )
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"not a PCM WAV: {e}") from e
+    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    return n_channels, rate, samples
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),      # per channel
+        StructField("duration_ms", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+    ]
+)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, codec, payload): small REAL WAVs, frame count /
+    channel layout / samples closed-form in the id (n = id%50+1,
+    channels = id%2+1, seed = id%251, 8 kHz) so decoded statistics are
+    SQL-replayable. Payloads are built worker-side in an Arrow-batched
+    UDF — bytes never touch the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _wav(ids):  # pd.Series[int64] -> pd.Series[bytes]
+        return ids.map(
+            lambda i: wav_encode_pcm16(
+                int(i) % 251, int(i) % 50 + 1, n_channels=int(i) % 2 + 1
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("pcm16").alias("codec"),
+        _wav(F.col(id_col)).alias("payload"),
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL decode in the Arrow/mapInPandas kernel: channel count,
+    rate, and sample stats come from parsing the WAV bytes, not from
+    metadata columns. Embarrassingly parallel in the scan stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                nch, rate, samples = wav_decode_pcm16(bytes(blob))
+                n = len(samples) // nch
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_channels": nch,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "sample_sum": sum(samples),
+                        "s_min": min(samples),
+                        "s_max": max(samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, max_dim: int = 224) -> DataFrame:
     """'Resize' pass: real implementations decode + resample; the stub
     truncates payloads proportionally and rewrites metadata. Only image

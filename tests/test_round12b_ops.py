@@ -198,3 +198,61 @@ def test_rc_probe_never_shuffles_the_index(spark, tmp_path):
     # (which would shuffle the full index on h) anywhere in the probe
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ── real WAV decode in the multimodal path (PNG move, replayed) ─────
+
+
+def _wav_closed_form(i: int) -> dict:
+    seed, n, nch = i % 251, i % 50 + 1, i % 2 + 1
+    samples = [((seed * 31 + k * 17) % 65536) - 32768 for k in range(n * nch)]
+    return {
+        "n_channels": nch,
+        "sample_rate": 8000,
+        "n_samples": n,
+        "duration_ms": n * 1000 // 8000,
+        "sample_sum": sum(samples),
+        "s_min": min(samples),
+        "s_max": max(samples),
+    }
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    for seed, n, nch in [(0, 1, 1), (7, 5, 2), (250, 50, 2), (13, 3, 1)]:
+        payload = mm.wav_encode_pcm16(seed, n, n_channels=nch)
+        got_nch, rate, samples = mm.wav_decode_pcm16(payload)
+        assert (got_nch, rate) == (nch, 8000)
+        assert samples == [
+            ((seed * 31 + k * 17) % 65536) - 32768 for k in range(n * nch)
+        ]
+
+
+def test_wav_decode_rejects_garbage():
+    import pytest
+
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.wav_decode_pcm16(b"not a wav at all")
+    with pytest.raises(ValueError):
+        # valid RIFF signature, truncated body
+        mm.wav_decode_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_wav_spark_pipeline_decodes_from_bytes(spark):
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    ids = [0, 1, 7, 48, 49, 101]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = mm.synthesize_wav_media(docs)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_audio_features(media).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        want = _wav_closed_form(i)
+        row = got[i]
+        assert {k: row[k] for k in want} == want, i
