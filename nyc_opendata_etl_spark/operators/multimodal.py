@@ -442,6 +442,130 @@ def resize_images(media: DataFrame, max_dim: int = 224) -> DataFrame:
     return images.mapInPandas(batches, schema=schema).unionByName(others)
 
 
+# ──────────────────────────────────────────────────────────────────────
+# REAL video-container frame sampling (late round 12): the third
+# modality gets the PNG/WAV treatment. No stdlib video codec exists, so
+# the container is an MJPEG-style concatenation of VALID PNG frames
+# ("MPNG") — the honest analog of frame-sampling a real container: the
+# kernel must PARSE the byte stream into frames (walking each frame's
+# chunk list to IEND — no length prefix to crib from), select every
+# n-th frame, and decode real pixels for just the sampled ones. That
+# decode-only-what-you-sample shape is the point at scale: a 1-in-30
+# sample does 1/30th of the inflate work, the same reason production
+# samplers seek to keyframes instead of decoding the whole stream.
+# sample_frames (byte-slice stub) stays as-is — multimodal_frame_sample
+# is registered against it; this path registers separately in r13.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def mpng_encode(seed: int, n_frames: int, width: int, height: int) -> bytes:
+    """A multi-frame container: ``n_frames`` concatenated valid PNGs;
+    frame k's pixels follow png_encode_gray's closed form with seed
+    ``(seed + 13*k) % 251`` (SQL-replayable per sampled frame)."""
+    return b"".join(
+        png_encode_gray((seed + 13 * k) % 251, width, height)
+        for k in range(n_frames)
+    )
+
+
+def mpng_split(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PNG container into frames by walking each
+    frame's chunk list to IEND (strict: bad signature, truncation, or
+    trailing garbage raise ValueError — a sampler that guesses frame
+    boundaries corrupts every downstream feature)."""
+    import struct
+
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 8] != _PNG_SIG:
+            raise ValueError(f"frame boundary at byte {pos} is not a PNG signature")
+        cur = pos + 8
+        while True:
+            if cur + 8 > n:
+                raise ValueError("truncated PNG frame (chunk header past end)")
+            (ln,) = struct.unpack(">I", payload[cur : cur + 4])
+            tag = payload[cur + 4 : cur + 8]
+            cur += 12 + ln
+            if cur > n:
+                raise ValueError("truncated PNG frame (chunk body past end)")
+            if tag == b"IEND":
+                break
+        frames.append(payload[pos:cur])
+        pos = cur
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def synthesize_mpng_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, codec, payload): small REAL multi-frame containers,
+    geometry closed-form in the id (frames = id%8+1, w = id%5+1,
+    h = id%4+1, seed = id%251). Worker-side Arrow UDF, bytes never
+    touch the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _mpng(ids):  # pd.Series[int64] -> pd.Series[bytes]
+        return ids.map(
+            lambda i: mpng_encode(
+                int(i) % 251, int(i) % 8 + 1, int(i) % 5 + 1, int(i) % 4 + 1
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("mpng").alias("codec"),
+        _mpng(F.col(id_col)).alias("payload"),
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the container, decode ONLY frames
+    0, every_n, 2·every_n, … and emit one row per sampled frame with
+    its decoded pixel statistics. Fan-out happens inside the Arrow
+    kernel (frame rows are small; payload bytes never re-cross the
+    boundary), so the shape stays scan-stage parallel with no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                frames = mpng_split(bytes(blob))
+                for k in range(0, len(frames), every_n):
+                    w, h, px = png_decode_gray(frames[k])
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "n_frames": len(frames),
+                            "frame_idx": k,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": sum(px),
+                            "px_min": min(px),
+                            "px_max": max(px),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling for video rows: emit one row per sampled frame
     index (metadata fan-out stays columnar; the stub slices bytes)."""

@@ -241,6 +241,44 @@ def test_wav_decode_rejects_garbage():
         mm.wav_decode_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+# ── real video-container frame sampling (MPNG) ──────────────────────
+
+
+def test_mpng_split_roundtrip_and_strictness():
+    import pytest
+
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    frames = [mm.png_encode_gray((5 + 13 * k) % 251, 3, 2) for k in range(4)]
+    payload = b"".join(frames)
+    assert mm.mpng_split(payload) == frames
+    assert mm.mpng_split(frames[0]) == [frames[0]]
+    with pytest.raises(ValueError):
+        mm.mpng_split(payload + b"junk")
+    with pytest.raises(ValueError):
+        mm.mpng_split(payload[:-5])  # truncated final frame
+
+
+def test_sample_video_frames_decodes_closed_form(spark):
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    ids = [0, 1, 6, 7, 23, 102]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = mm.sample_video_frames(mm.synthesize_mpng_media(docs), every_n=2)
+    got = {(r["media_id"], r["frame_idx"]): r.asDict() for r in out.collect()}
+    for i in ids:
+        seed, nf, w, h = i % 251, i % 8 + 1, i % 5 + 1, i % 4 + 1
+        want_idx = list(range(0, nf, 2))
+        assert sorted(k for m, k in got if m == i) == want_idx, i
+        for k in want_idx:
+            px = [(((seed + 13 * k) % 251) * 7 + j * 3) % 256 for j in range(w * h)]
+            row = got[(i, k)]
+            assert (
+                row["n_frames"], row["width"], row["height"],
+                row["pixel_sum"], row["px_min"], row["px_max"],
+            ) == (nf, w, h, sum(px), min(px), max(px)), (i, k)
+
+
 def test_wav_spark_pipeline_decodes_from_bytes(spark):
     from nyc_opendata_etl_spark.operators import multimodal as mm
 
