@@ -89,8 +89,16 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.parity import _stage_documents
     from nyc_opendata_etl_spark.queries.relational import _stage_copurchase_edges
 
+    from nyc_opendata_etl_spark.queries.pending_r13 import (
+        _stage_fingerprint_index_rc,
+    )
+
     builders = [
         ("text_index (BM25 postings)", lambda: _stage_text_index(spark, sf_dir)),
+        (
+            "fingerprint_index_rc (deletion-capable dedup; pending r13)",
+            lambda: _stage_fingerprint_index_rc(spark, sf_dir),
+        ),
         (
             "text_index_incr (incremental postings)",
             lambda: _stage_text_index_incremental(spark, sf_dir),
