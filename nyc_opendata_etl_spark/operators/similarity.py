@@ -8,6 +8,16 @@ product).
 All math is double-precision sequential left-folds (F.aggregate /
 zip_with) so the oracle (DuckDB list_* functions, same fold order)
 matches bit-for-bit before rounding.
+
+On HNSW (documented non-goal): graph ANN builds a navigable small-world
+graph and answers queries by greedy pointer-chasing — state that lives
+naturally in one process's RAM and degrades badly when hops cross
+executor boundaries. The warehouse-native scale path is the staged
+IVF-PQ index this module ships (coarse cells prune statically at the
+scan, PQ codes shrink the re-rank set, both mergeable/partitionable);
+a deployment wanting HNSW latency puts the SERVING index in a vector
+store and uses these operators for the build/refresh pipeline, which
+is the part that belongs on Spark.
 """
 
 from __future__ import annotations
