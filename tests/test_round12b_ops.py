@@ -334,6 +334,52 @@ def test_sample_video_frames_decodes_closed_form(spark):
             ) == (nf, w, h, sum(px), min(px), max(px)), (i, k)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 250),
+    n=st.integers(1, 60),
+    nch=st.integers(1, 3),
+)
+def test_wav_roundtrip_property(seed, n, nch):
+    """encode∘decode identity for ANY (seed, frames, channels) — the
+    modulus walks samples through the full int16 range including the
+    -32768/32767 edges, so struct packing and the stdlib-wave read
+    agree everywhere, not just at the synthesizer's defaults."""
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    got_nch, rate, samples = mm.wav_decode_pcm16(
+        mm.wav_encode_pcm16(seed, n, n_channels=nch)
+    )
+    assert (got_nch, rate) == (nch, 8000)
+    assert samples == [
+        ((seed * 31 + k * 17) % 65536) - 32768 for k in range(n * nch)
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 250),
+    nf=st.integers(1, 6),
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+)
+def test_mpng_split_decode_property(seed, nf, w, h):
+    """split∘concat identity and per-frame decode for ANY container
+    geometry: every frame boundary is found by the chunk walk alone and
+    every frame's pixels survive the zlib roundtrip."""
+    from nyc_opendata_etl_spark.operators import multimodal as mm
+
+    payload = mm.mpng_encode(seed, nf, w, h)
+    frames = mm.mpng_split(payload)
+    assert len(frames) == nf
+    for k, frame in enumerate(frames):
+        gw, gh, px = mm.png_decode_gray(frame)
+        assert (gw, gh) == (w, h)
+        assert px == [
+            (((seed + 13 * k) % 251) * 7 + j * 3) % 256 for j in range(w * h)
+        ]
+
+
 def test_wav_spark_pipeline_decodes_from_bytes(spark):
     from nyc_opendata_etl_spark.operators import multimodal as mm
 
