@@ -1247,6 +1247,10 @@ def incremental_new_docs_rc(
     scan (only ``h``/``cnt`` columns read), a partial-agg SUM over just
     the touched hashes, then a broadcast anti join back onto the batch
     — one index scan, no index shuffle, state bounded by the batch.
+    The broadcast hints encode the incremental-ingest contract
+    (increment ≪ index); a corpus-sized backfill "batch" doesn't probe
+    — it rebuilds via :func:`build_fingerprint_index_rc`, exactly as
+    the bare-index path rebuilds rather than anti-joining the world.
     Matches :func:`incremental_new_docs` output on a delete-free log."""
     from nyc_opendata_etl_spark.operators.text import fingerprint
 
