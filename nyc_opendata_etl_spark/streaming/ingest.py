@@ -1,0 +1,206 @@
+"""Streaming corpus ingestion with cross-batch content dedup — the
+composition of the streaming axis (foreachBatch micro-batches) with the
+staged-index axis (the refcounted fingerprint log of operators/dedup).
+
+The pipeline an LLM-corpus ingest actually runs: documents arrive in
+micro-batches; each batch (1) collapses its OWN byte-identical canons
+to the min-id row, (2) probes the accumulated fingerprint index so a
+canon accepted by ANY earlier batch is rejected, (3) appends the
+survivors to the corpus sink, and (4) records the survivors' canons in
+the index — so the accepted corpus never contains two docs with the
+same canonical text, across the entire stream's lifetime.
+
+Exactly-once without a transaction log: BOTH writes are idempotent,
+keyed by the micro-batch id —
+
+- the corpus sink partitions by ``batch_id`` and dynamic-overwrites
+  only its own partition (the stream_to_partitioned_sink contract);
+- the index is the refcounted ``(h, cnt)`` delta log *with a batch
+  column* ``b``, partitioned by ``b`` and dynamic-overwritten the same
+  way; the probe EXCLUDES rows with ``b == current_batch_id``, so a
+  replayed batch (failure after a partial write, before the checkpoint
+  commit) sees exactly the pre-batch index state and recomputes the
+  identical survivor set, then overwrites both of its own partitions.
+  Without the exclusion, a replay would find its own canons already
+  indexed, emit nothing, and dynamic-overwrite its corpus partition
+  with EMPTY — silent data loss on the exact failure the checkpoint
+  exists to survive.
+
+As with stream_to_partitioned_sink, the guarantee rides on Structured
+Streaming's offset log pinning batch composition across restarts:
+production callers MUST pass a durable ``checkpoint_location``.
+
+Takedowns append negative deltas under the reserved partition
+``b = -2`` (append mode — operator-driven, not replayed); probes sum
+deltas, so a fully-withdrawn canon is re-ingestable at the NEXT batch.
+Compaction (stream stopped, checkpoint committed) folds the log to
+``(h, cnt, b = -1)`` live rows; both sentinels are forever distinct
+from real batch ids (≥ 0), so the probe's exclusion filter needs no
+special cases.
+
+Scale shape per batch: fingerprinting and the within-batch collapse
+are one map-side-combined aggregate over the BATCH; the probe
+broadcasts the batch's distinct hashes into a left-semi over the index
+scan + a partial SUM (the incremental_new_docs_rc plan — no index
+shuffle, state bounded by the batch); both writes touch one partition.
+Cost is O(batch + index-scan of two 8-byte columns), never O(corpus
+text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Reserved index-partition ids: real micro-batch ids are >= 0.
+COMPACTED_B = -1
+TAKEDOWN_B = -2
+
+
+def _index_or_none(spark: SparkSession, index_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(index_path)
+    except Exception:  # noqa: BLE001 — first batch: index not yet created
+        return None
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the dedup ingest (module docstring). Exposed
+    at module level so tests can drive replay semantics directly; the
+    streaming wrapper passes it to ``foreachBatch``."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    spark = batch_df.sparkSession
+    cols = batch_df.columns
+    keyed = batch_df.withColumn("__h__", fingerprint(text_col))
+    # within-batch collapse: min-id row per canon (min_by is value-
+    # deterministic on the id; the struct carries the full row through)
+    collapsed = (
+        keyed.groupBy("__h__")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r__"))
+        .select("__h__", "__r__.*")
+    )
+    idx = _index_or_none(spark, index_path)
+    if idx is None:
+        fresh = collapsed
+    else:
+        probe_hashes = collapsed.select(F.col("__h__").alias("h")).distinct()
+        live = (
+            idx.filter(F.col("b") != batch_id)  # replay-safety exclusion
+            .join(F.broadcast(probe_hashes), "h", "left_semi")
+            .groupBy("h")
+            .agg(F.sum("cnt").alias("rc"))
+            .filter(F.col("rc") > 0)
+            .select(F.col("h").alias("__h__"))
+        )
+        fresh = collapsed.join(F.broadcast(live), "__h__", "left_anti")
+    # both writes idempotent by batch partition (ordering between them
+    # then doesn't matter — a replay rewrites whichever half landed)
+    (
+        fresh.select(*cols)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+    (
+        fresh.groupBy(F.col("__h__").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("b", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b")
+        .parquet(index_path)
+    )
+
+
+def stream_dedup_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "dedup_ingest",
+    checkpoint_location: str | None = None,
+) -> None:
+    """Drain a document stream through the content-dedup ingest
+    (bounded here by ``Trigger.AvailableNow`` — drop the trigger for a
+    continuous pipeline). See the module docstring for the
+    exactly-once and takedown contracts."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df, batch_id, index_path, out_path,
+            text_col=text_col, id_col=id_col,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def takedown_from_ingest_index(
+    deleted_docs: DataFrame, index_path: str, text_col: str = "text"
+) -> None:
+    """Withdraw docs from the ingest index: append negative per-canon
+    deltas under the reserved ``b = -2`` partition — O(deleted docs),
+    index never re-read; visible at the next batch's probe (SUM
+    semantics). Append mode: takedowns are operator-driven commands,
+    not replayed micro-batches, and successive takedown batches must
+    accumulate. Callers pass each withdrawn doc once (the
+    delete_from_fingerprint_index_rc contract)."""
+    from nyc_opendata_etl_spark.operators.text import fingerprint
+
+    (
+        deleted_docs.select(fingerprint(text_col).alias("h"))
+        .groupBy("h")
+        .agg((-F.count(F.lit(1))).cast("long").alias("cnt"))
+        .withColumn("b", F.lit(TAKEDOWN_B))
+        .write.mode("append")
+        .partitionBy("b")
+        .parquet(index_path)
+    )
+
+
+def compact_ingest_index(spark: SparkSession, index_path: str) -> None:
+    """Fold the ingest index's delta log to its live state under the
+    reserved ``b = -1`` partition: one row per canon with net refcount
+    > 0. Probes sum deltas anyway, so no answer changes — the pass
+    retires log length and drops dead canons. Run with the stream
+    STOPPED and its checkpoint committed: folding erases per-batch
+    partition boundaries, so an uncommitted batch could no longer
+    replay idempotently (the standard maintenance-window rule for any
+    compaction under a streaming writer). Uses the temp-swap rename
+    protocol shared with operators/index_maintenance."""
+    from nyc_opendata_etl_spark.operators.index_maintenance import _swap_dir
+
+    folded = (
+        spark.read.parquet(index_path)
+        .groupBy("h")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .withColumn("b", F.lit(COMPACTED_B))
+    )
+    _swap_dir(
+        index_path,
+        lambda tmp: (
+            folded.repartitionByRange(8, "h")
+            .sortWithinPartitions("h")
+            .write.partitionBy("b")
+            .parquet(tmp)
+        ),
+    )

@@ -241,6 +241,125 @@ def test_wav_decode_rejects_garbage():
         mm.wav_decode_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+# ── streaming content-dedup ingest (streaming × staged-index) ───────
+
+
+def _ingest_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _accepted_ids(spark, out_path) -> set[int]:
+    return {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+
+
+def test_dedup_ingest_batches_accept_first_canon_only(spark, tmp_path):
+    from nyc_opendata_etl_spark.streaming import ingest
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b0 = _ingest_docs(spark, [(0, "aa"), (1, "AA "), (2, "bb")])  # 1 dups 0
+    b1 = _ingest_docs(spark, [(3, "aa"), (4, "cc")])  # 3 dups accepted 0
+    ingest.dedup_ingest_batch(b0, 0, idx, out)
+    ingest.dedup_ingest_batch(b1, 1, idx, out)
+    assert _accepted_ids(spark, out) == {0, 2, 4}
+    # index holds one live (cnt=1) row per ACCEPTED canon, tagged by batch
+    rows = spark.read.parquet(idx).collect()
+    assert sorted((r["cnt"], r["b"]) for r in rows) == [(1, 0), (1, 0), (1, 1)]
+
+
+def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    from nyc_opendata_etl_spark.streaming import ingest
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b0 = _ingest_docs(spark, [(0, "aa"), (1, "bb")])
+    b1 = _ingest_docs(spark, [(2, "aa"), (3, "cc")])
+    ingest.dedup_ingest_batch(b0, 0, idx, out)
+    ingest.dedup_ingest_batch(b1, 1, idx, out)
+    before_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    before_idx = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    # re-deliver batch 1 (failure-before-checkpoint-commit scenario):
+    # the b != 1 probe exclusion must reproduce the identical survivor
+    # set and overwrite both partitions with the same content
+    ingest.dedup_ingest_batch(b1, 1, idx, out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_out
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_idx
+    assert _accepted_ids(spark, out) == {0, 1, 3}
+
+
+def test_dedup_ingest_takedown_reopens_canon(spark, tmp_path):
+    from nyc_opendata_etl_spark.streaming import ingest
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest.dedup_ingest_batch(
+        _ingest_docs(spark, [(0, "aa"), (1, "bb")]), 0, idx, out
+    )
+    # 'aa' rejected while doc 0 is live
+    ingest.dedup_ingest_batch(_ingest_docs(spark, [(2, "aa")]), 1, idx, out)
+    assert _accepted_ids(spark, out) == {0, 1}
+    # withdraw doc 0 -> canon refcount 0 -> next batch re-accepts
+    ingest.takedown_from_ingest_index(_ingest_docs(spark, [(0, "aa")]), idx)
+    ingest.dedup_ingest_batch(_ingest_docs(spark, [(3, "aa")]), 2, idx, out)
+    assert _accepted_ids(spark, out) == {0, 1, 3}
+    # compaction folds to live rows only and changes no later answer
+    ingest.compact_ingest_index(spark, idx)
+    folded = spark.read.parquet(idx).collect()
+    assert all(r["cnt"] > 0 and r["b"] == ingest.COMPACTED_B for r in folded)
+    ingest.dedup_ingest_batch(
+        _ingest_docs(spark, [(4, "aa"), (5, "dd")]), 3, idx, out
+    )
+    assert _accepted_ids(spark, out) == {0, 1, 3, 5}
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """The real streaming wrapper over a file source in three ordered
+    micro-batches: the accepted corpus must equal exact_dedup_groups'
+    keep set (min doc id per canon), because batches arrive in doc-id
+    order."""
+    import os
+    import time
+
+    from nyc_opendata_etl_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(0, "quick brown fox"), (1, "Quick  Brown  Fox"), (2, "other text")],
+        [(3, "quick brown fox"), (4, "third text")],
+        [(5, "third text"), (6, "fourth text")],
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(src / f"b{i}.parquet")
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, f)
+        os.utime(f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest.stream_dedup_ingest(
+        stream, idx, out,
+        query_name="ingest_test",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    from nyc_opendata_etl_spark.operators.dedup import exact_dedup_groups
+
+    all_docs = _ingest_docs(spark, [r for b in batches for r in b])
+    want = {
+        r["keep_id"] for r in exact_dedup_groups(all_docs).collect()
+    }
+    assert _accepted_ids(spark, out) == want == {0, 2, 4, 6}
+
+
 # ── staged r13 registrations: full differential compare ─────────────
 
 
