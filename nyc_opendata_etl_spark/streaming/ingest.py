@@ -79,13 +79,33 @@ def dedup_ingest_batch(
 
     spark = batch_df.sparkSession
     cols = batch_df.columns
+    # Spread the batch to session parallelism BEFORE the expensive
+    # canonicalization/hash expressions: a file-source micro-batch is
+    # partitioned by input bytes (one ~monthly file → 1-2 partitions at
+    # the default maxPartitionBytes), which left the regex+md5 collapse
+    # running 2-wide on a 32-core box. The round-robin shuffle moves
+    # the raw batch once; the collapse's partial aggregation (where the
+    # fingerprint evaluates) then runs at full width. With the
+    # checkpoint below, the two fixes took the 100× replica's 8-batch
+    # drain from 277 s → 24.6 s (identical output) — both found by the
+    # 100× sweep, not the unit tests: batch-size-dependent, invisible
+    # at test scale.
+    batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
     keyed = batch_df.withColumn("__h__", fingerprint(text_col))
     # within-batch collapse: min-id row per canon (min_by is value-
     # deterministic on the id; the struct carries the full row through)
+    # localCheckpoint: collapsed is BOUNDED (one row per distinct canon
+    # in the batch) but its lineage is the expensive canon+md5 scan of
+    # the raw batch, and three consumers branch from it (the broadcast
+    # probe-hash build, the corpus-sink write, the index write) — each
+    # re-executed the scan uncached: 28 s/batch at the 100× replica
+    # where the one-scan form costs ~3 s (same lesson as the
+    # dedup_clusters_collapsed grp/mem caches).
     collapsed = (
         keyed.groupBy("__h__")
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r__"))
         .select("__h__", "__r__.*")
+        .localCheckpoint()
     )
     idx = _index_or_none(spark, index_path)
     if idx is None:
