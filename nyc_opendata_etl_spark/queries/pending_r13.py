@@ -101,6 +101,85 @@ def q_dedup_incremental_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_new_docs_rc(batch, spark.read.parquet(index_path))
 
 
+def _stage_docs_idordered(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as 8 doc_id-range-ordered parquet files with
+    ascending mtimes (the _stage_events protocol: FileStreamSource
+    replays by ms-precision mtime; part numbering == range order under
+    repartitionByRange, and stamps go BACKWARDS from now so nothing
+    lands in the future and masks a source regeneration). Ascending id
+    ranges are what make the ingest contract SQL-expressible: the first
+    micro-batch containing a canon holds that canon's smallest ids, so
+    the accepted doc per canon is the GLOBAL min id."""
+    import os
+    import time
+
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "docs_idordered")
+    if is_stale(path, sf_dir, "documents"):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+        base = time.time()
+        for i, p in enumerate(parts):
+            t = base - (len(parts) - i) * 0.001
+            os.utime(os.path.join(path, p), (t, t))
+    return path
+
+
+@_pending(
+    "stream_dedup_ingest",
+    # The accepted corpus is exactly one doc per live canon, and with
+    # id-range-ordered micro-batches that doc is the canon's global
+    # min id — the exact_dedup_groups keep set, a plain SQL aggregate.
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id, {md5_long_oracle_sql(_CANON)} AS h FROM documents)
+    GROUP BY h
+    """,
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content-dedup ingestion (streaming/ingest.py) run as a
+    bounded AvailableNow drain: 4 micro-batches (8 staged files,
+    maxFilesPerTrigger=2) through the foreachBatch probe-then-update
+    kernel against the b-partitioned refcounted fingerprint log — both
+    writes idempotent per batch partition, the probe excluding the
+    current batch id (replay safety), within-batch collapse to the
+    min-id row. Index/sink/checkpoint live in a fresh per-run temp dir
+    (a run IS the unit here; the staged input is the cached artifact).
+    The differential gate then proves the whole pipeline — batching,
+    probe, idempotent writes — lands exactly the exact-dedup keep set.
+    100×: 8-batch 500k-doc drain in 24.6 s (SCALE_SWEEP_100X_r12),
+    after the two sweep-found batch-scale fixes (re-spread the
+    file-source batch, checkpoint the bounded collapse)."""
+    import tempfile
+    import uuid
+
+    from nyc_opendata_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    src = _stage_docs_idordered(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="spark_graft_ingest_run_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    stream_dedup_ingest(
+        stream,
+        f"{run}/idx",
+        f"{run}/out",
+        query_name=f"ingest_{uuid.uuid4().hex[:8]}",
+        checkpoint_location=f"{run}/ckpt",
+    )
+    return spark.read.parquet(f"{run}/out").select("doc_id")
+
+
 @_pending(
     "multimodal_audio_features",
     # the oracle replays the closed-form interleaved samples

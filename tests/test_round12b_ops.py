@@ -394,6 +394,7 @@ def test_pending_r13_pairs_pass_the_driver_compare(spark):
         "dedup_incremental_rc",
         "multimodal_audio_features",
         "multimodal_video_frames",
+        "stream_dedup_ingest",
     }
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
