@@ -90,6 +90,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.relational import _stage_copurchase_edges
 
     from nyc_opendata_etl_spark.queries.pending_r13 import (
+        _stage_docs_idordered,
         _stage_fingerprint_index_rc,
     )
 
@@ -98,6 +99,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",
             lambda: _stage_fingerprint_index_rc(spark, sf_dir),
+        ),
+        (
+            "docs_idordered (ingest stream source; pending r13)",
+            lambda: _stage_docs_idordered(spark, sf_dir),
         ),
         (
             "text_index_incr (incremental postings)",
