@@ -360,6 +360,147 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     assert _accepted_ids(spark, out) == want == {0, 2, 4, 6}
 
 
+# ── streaming SCD2 upsert sink (versioned snapshots) ────────────────
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, effective_from date, effective_to date, "
+        "is_current boolean",
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "k long, attr string, eff_date date")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_scd2_sink_matches_sequential_batch_merges(spark, tmp_path):
+    import datetime as dt
+
+    from nyc_opendata_etl_spark.operators.scd import scd2_merge
+    from nyc_opendata_etl_spark.streaming import dim_sink
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _dim(spark, [(1, "a", d0, None, True), (2, "b", d0, None, True)])
+    b0 = _upd(spark, [(1, "a2", dt.date(2025, 1, 1))])  # change k=1
+    b1 = _upd(spark, [(3, "c", dt.date(2025, 2, 1)),    # insert k=3
+                      (2, "b", dt.date(2025, 2, 1))])   # no-op k=2
+    path = str(tmp_path / "dim")
+    dim_sink.init_scd2_dim(dim, path)
+    dim_sink.scd2_upsert_batch(b0, 0, path, ["k"], ["attr"])
+    dim_sink.scd2_upsert_batch(b1, 1, path, ["k"], ["attr"])
+    got = _rows(dim_sink.read_scd2_dim(spark, path))
+    want = _rows(
+        scd2_merge(
+            scd2_merge(dim, b0, natural_key=["k"], tracked=["attr"]),
+            b1, natural_key=["k"], tracked=["attr"],
+        )
+    )
+    assert got == want
+    cur = {r[0]: r[1] for r in got if r[4]}
+    assert cur == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from nyc_opendata_etl_spark.streaming import dim_sink
+
+    dim = _dim(spark, [(1, "a", dt.date(2024, 1, 1), None, True)])
+    b0 = _upd(spark, [(1, "a2", dt.date(2025, 1, 1))])
+    path = str(tmp_path / "dim")
+    dim_sink.init_scd2_dim(dim, path)
+    dim_sink.scd2_upsert_batch(b0, 0, path, ["k"], ["attr"])
+    before = _rows(dim_sink.read_scd2_dim(spark, path))
+    # replay batch 0 after the pointer already advanced: the input is
+    # pinned to the newest version BELOW 0 (the seed), so the update is
+    # not double-applied (a pointer-following replay would close 'a2'
+    # with another 'a2' open row)
+    dim_sink.scd2_upsert_batch(b0, 0, path, ["k"], ["attr"])
+    assert _rows(dim_sink.read_scd2_dim(spark, path)) == before
+    assert sum(1 for r in before if r[1] == "a2") == 1
+
+
+def test_scd2_sink_compacts_multiple_updates_per_key(spark, tmp_path):
+    import datetime as dt
+
+    from nyc_opendata_etl_spark.streaming import dim_sink
+
+    dim = _dim(spark, [(1, "a", dt.date(2024, 1, 1), None, True)])
+    b0 = _upd(
+        spark,
+        [(1, "mid", dt.date(2025, 1, 1)), (1, "late", dt.date(2025, 3, 1))],
+    )
+    path = str(tmp_path / "dim")
+    dim_sink.init_scd2_dim(dim, path)
+    dim_sink.scd2_upsert_batch(b0, 0, path, ["k"], ["attr"])
+    rows = _rows(dim_sink.read_scd2_dim(spark, path))
+    # only the latest same-batch version applies: one close + one open
+    assert [(r[1], r[4]) for r in rows] == [("a", False), ("late", True)]
+
+
+def test_scd2_sink_streaming_end_to_end_and_prune(spark, tmp_path):
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_opendata_etl_spark.operators.scd import scd2_merge
+    from nyc_opendata_etl_spark.streaming import dim_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batches = [
+        [(1, "a2", dt.date(2025, 1, 1))],
+        [(2, "b2", dt.date(2025, 2, 1)), (3, "c", dt.date(2025, 2, 1))],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "attr": pa.array([r[1] for r in rows], pa.string()),
+                "eff_date": pa.array([r[2] for r in rows], pa.date32()),
+            }
+        )
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (now + i, now + i))
+    d0 = dt.date(2024, 1, 1)
+    dim = _dim(spark, [(1, "a", d0, None, True), (2, "b", d0, None, True)])
+    path = str(tmp_path / "dim")
+    dim_sink.init_scd2_dim(dim, path)
+    stream = (
+        spark.readStream.schema("k long, attr string, eff_date date")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    dim_sink.stream_scd2_upserts(
+        stream, path, ["k"], ["attr"],
+        query_name="scd2_test",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    want = _rows(
+        scd2_merge(
+            scd2_merge(
+                dim, _upd(spark, batches[0]),
+                natural_key=["k"], tracked=["attr"],
+            ),
+            _upd(spark, batches[1]), natural_key=["k"], tracked=["attr"],
+        )
+    )
+    assert _rows(dim_sink.read_scd2_dim(spark, path)) == want
+    dropped = dim_sink.prune_scd2_versions(path, keep_last=1)
+    assert dropped and -1 in dropped
+    assert _rows(dim_sink.read_scd2_dim(spark, path)) == want
+
+
 # ── staged r13 registrations: full differential compare ─────────────
 
 
