@@ -545,3 +545,32 @@ def test_global_windows_are_bounded(spark):
     assert "stats_equidepth_bins_approx" in REGISTRY
     doc = queries()["stats_equidepth_bins"].__doc__ or ""
     assert "approx" in doc, "anchor must document its scale twin"
+
+
+# Queries whose plans deliberately contain a non-equi join (crossJoin
+# of a broadcast stats/bounds relation, theta band join, bloom
+# candidate math…). Each must plan as BroadcastNestedLoopJoin — never
+# CartesianProductExec, the unbounded all-pairs node. Registry-wide
+# ground truth: tools/cartesian_audit.py (0 flagged across 209 plans,
+# late r12); this pin keeps the deliberate-cross-join set honest in
+# the suite, the tool+pin shape of the global-window audit.
+_CROSS_JOIN_QUERIES = [
+    "join_range",
+    "market_basket_pairs_relative",
+    "stats_equidepth_bins_approx",
+    "sketch_bitmap_distinct",
+    "join_bloom_prefiltered",
+    "join_bloom_packed",
+    "graph_triangles",
+    "agg_approx_distinct",
+    "search_rerank_crossenc",
+    "stats_chi2_contingency",
+    "layout_zorder_locality",
+    "events_funnel",
+]
+
+
+def test_no_cartesian_products(spark):
+    for name in _CROSS_JOIN_QUERIES:
+        df = queries()[name](spark, SF)
+        assert _exact(df, "CartesianProduct") == 0, name
