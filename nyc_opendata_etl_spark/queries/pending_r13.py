@@ -180,6 +180,157 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{run}/out").select("doc_id")
 
 
+def _stage_cdc_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage two CDC update batches against the customer dim as plain
+    top-level parquet FILES with ascending mtimes (file-source batch
+    order). KEY-DISJOINT by construction — batch 0 changes custkey%4==0,
+    batch 1 no-ops %4==1 and inserts shifted %4==2 — which is what
+    makes the streaming result SQL-expressible: SCD2 merges over
+    key-disjoint update sets COMPOSE, so merge(merge(dim,b0),b1) ==
+    merge(dim, b0 ∪ b1), a single-merge oracle. Spark writes each batch
+    into a scratch subdir and the part file is renamed up (the file
+    source ignores nested directories)."""
+    import os
+    import shutil
+    import time
+
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "cdc_customer_batches")
+    if is_stale(path, sf_dir, "customer"):
+        cust = load_table(spark, sf_dir, "customer")
+        eff = F.to_date(F.lit("2025-06-01"))
+        batches = [
+            cust.filter(F.col("c_custkey") % 4 == 0).select(
+                F.col("c_custkey").alias("k"),
+                F.concat(F.lit("V0_"), "c_mktsegment").alias("attr"),
+                eff.alias("eff_date"),
+            ),
+            cust.filter(F.col("c_custkey") % 4 == 1)
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("attr"),
+                eff.alias("eff_date"),
+            )
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 4 == 2).select(
+                    (F.col("c_custkey") + 10_000_000).alias("k"),
+                    F.lit("FRESH").alias("attr"),
+                    eff.alias("eff_date"),
+                )
+            ),
+        ]
+        os.makedirs(path, exist_ok=True)
+        base = time.time()
+        for i, b in enumerate(batches):
+            scratch = os.path.join(path, f"__scratch_{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                f for f in os.listdir(scratch) if f.startswith("part-")
+            )
+            dst = os.path.join(path, f"b{i}.parquet")
+            os.replace(os.path.join(scratch, part), dst)
+            shutil.rmtree(scratch)
+            t = base - (len(batches) - i) * 0.001
+            os.utime(dst, (t, t))
+        with open(os.path.join(path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+    return path
+
+
+@_pending(
+    "stream_scd2_upserts",
+    # single-merge SQL over the UNION of the key-disjoint batches ==
+    # the two-batch streamed composition (see _stage_cdc_batches); the
+    # CTE structure is the scd2_merge query's oracle pattern.
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey AS k, c_mktsegment AS attr,
+               DATE '2024-01-01' AS effective_from,
+               CAST(NULL AS DATE) AS effective_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey AS k, concat('V0_', c_mktsegment) AS attr,
+               DATE '2025-06-01' AS eff
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '2025-06-01'
+        FROM customer WHERE c_custkey % 4 = 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'FRESH', DATE '2025-06-01'
+        FROM customer WHERE c_custkey % 4 = 2
+    ),
+    closed AS (
+        SELECT c.k, c.attr, c.effective_from, u.eff AS effective_to,
+               FALSE AS is_current
+        FROM cur c JOIN upd u USING (k)
+        WHERE c.attr IS DISTINCT FROM u.attr
+    ),
+    opened AS (
+        SELECT u.k, u.attr, u.eff AS effective_from,
+               CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+        FROM upd u LEFT JOIN cur c USING (k)
+        WHERE c.k IS NULL OR c.attr IS DISTINCT FROM u.attr
+    ),
+    as_is AS (
+        SELECT c.k, c.attr, c.effective_from, c.effective_to, c.is_current
+        FROM cur c LEFT JOIN upd u USING (k)
+        WHERE u.k IS NULL OR c.attr IS NOT DISTINCT FROM u.attr
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM opened
+    UNION ALL SELECT * FROM as_is
+    """,
+)
+def q_stream_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance (streaming/dim_sink.py) as
+    a bounded AvailableNow drain: two key-disjoint CDC micro-batches
+    (change / no-op / insert variety) fold into the customer dim via
+    the versioned-snapshot sink — batch b merges the newest snapshot
+    STRICTLY below b and overwrites ``v=b`` (replay-pinned inputs,
+    idempotent writes; the double-apply trap is pinned in
+    tests/test_round12b_ops.py). Key-disjointness makes SCD2 merges
+    compose, so the streamed two-batch result equals ONE merge of the
+    union — the oracle replays exactly that with the scd2_merge CTE
+    pattern, proving the whole sink (batching, version pinning,
+    pointer) lands the single-merge answer. Dim/checkpoint live in a
+    fresh per-run temp dir; the staged CDC files are the cached
+    artifact. 100×: 8 batches over the 15k-key dim in 7.3 s
+    (SCALE_SWEEP_100X_r12)."""
+    import tempfile
+    import uuid
+
+    from nyc_opendata_etl_spark.streaming.dim_sink import (
+        init_scd2_dim,
+        read_scd2_dim,
+        stream_scd2_upserts,
+    )
+
+    src = _stage_cdc_batches(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="spark_graft_scd2_run_")
+    dim_path = f"{run}/dim"
+    cur = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.to_date(F.lit("2024-01-01")).alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    init_scd2_dim(cur, dim_path)
+    stream = (
+        spark.readStream.schema("k long, attr string, eff_date date")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_scd2_upserts(
+        stream, dim_path, ["k"], ["attr"],
+        query_name=f"scd2_{uuid.uuid4().hex[:8]}",
+        checkpoint_location=f"{run}/ckpt",
+    )
+    return read_scd2_dim(spark, dim_path)
+
+
 @_pending(
     "multimodal_audio_features",
     # the oracle replays the closed-form interleaved samples

@@ -90,6 +90,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.relational import _stage_copurchase_edges
 
     from nyc_opendata_etl_spark.queries.pending_r13 import (
+        _stage_cdc_batches,
         _stage_docs_idordered,
         _stage_fingerprint_index_rc,
     )
@@ -103,6 +104,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "docs_idordered (ingest stream source; pending r13)",
             lambda: _stage_docs_idordered(spark, sf_dir),
+        ),
+        (
+            "cdc_customer_batches (SCD2 stream source; pending r13)",
+            lambda: _stage_cdc_batches(spark, sf_dir),
         ),
         (
             "text_index_incr (incremental postings)",

@@ -536,6 +536,7 @@ def test_pending_r13_pairs_pass_the_driver_compare(spark):
         "multimodal_audio_features",
         "multimodal_video_frames",
         "stream_dedup_ingest",
+        "stream_scd2_upserts",
     }
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
