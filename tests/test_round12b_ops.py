@@ -538,6 +538,11 @@ def test_pending_r13_pairs_pass_the_driver_compare(spark):
         "stream_dedup_ingest",
         "stream_scd2_upserts",
     }
+    # the r13 flip must not collide with a live registration
+    from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    assert not set(PENDING) & set(REGISTRY)
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in (
