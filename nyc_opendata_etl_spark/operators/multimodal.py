@@ -342,9 +342,13 @@ def wav_decode_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
             n_channels = w.getnchannels()
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    # wave.Error for bad magic; the stdlib wave/chunk readers raise
+    # bare EOFError on empty or header-truncated payloads and the
+    # frame unpack raises struct.error on an odd-length buffer — all
+    # are "not a PCM WAV" to the caller contract (ADVICE r12 low).
+    except (wave.Error, EOFError, struct.error) as e:
         raise ValueError(f"not a PCM WAV: {e}") from e
-    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
     return n_channels, rate, samples
 
 

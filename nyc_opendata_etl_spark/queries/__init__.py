@@ -50,35 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "join_semi": 7,
-    "join_anti": 7,
-    "join_full_outer": 7,
-    "join_range": 7,
-    "set_intersect": 7,
-    "set_except": 7,
-    "explode_tokens": 7,
-    "agg_grouping_sets": 7,
-    "agg_percentile": 7,
-    "pivot_orderstatus": 7,
-    "window_range_frame": 7,
-    "window_distribution": 7,
-    "agg_stats": 7,
-    "fuzzy_name_match": 7,
-    "graph_triangles": 7,
-    "join_null_safe": 7,
-    "agg_mode_median": 7,
-    "stats_equidepth_bins": 7,
-    "stats_regression": 7,
-    "dedup_fingerprint": 7,
-    "sketch_countmin_freq": 7,
-    "corpus_mix_realize": 7,
-    "stats_chi2_contingency": 7,
-    "layout_zorder_locality": 7,
-    "layout_zorder_pruned_scan": 7,
-    "events_resample_ohlc": 7,
-    "profile_key_skew": 7,
-    "events_pattern_match": 7,
-    "pipeline_integrated_fact": 7,
     "join_asof": 8,
     "json_extract": 8,
     "json_agg_by_key": 8,
@@ -97,7 +68,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "corpus_split": 8,
     "text_pii_scan": 8,
     "text_unigram_logprob": 8,
-    "corpus_chunk_docs": 8,
     "corpus_sample_stratified": 8,
     "corpus_sample_priority": 8,
     "window_tumbling": 8,
@@ -112,7 +82,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "pipeline_311_fact": 8,
     "pipeline_parking_fact": 8,
     "scd2_merge": 8,
-    "multimodal_features": 8,
     "multimodal_metadata_agg": 8,
     "ingest_csv_documents": 9,
     "ingest_jsonl_documents": 9,
@@ -190,7 +159,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "stats_weighted_quantiles": 10,
     "stats_weighted_quantiles_approx": 10,
     "dedup_ngram_jaccard": 10,
-    "dedup_clusters": 10,
     "text_length_histogram": 10,
     "corpus_pack_sequences": 10,
     "dedup_keep_best": 10,
@@ -209,10 +177,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "join_inner_agg": 11,
     "linkage_fs_collapsed": 11,
     "dedup_exact": 11,
-    "dedup_url_normalized": 11,
-    "dedup_host_profile": 11,
-    "corpus_host_gate": 11,
-    "dedup_incremental_minhash": 11,
     "dedup_minhash_lsh": 11,
     "dedup_simhash": 11,
     "similarity_cosine_topk": 11,
@@ -220,21 +184,14 @@ _LAST_VERIFIED: dict[str, int] = {
     "text_token_stats": 11,
     "text_lang_id": 11,
     "dedup_embedding_cosine": 11,
-    "similarity_ann_ivf": 11,
     "corpus_curation": 11,
     "dedup_incremental": 11,
     "dedup_embedding_lsh": 11,
     "corpus_decontaminate": 11,
     "corpus_pack_bins": 11,
-    "corpus_pack_bins_tokenized": 11,
     "corpus_curriculum_order": 11,
-    "embedding_kmeans_update": 11,
     "corpus_perplexity_gate": 11,
-    "similarity_ann_recall": 11,
-    "embedding_kmeans_iterate": 11,
-    "dedup_semantic": 11,
     "similarity_pq_encode": 11,
-    "similarity_ivfpq_topk": 11,
     "search_bm25": 11,
     "search_bm25_incremental": 11,
     "search_hybrid_rrf": 11,
@@ -252,56 +209,85 @@ _LAST_VERIFIED: dict[str, int] = {
     "q11_important_stock": 11,
     "q16_supplier_part_counts": 11,
     "q20_promotion_candidates": 11,
+    "join_semi": 12,
+    "join_anti": 12,
+    "join_full_outer": 12,
+    "join_range": 12,
+    "set_intersect": 12,
+    "set_except": 12,
+    "explode_tokens": 12,
+    "agg_grouping_sets": 12,
+    "agg_percentile": 12,
+    "pivot_orderstatus": 12,
+    "window_range_frame": 12,
+    "window_distribution": 12,
+    "agg_stats": 12,
+    "fuzzy_name_match": 12,
+    "join_asof_nearest": 12,
+    "graph_triangles": 12,
+    "join_null_safe": 12,
+    "agg_mode_median": 12,
+    "stats_equidepth_bins": 12,
+    "stats_regression": 12,
+    "dedup_url_normalized": 12,
+    "dedup_host_profile": 12,
+    "corpus_host_gate": 12,
+    "dedup_fingerprint": 12,
+    "dedup_incremental_minhash": 12,
+    "similarity_ann_ivf": 12,
+    "dedup_clusters": 12,
+    "dedup_clusters_logstar": 12,
+    "corpus_split_leakage_safe": 12,
+    "corpus_e2e_curation": 12,
+    "corpus_pack_bins_tokenized": 12,
+    "corpus_tokenize_ids": 12,
+    "corpus_chunk_docs": 12,
+    "embedding_kmeans_update": 12,
+    "similarity_ann_recall": 12,
+    "embedding_kmeans_iterate": 12,
+    "dedup_semantic": 12,
+    "similarity_ivfpq_topk": 12,
+    "similarity_ivfpq_incremental": 12,
+    "search_bm25_after_delete": 12,
+    "sketch_countmin_freq": 12,
+    "corpus_mix_realize": 12,
+    "stats_chi2_contingency": 12,
+    "layout_zorder_locality": 12,
+    "layout_zorder_pruned_scan": 12,
+    "events_resample_ohlc": 12,
+    "profile_key_skew": 12,
+    "events_pattern_match": 12,
+    "pipeline_integrated_fact": 12,
+    "multimodal_features": 12,
 }
 
-# Queries that MUST carry a round-12 verdict regardless of history:
+# Queries that MUST carry a round-13 verdict regardless of history:
 # every query whose implementation or oracle changes THIS round
-# (appended as the round's work lands). New round-12 registrations
-# join group 0 automatically as never-checked. Remaining slots fill
-# with the stalest greens via the verdict-age sort below — after the
-# r11 rotation that is the 29-query r7 cohort (join matrix, set ops,
-# grouping sets, percentile, pivot, window extras, fuzzy match,
-# graph_triangles, zorder, pipeline_integrated_fact…) followed by the
-# r8 cohort, exactly the staleness debt VERDICT r11 item 1 names.
-_RECHECK_R12 = (
-    # ADVICE r11 medium: build_lsh_bucket_index now persists a params
-    # relation and incremental_near_dups validates against it — the
-    # staged-index consumer re-verifies.
-    "dedup_incremental_minhash",
-    # ADVICE r11 low: normalize_url split/filter/rejoin param
-    # normalizer (stray-'&' fix) — both url-keyed consumers changed
-    # in Spark AND oracle.
-    "dedup_url_normalized",
-    "dedup_host_profile",
-    "corpus_host_gate",
-    # ADVICE r11 low: _ivf_assign drops NULL-sim (zero-norm) vectors
-    # instead of letting the min-cid tie-break pile them on centroid
-    # 0 — every staged-IVF consumer's plan changed.
-    "similarity_ann_ivf",
-    "similarity_ivfpq_topk",
-    "similarity_ann_recall",
-    "dedup_semantic",
-    "embedding_kmeans_update",
-    "embedding_kmeans_iterate",
-    # r12: real staged-merges BPE replaced the regex token counter in
-    # the tokenizer slot — both tokenized consumers re-gate.
-    "corpus_pack_bins_tokenized",
-    # r12: dedup_clusters gained the large-star/small-star twin; the
-    # shared edge kernel was untouched but the equality pin rides on
-    # dedup_clusters' output contract staying green.
-    "dedup_clusters",
-    # r12: multimodal_features upgraded from fake byte stats to real
-    # PNG encode+decode with a new closed-form-pixel oracle.
-    "multimodal_features",
-    # r12 curation review: chunk_documents now slices INSIDE the
-    # transform before exploding (Generate no longer copies the full
-    # token array per chunk row) — same output, new plan.
-    "corpus_chunk_docs",
+# (appended as the round's work lands). New round-13 registrations
+# (the five pending_r13 flips) join group 0 automatically as
+# never-checked. Remaining slots fill with the stalest greens via the
+# verdict-age sort below — after the r12 rotation that is the 33-query
+# r8 cohort (asof join, json/map surface, TPC-H Q3/Q5, tumbling/
+# session windows, funnel/retention/sessionize, text quality/tfidf/
+# pii, 311+parking pipelines, scd2_merge…), exactly the staleness debt
+# VERDICT r12 item 2 names. Slot arithmetic: 5 new + 33 r8 = 38 of 50
+# → ≤12 rechecks/extra registrations keep the whole cohort clearing.
+_RECHECK_R13: tuple[str, ...] = (
+    # ADVICE r12 low: WAV decoder now wraps EOFError/struct.error in
+    # ValueError — the audio kernel's error contract changed (new
+    # registration anyway, listed for the audit trail).
+    "multimodal_audio_features",
+    # ADVICE r12 medium: _index_or_none re-raises non-PATH_NOT_FOUND
+    # read failures; ADVICE r12 lows: 1 s mtime spacing in the staged
+    # stream sources, per-run temp dirs reaped (new registrations
+    # anyway, listed for the audit trail).
+    "stream_dedup_ingest",
+    "stream_scd2_upserts",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R12)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R13)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
@@ -343,6 +329,7 @@ def _load_all() -> None:
         pipeline,
         multimodal_q,
         tpch,
+        pending_r13,
     )
 
     _LOADED = True

@@ -1,18 +1,17 @@
-"""Round-13 registrations, staged: complete (query fn, oracle) pairs
-for the three operators built late in round 12 after the r12 verdict
-window was already slot-exact at 50 (registering then would have
-evicted r7-cohort greens — see SURVEY "beyond the verdict list").
+"""Round-13 registrations — LIVE as of round 13 (flipped per VERDICT
+r12 item 1): the five operators built late in round 12 after the r12
+verdict window was already slot-exact at 50 (registering then would
+have evicted r7-cohort greens).
 
-This module is deliberately NOT imported by ``queries._load_all``:
-nothing here reaches ``queries()`` / ``oracle_sql()`` until round 13
-flips it on by adding ``pending_r13`` to the ``_load_all`` import list
-and replacing each ``_pending`` entry with the ``@register`` decorator.
-Until then the pairs run under the SAME differential compare the driver
-uses via tests/test_round12b_ops.py (Spark vs DuckDB at sf0.01), so the
-flip is a rename, not a leap.
+Staged r12 → flipped r13: each pair ran under the SAME differential
+compare the driver uses (tests/test_round12b_ops.py, Spark vs DuckDB at
+sf0.01) for a full round before registration, so the flip was a rename,
+not a leap. ``PENDING`` is kept as this module's registration manifest
+— the in-suite differential test still iterates it, now doubling as a
+pre-driver gate on every pytest run.
 
-Window-slot cost when flipped: 3 of the ~17 spare r13 slots (NOTES
-"Round 13 plan" item 3).
+Window-slot cost: 5 of the ~17 spare r13 slots (new registrations are
+never-checked → group 0 of the verdict-age sort automatically).
 """
 
 from __future__ import annotations
@@ -22,6 +21,7 @@ from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
 from nyc_opendata_etl_spark.operators import dedup, multimodal
+from nyc_opendata_etl_spark.queries import register
 from nyc_opendata_etl_spark.queries.llm_ops import _CANON
 from nyc_opendata_etl_spark.sources.tables import load_table
 
@@ -29,11 +29,42 @@ PENDING: dict[str, tuple] = {}
 
 
 def _pending(name: str, oracle: str):
+    """r12 staging decorator, now ALSO the live registration (the r13
+    flip): records the (fn, oracle) pair for the in-suite differential
+    test and registers it with the query registry."""
+
     def deco(fn):
         PENDING[name] = (fn, oracle)
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
+
+
+def _fresh_run_dir(prefix: str) -> str:
+    """Per-invocation scratch dir for a streaming run (sink + index +
+    checkpoint), with two-sided leak control (ADVICE r12 low): dirs
+    from THIS process are rmtree'd at interpreter exit (the returned
+    DataFrame is lazy, so removal must outlive the caller — atexit is
+    the earliest safe point), and orphans from crashed/killed earlier
+    runs are reaped on the next invocation once they are an hour old
+    (old enough that no live bench/test run still reads them)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - 3600
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    run = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    return run
 
 
 def _stage_fingerprint_index_rc(spark: SparkSession, sf_dir: str) -> str:
@@ -128,7 +159,12 @@ def _stage_docs_idordered(spark: SparkSession, sf_dir: str) -> str:
         parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
         base = time.time()
         for i, p in enumerate(parts):
-            t = base - (len(parts) - i) * 0.001
+            # ≥1 s apart: 1 ms sat at the precision floor of both
+            # os.utime round-tripping and FileStreamSource's
+            # ms-granularity mtimes — a coarser filesystem would
+            # collapse the stamps to ties and make batch order (and
+            # the min-id oracle) flaky (ADVICE r12 low).
+            t = base - (len(parts) - i) * 1.0
             os.utime(os.path.join(path, p), (t, t))
     return path
 
@@ -158,13 +194,12 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100×: 8-batch 500k-doc drain in 24.6 s (SCALE_SWEEP_100X_r12),
     after the two sweep-found batch-scale fixes (re-spread the
     file-source batch, checkpoint the bounded collapse)."""
-    import tempfile
     import uuid
 
     from nyc_opendata_etl_spark.streaming.ingest import stream_dedup_ingest
 
     src = _stage_docs_idordered(spark, sf_dir)
-    run = tempfile.mkdtemp(prefix="spark_graft_ingest_run_")
+    run = _fresh_run_dir("spark_graft_ingest_run_")
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "2")
@@ -231,7 +266,8 @@ def _stage_cdc_batches(spark: SparkSession, sf_dir: str) -> str:
             dst = os.path.join(path, f"b{i}.parquet")
             os.replace(os.path.join(scratch, part), dst)
             shutil.rmtree(scratch)
-            t = base - (len(batches) - i) * 0.001
+            # ≥1 s spacing — see _stage_docs_idordered (ADVICE r12).
+            t = base - (len(batches) - i) * 1.0
             os.utime(dst, (t, t))
         with open(os.path.join(path, "_SUCCESS"), "w") as fh:
             fh.write("")
@@ -298,7 +334,6 @@ def q_stream_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh per-run temp dir; the staged CDC files are the cached
     artifact. 100×: 8 batches over the 15k-key dim in 7.3 s
     (SCALE_SWEEP_100X_r12)."""
-    import tempfile
     import uuid
 
     from nyc_opendata_etl_spark.streaming.dim_sink import (
@@ -308,7 +343,7 @@ def q_stream_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _stage_cdc_batches(spark, sf_dir)
-    run = tempfile.mkdtemp(prefix="spark_graft_scd2_run_")
+    run = _fresh_run_dir("spark_graft_scd2_run_")
     dim_path = f"{run}/dim"
     cur = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),

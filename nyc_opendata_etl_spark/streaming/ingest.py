@@ -58,10 +58,22 @@ TAKEDOWN_B = -2
 
 
 def _index_or_none(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Read the fingerprint index, or None if it does not exist YET
+    (first batch). Only the path-missing case may be swallowed: any
+    other read failure (corrupt footer, storage hiccup, permissions)
+    must fail the micro-batch so the checkpoint replays it — treating
+    a transient error as "empty index" would silently admit canons
+    earlier batches already accepted, permanently duplicating docs in
+    the corpus sink (ADVICE r12 medium)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(index_path)
-    except Exception:  # noqa: BLE001 — first batch: index not yet created
-        return None
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def dedup_ingest_batch(

@@ -239,6 +239,12 @@ def test_wav_decode_rejects_garbage():
     with pytest.raises(ValueError):
         # valid RIFF signature, truncated body
         mm.wav_decode_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
+    # empty and header-only payloads make the stdlib wave/chunk readers
+    # raise bare EOFError — the contract converts it (ADVICE r12 low)
+    with pytest.raises(ValueError):
+        mm.wav_decode_pcm16(b"")
+    with pytest.raises(ValueError):
+        mm.wav_decode_pcm16(b"RIFF")
 
 
 # ── streaming content-dedup ingest (streaming × staged-index) ───────
@@ -250,6 +256,26 @@ def _ingest_docs(spark, rows):
 
 def _accepted_ids(spark, out_path) -> set[int]:
     return {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+
+
+def test_index_or_none_missing_vs_corrupt(spark, tmp_path):
+    """Only the path-missing case may read as 'no index yet'; a
+    corrupt index file must RAISE so the micro-batch replays instead
+    of silently admitting already-accepted canons (ADVICE r12
+    medium)."""
+    import pytest
+
+    from nyc_opendata_etl_spark.streaming.ingest import _index_or_none
+
+    assert _index_or_none(spark, str(tmp_path / "never_written")) is None
+    bad = tmp_path / "idx"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not a parquet footer")
+    with pytest.raises(Exception):
+        df = _index_or_none(spark, str(bad))
+        # schema inference may defer the footer read; force it
+        if df is not None:
+            df.collect()
 
 
 def test_dedup_ingest_batches_accept_first_canon_only(spark, tmp_path):
@@ -538,11 +564,14 @@ def test_pending_r13_pairs_pass_the_driver_compare(spark):
         "stream_dedup_ingest",
         "stream_scd2_upserts",
     }
-    # the r13 flip must not collide with a live registration
+    # r13 flip: every pair is now LIVE in the registry with the same
+    # fn and oracle the staging manifest carries
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
 
     _load_all()
-    assert not set(PENDING) & set(REGISTRY)
+    for name, (fn, oracle) in PENDING.items():
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in (
