@@ -283,6 +283,13 @@ _RECHECK_R13: tuple[str, ...] = (
     # anyway, listed for the audit trail).
     "stream_dedup_ingest",
     "stream_scd2_upserts",
+    # r13 llm_ops.py review: uniques anti-join no longer force-
+    # broadcasts the duplicate-scaled membership list (AQE decides).
+    "dedup_keep_best",
+    # r13 llm_ops.py review: exact-count side now filters by the
+    # literal probe list + map-side-combined count instead of
+    # shuffling the full exploded token relation through a left join.
+    "sketch_countmin_freq",
 )
 
 def _ordered() -> dict[str, QueryDef]:

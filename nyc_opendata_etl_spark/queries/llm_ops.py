@@ -2006,8 +2006,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection (prefix-filtered exact Jaccard), transitive clustering
     (min-label propagation), and selection (one window over cluster
     members — a relation bounded by duplicates, not corpus size)
-    compose into one plan; the anti join for uniques broadcasts the
-    cluster membership list."""
+    compose into one plan. The uniques anti-join is left to AQE: the
+    membership list scales with DUPLICATE DOCS, not clusters, so a
+    forced broadcast hint would OOM a duplicate-heavy 100 TB corpus —
+    AQE broadcasts it while it is small and falls back to a shuffled
+    anti-join when it is not (r13 llm_ops review)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
@@ -2025,7 +2028,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", F.lit("canonical").alias("keep_reason"))
     )
     uniques = quality.join(
-        F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti"
+        clusters.select("doc_id"), "doc_id", "left_anti"
     ).select("doc_id", "n_tokens", F.lit("unique").alias("keep_reason"))
     return canonical.unionByName(uniques)
 
@@ -3473,10 +3476,20 @@ def q_sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "term string")
     est = countmin_estimate(state, probes, w=32)
-    exact = (
-        probes.join(toks, "term", "left")
+    # Exact side: filter the token stream by the LITERAL probe list
+    # (pushes to the scan stage) and count map-side-combined, THEN join
+    # the ≤|probes|-row aggregate. The previous probes-LEFT-JOIN-tokens
+    # shape shuffled the ENTIRE exploded token relation on a hot-key
+    # term — a left-outer join cannot broadcast its preserved side
+    # (r13 llm_ops review). COALESCE(0) restores absent probes.
+    hits = (
+        toks.filter(F.col("term").isin(list(_CM_PROBES)))
         .groupBy("term")
-        .agg(F.count(F.col("doc_id")).cast("long").alias("exact_freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("hit_freq"))
+    )
+    exact = probes.join(F.broadcast(hits), "term", "left").select(
+        "term",
+        F.coalesce(F.col("hit_freq"), F.lit(0)).cast("long").alias("exact_freq"),
     )
     n = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
     return (
