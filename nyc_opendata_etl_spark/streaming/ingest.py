@@ -208,7 +208,9 @@ def takedown_from_ingest_index(
     )
 
 
-def compact_ingest_index(spark: SparkSession, index_path: str) -> None:
+def compact_ingest_index(
+    spark: SparkSession, index_path: str, num_files: int = 8
+) -> None:
     """Fold the ingest index's delta log to its live state under the
     reserved ``b = -1`` partition: one row per canon with net refcount
     > 0. Probes sum deltas anyway, so no answer changes — the pass
@@ -217,7 +219,9 @@ def compact_ingest_index(spark: SparkSession, index_path: str) -> None:
     partition boundaries, so an uncommitted batch could no longer
     replay idempotently (the standard maintenance-window rule for any
     compaction under a streaming writer). Uses the temp-swap rename
-    protocol shared with operators/index_maintenance."""
+    protocol shared with operators/index_maintenance. ``num_files``
+    sizes the folded layout — raise it with corpus canon count (the
+    build_fingerprint_index_rc knob, r13 review consistency)."""
     from nyc_opendata_etl_spark.operators.index_maintenance import _swap_dir
 
     folded = (
@@ -230,7 +234,7 @@ def compact_ingest_index(spark: SparkSession, index_path: str) -> None:
     _swap_dir(
         index_path,
         lambda tmp: (
-            folded.repartitionByRange(8, "h")
+            folded.repartitionByRange(num_files, "h")
             .sortWithinPartitions("h")
             .write.partitionBy("b")
             .parquet(tmp)
