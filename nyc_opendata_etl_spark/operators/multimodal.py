@@ -283,6 +283,132 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit AVERAGE-HASH perceptual fingerprint per image (r13): the
+    classic aHash — nearest-neighbor downsample the DECODED pixels to a
+    ``grid × grid`` patch, then one bit per cell set iff the cell is at
+    or above the patch mean, packed row-major (bit 63 via its
+    two's-complement value, the simhash packing). The mean comparison
+    is pure integer math (``v * grid² >= sum``), so the hash is exactly
+    replayable in SQL from a closed-form pixel function — no float
+    boundary. Near-identical images (re-encodes, small edits, shifted
+    exposure) collide or land within a few Hamming bits; pair
+    generation is :func:`ahash_near_dup_pairs`.
+
+    Scale shape: decode + hash run in the Arrow-batched scan-stage
+    kernel; only (media_id, w, h, ahash) — 24 bytes — leaves the Python
+    worker, never pixels. The kernel is the drop-in point for a real
+    resampler (PIL/libvips) on non-synthetic corpora."""
+    g2 = grid * grid
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode_gray(bytes(blob))
+                cells = [
+                    px[(r * h // grid) * w + (c * w // grid)]
+                    for r in range(grid)
+                    for c in range(grid)
+                ]
+                s = sum(cells)
+                hv = 0
+                for j, v in enumerate(cells):
+                    if v * g2 >= s:
+                        hv += -(1 << 63) if j == 63 else (1 << j)
+                rows.append(
+                    {"media_id": mid, "width": w, "height": h, "ahash": hv}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Image near-dup pairs from perceptual hashes via BANDED Hamming
+    search (r13) — the multimodal member of the dedup family, under its
+    two standing laws: COLLAPSE-FIRST (hash-identical images reduce to
+    one min-id representative before any pairing — identical-hash
+    enumeration is the group stage's job, and a g-copy group would
+    otherwise emit C(g,2) pairs per band) and BANDED candidates (the
+    64-bit hash splits into ``bands`` contiguous segments; two hashes
+    within ``max_hamming`` bits differ in at most ``max_hamming`` bands,
+    so with ``bands > max_hamming`` at least one band matches exactly —
+    pigeonhole-EXACT recall, not probabilistic). Candidates bucket-join
+    on (band_idx, band_bits), then verify ``bit_count(a XOR b) <=
+    max_hamming``. Requires ``bands > max_hamming`` (asserted).
+
+    Scale shape: one hash-collapse aggregate, a ``bands``-way explode
+    of the REP relation (not the corpus), one bucket equi-join whose
+    volume is Σ|bucket|² over 16-bit band values, one map-side XOR
+    verify. No all-pairs anywhere; output is invariant under duplicate
+    multiplicity."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for "
+            f"pigeonhole-exact recall"
+        )
+    seg = 64 // bands
+    mask = (1 << seg) - 1
+    reps = hashes.groupBy("ahash").agg(
+        F.min("media_id").alias("id"), F.count(F.lit(1)).alias("n_images")
+    )
+    banded = reps.select(
+        "id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("ahash"), k * seg)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "ahash", "b.band_idx", "b.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ──────────────────────────────────────────────────────────────────────
 # REAL audio decode (late round 12): the PNG move replayed for audio.
 # PCM WAV is stdlib-decodable — synthesize_wav_media builds small VALID

@@ -128,3 +128,76 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.hex("frame_payload").alias("frame_hex"),
     )
+
+
+@register(
+    "multimodal_image_neardup",
+    # the oracle replays the whole protocol from png_encode_gray's
+    # closed-form pixels: 8x8 nearest-neighbor grid sample, integer
+    # at-or-above-mean bits (v*64 >= sum - no float boundary), simhash
+    # bit packing (bit 63 via its two's-complement value), min-id rep
+    # collapse, 4x16-bit banding, XOR popcount verify. HUGEINT hazard:
+    # the packed-bit sum casts back to BIGINT (registry-lint rule).
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, doc_id % 251 AS seed,
+               CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 11 + 1 AS BIGINT) AS h
+        FROM documents
+    ),
+    cell AS (
+        SELECT media_id, seed, w, h, unnest(range(64)) AS j FROM m
+    ),
+    v AS (
+        SELECT media_id, j,
+               (seed * 7
+                + 3 * (((j // 8) * h // 8) * w + ((j % 8) * w // 8))) % 256
+                   AS val
+        FROM cell
+    ),
+    s AS (SELECT media_id, sum(val) AS sv FROM v GROUP BY 1),
+    hh AS (
+        SELECT v.media_id,
+               CAST(sum(CASE WHEN v.val * 64 >= s.sv THEN
+                        CASE WHEN v.j = 63
+                             THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << CAST(v.j AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM v JOIN s USING (media_id) GROUP BY 1
+    ),
+    reps AS (SELECT ahash, min(media_id) AS id FROM hh GROUP BY 1),
+    bands AS (
+        SELECT id, ahash, k.band_idx,
+               (ahash >> (k.band_idx * 16)) & 65535 AS band_bits
+        FROM reps
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) k
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.ahash AS ha, b.ahash AS hb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (r13) — the MULTIMODAL
+    member of the dedup family, closing the granularity matrix's image
+    axis the way MinHash/SimHash close text: real PNG decode feeds a
+    64-bit average-hash in the scan-stage Arrow kernel (only 24 bytes
+    per image leave Python — operators/multimodal.image_ahash), then
+    hash-identical images collapse to min-id reps and pairs come from
+    16-bit BAND buckets with an XOR-popcount verify at Hamming <= 3 —
+    pigeonhole-EXACT recall (4 bands > 3 bits), unlike the
+    probabilistic MinHash bands. Production swap-in: PIL/libvips
+    resample in the kernel; everything downstream is unchanged. The
+    oracle replays decode-grid-mean-pack-band-verify end to end from
+    the closed-form pixels, so a value match proves the real decoder,
+    the integer hash, AND the banded search."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(docs)
+    hashes = multimodal.image_ahash(media)
+    return multimodal.ahash_near_dup_pairs(hashes, max_hamming=3, bands=4)

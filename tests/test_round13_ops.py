@@ -1,0 +1,93 @@
+"""Round-13 operator pins: perceptual-hash image dedup
+(operators/multimodal.image_ahash + ahash_near_dup_pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.operators import multimodal as mm
+
+
+def _expected_ahash(seed: int, w: int, h: int, grid: int = 8) -> int:
+    """Pure-Python replay of the aHash closed form (independent of the
+    kernel's code path — pixels come from the encoder's formula, not
+    png_decode_gray)."""
+    px = [(seed * 7 + i * 3) % 256 for i in range(w * h)]
+    cells = [
+        px[(r * h // grid) * w + (c * w // grid)]
+        for r in range(grid)
+        for c in range(grid)
+    ]
+    s = sum(cells)
+    hv = 0
+    for j, v in enumerate(cells):
+        if v * len(cells) >= s:
+            hv += -(1 << 63) if j == 63 else (1 << j)
+    return hv
+
+
+def test_image_ahash_known_values(spark):
+    """Kernel hash == pure-Python closed-form replay for a spread of
+    (seed, w, h) shapes incl. 1×1 (every grid cell samples the same
+    pixel → all bits set → hash -1, the packed all-ones value)."""
+    rows = [(0,), (1,), (7,), (250,), (123,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["ahash"])
+        for r in mm.image_ahash(mm.synthesize_png_media(df)).collect()
+    }
+    for (i,) in rows:
+        seed, w, h = i % 251, i % 13 + 1, i % 11 + 1
+        assert got[i] == (w, h, _expected_ahash(seed, w, h)), i
+    # 1×1 image: doc_id 0 → w=1, h=1 → all 64 cells equal → all bits
+    assert got[0][2] == _expected_ahash(0, 1, 1) == -1
+
+
+def _hashes_df(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, ahash long")
+
+
+def test_ahash_pairs_collapse_first_and_verify(spark):
+    """Hash-identical images collapse to one min-id rep (no pairs from
+    a pure copy group); cross-hash pairs verify at bit_count(xor)."""
+    df = _hashes_df(
+        spark,
+        [
+            (10, 0b1111),      # rep of the {10, 11, 12} copy group
+            (11, 0b1111),
+            (12, 0b1111),
+            (20, 0b1110),      # hamming 1 from the group hash
+            (30, -1),          # far from everything
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.ahash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    # exactly one pair: group rep (10) vs 20; copies 11/12 never pair
+    assert got == {(10, 20): 1}
+
+
+def test_ahash_pairs_pigeonhole_recall_boundary(spark):
+    """bands > max_hamming gives EXACT recall at the threshold: 3
+    differing bits cannot break all 4 bands (pair found); 4 differing
+    bits placed one per 16-bit band leave no matching band — correctly
+    outside the family's guarantee AND outside the threshold."""
+    base = 0
+    three_bits = (1 << 0) | (1 << 16) | (1 << 32)          # 3 bands touched
+    four_bits = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # all 4
+    df = _hashes_df(spark, [(1, base), (2, base | three_bits), (3, base | four_bits)])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.ahash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert (1, 3) not in got  # hamming 4 > threshold (and no shared band)
+    # 2 vs 3 differ only in bit 48 → hamming 1, shares 3 bands
+    assert got[(2, 3)] == 1
+
+
+def test_ahash_pairs_rejects_bad_banding():
+    with pytest.raises(ValueError):
+        mm.ahash_near_dup_pairs(None, max_hamming=4, bands=4)
