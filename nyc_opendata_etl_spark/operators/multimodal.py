@@ -364,8 +364,16 @@ def ahash_near_dup_pairs(
         )
     seg = 64 // bands
     mask = (1 << seg) - 1
-    reps = hashes.groupBy("ahash").agg(
-        F.min("media_id").alias("id"), F.count(F.lit(1)).alias("n_images")
+    # localCheckpoint: reps is BOUNDED (one row per distinct hash) but
+    # its lineage is the full decode+hash kernel scan, and the banded
+    # self-join consumes it TWICE — without the checkpoint both join
+    # sides re-execute the Arrow decode over the whole corpus (the
+    # dedup_clusters_collapsed / ingest-batch lesson, image edition;
+    # seen in the r13 PLANS.md dump as two ArrowEvalPython branches).
+    reps = (
+        hashes.groupBy("ahash")
+        .agg(F.min("media_id").alias("id"), F.count(F.lit(1)).alias("n_images"))
+        .localCheckpoint()
     )
     banded = reps.select(
         "id",

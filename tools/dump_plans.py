@@ -386,6 +386,14 @@ SHOWCASE = {
         "closed-form pixel replay makes the value match an "
         "encode-decode identity proof."
     ),
+    "multimodal_image_neardup": (
+        "Perceptual-hash image dedup (round 13): PNG decode + aHash-64 "
+        "in one scan-stage mapInPandas kernel (24 bytes/image leave "
+        "Python), hash-collapse aggregate to min-id reps, a 4-way band "
+        "explode of the REP relation only, one bucket equi-join, "
+        "map-side XOR-popcount verify. No all-pairs; the band join's "
+        "volume is sum(|bucket|^2) over 16-bit band values."
+    ),
     "search_bm25_after_delete": (
         "Index LIFECYCLE probe (round 12): the staged index went "
         "through build -> delete -> compact, and the probe plan is "
