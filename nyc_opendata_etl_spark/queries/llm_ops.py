@@ -3125,6 +3125,131 @@ def q_search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
 
 
+#: Composite passage key: doc_id * 2^20 + chunk_id. The chunk budget
+#: (2^20 chunks/doc ≈ 59M tokens/doc at stride 56) is an explicit
+#: contract — a corpus with longer documents raises the multiplier.
+_CHUNK_KEY_BASE = 1 << 20
+
+
+def _stage_chunk_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the PASSAGE-level posting index once per corpus version:
+    chunk every document into 64-token windows (stride 56 — the
+    corpus_chunk_docs geometry) and build the standard text index over
+    the chunks under the composite doc·2^20+chunk key. build_text_index
+    and the probes are key-agnostic, so the whole retrieval stack
+    (pruned postings, broadcast vocab/stats, top-k) works at passage
+    granularity unchanged — the RAG-shaped deployment."""
+    from nyc_opendata_etl_spark.operators import curation
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "chunk_text_index")
+    if is_stale(path, sf_dir, "documents", marker="stats/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents")
+        chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=8)
+        keyed = chunks.select(
+            (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id")).alias(
+                "doc_id"
+            ),
+            F.col("chunk_text").alias("text"),
+        )
+        text.build_text_index(keyed, path)
+    return path
+
+
+@register(
+    "search_bm25_passages",
+    # the corpus_chunk_docs chunk CTE composed with the search_bm25
+    # BM25 CTE under the composite key — both fragments already proven
+    # by their own oracles; chunk tokens lower via list_transform (the
+    # corpus is ASCII — lower() parity is the standing search_bm25
+    # assumption).
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_WS}'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    ch AS (
+        SELECT doc_id, chunk_id,
+               list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64)
+                   AS ctoks
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                          ELSE (n - 64 + 55) // 56 + 1 END))
+                         AS chunk_id
+              FROM s)
+    ),
+    d AS (
+        SELECT doc_id * {_CHUNK_KEY_BASE} + chunk_id AS key,
+               list_transform(ctoks, x -> lower(x)) AS toks
+        FROM ch
+    ),
+    dl AS (SELECT key, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT key, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT key, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.key,
+               CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12)) AS c
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.key = tf.key
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT key, CAST(sum(c) AS DOUBLE) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_hit_terms
+        FROM contrib GROUP BY key
+        ORDER BY bm25 DESC, key LIMIT 20
+    )
+    SELECT CAST(key // {_CHUNK_KEY_BASE} AS BIGINT) AS doc_id,
+           CAST(key % {_CHUNK_KEY_BASE} AS BIGINT) AS chunk_id,
+           bm25, n_hit_terms
+    FROM scored
+    """,
+)
+def q_search_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level BM25 retrieval (r13) — the RAG deployment shape:
+    the staged index is built over 64-token overlapping chunks
+    (corpus_chunk_docs geometry) under a composite doc·2^20+chunk key,
+    and the UNCHANGED bm25_topk_indexed probe returns the top-20
+    passages with their parent doc — retrieval quality at passage
+    granularity without a second retrieval stack (build_text_index and
+    the probes are key-agnostic; the composition is the point, like
+    corpus_e2e_curation). Scale shape: identical to search_bm25 —
+    chunking is write-time work in the staged build, the probe reads
+    only the query terms' pruned postings whatever the passage count.
+    The oracle composes the two families' proven CTE fragments, so a
+    value match verifies the chunk geometry, the keying, AND the BM25
+    scores end to end."""
+    index = _stage_chunk_text_index(spark, sf_dir)
+    hits = text.bm25_topk_indexed(spark, index, ["hash", "join", "vector"])
+    return hits.select(
+        F.floor(F.col("doc_id") / _CHUNK_KEY_BASE).cast("long").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(_CHUNK_KEY_BASE))
+        .cast("long")
+        .alias("chunk_id"),
+        "bm25",
+        "n_hit_terms",
+    )
+
+
 def _stage_text_index_compacted(spark: SparkSession, sf_dir: str) -> str:
     """Stage the posting-list index through the full LIFECYCLE: build
     over the whole corpus, DELETE every doc_id % 5 == 0 (the takedown

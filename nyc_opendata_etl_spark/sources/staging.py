@@ -78,6 +78,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         _stage_events_zordered,
     )
     from nyc_opendata_etl_spark.queries.llm_ops import (
+        _stage_chunk_text_index,
         _stage_fingerprint_index,
         _stage_ivfpq_index,
         _stage_ivfpq_index_incremental,
@@ -97,6 +98,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
 
     builders = [
         ("text_index (BM25 postings)", lambda: _stage_text_index(spark, sf_dir)),
+        (
+            "chunk_text_index (passage-level BM25; r13)",
+            lambda: _stage_chunk_text_index(spark, sf_dir),
+        ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",
             lambda: _stage_fingerprint_index_rc(spark, sf_dir),

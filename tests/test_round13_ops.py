@@ -91,3 +91,45 @@ def test_ahash_pairs_pigeonhole_recall_boundary(spark):
 def test_ahash_pairs_rejects_bad_banding():
     with pytest.raises(ValueError):
         mm.ahash_near_dup_pairs(None, max_hamming=4, bands=4)
+
+
+# ── passage-level retrieval (chunking × staged index, r13) ──────────
+
+
+def test_bm25_passages_key_contract_and_passage_hits(spark, tmp_path):
+    """The composite doc·2^20+chunk key round-trips at the boundary,
+    and retrieval is genuinely passage-level: a long document with the
+    query term in two different chunks yields two distinct passage
+    hits for the same parent doc."""
+    from nyc_opendata_etl_spark.operators import curation, text
+    from nyc_opendata_etl_spark.queries.llm_ops import _CHUNK_KEY_BASE
+
+    # 72 tokens: needle@0 + 70 fillers + needle@71 → two chunks
+    # (chunk 0 = tokens 1-64, chunk 1 = tokens 57-72), one needle each
+    filler = " ".join(f"w{i}" for i in range(70))
+    docs = spark.createDataFrame(
+        [
+            (7, "needle " + filler + " needle"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cidx")
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    keyed = chunks.select(
+        (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    text.build_text_index(keyed, idx)
+    hits = text.bm25_topk_indexed(spark, idx, ["needle"], k=10)
+    rows = {
+        (r["doc_id"] // _CHUNK_KEY_BASE, r["doc_id"] % _CHUNK_KEY_BASE)
+        for r in hits.collect()
+    }
+    assert rows == {(7, 0), (7, 1)}
+    # boundary: the largest in-budget chunk id survives the roundtrip
+    key = 7 * _CHUNK_KEY_BASE + (_CHUNK_KEY_BASE - 1)
+    assert (key // _CHUNK_KEY_BASE, key % _CHUNK_KEY_BASE) == (
+        7,
+        _CHUNK_KEY_BASE - 1,
+    )
