@@ -417,6 +417,53 @@ def ahash_near_dup_pairs(
     )
 
 
+def ahash_clusters(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4, cc_kernel=None
+) -> DataFrame:
+    """IMAGE-level perceptual-dup clusters (r13): connected components
+    over the aHash near-dup graph, expanded back to every member image
+    — the collapse+expand envelope of duplicate_clusters_collapsed
+    with perceptual hashes as the collapse key. Edges are (a) implicit
+    identical-hash membership (every image ↔ its hash group's min-id
+    rep) and (b) the banded cross-hash rep pairs at Hamming ≤
+    ``max_hamming``; the CC kernel (default the O(log n)-round
+    large-star/small-star) runs on the REP graph only, then membership
+    joins each image to its rep's component. Output: (media_id,
+    cluster_id = min member id) for every image in a genuine dup
+    relation — hash groups of ≥2 images, or reps connected cross-hash;
+    perceptually unique images are absent (the dedup_clusters
+    contract).
+
+    Scale shape: hashes (24 bytes/image) localCheckpointed — the
+    decode-kernel lineage feeds three consumers (pairs, rep table,
+    membership join); CC runs on |distinct hashes| nodes; the expand
+    is one equi-join on the hash value."""
+    from nyc_opendata_etl_spark.operators import dedup
+
+    if cc_kernel is None:
+        cc_kernel = dedup.duplicate_clusters_logstar
+    hashes = hashes.select("media_id", "ahash").localCheckpoint()
+    rep_pairs = ahash_near_dup_pairs(
+        hashes, max_hamming=max_hamming, bands=bands
+    )
+    rep_clusters = cc_kernel(rep_pairs).withColumnRenamed("doc_id", "rep")
+    reps = hashes.groupBy("ahash").agg(
+        F.min("media_id").alias("rep"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+    mem = hashes.join(reps, "ahash")
+    joined = mem.join(rep_clusters, "rep", "left")
+    return (
+        joined.filter(
+            F.col("cluster_id").isNotNull() | (F.col("n_images") >= 2)
+        )
+        .select(
+            "media_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
+        )
+    )
+
+
 # ──────────────────────────────────────────────────────────────────────
 # REAL audio decode (late round 12): the PNG move replayed for audio.
 # PCM WAV is stdlib-decodable — synthesize_wav_media builds small VALID

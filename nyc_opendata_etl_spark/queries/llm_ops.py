@@ -3250,6 +3250,131 @@ def q_search_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_chunk_text_index_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the passage index by INCREMENTAL construction: build from
+    the even-doc half's chunks, then update_text_index the odd half's —
+    the hourly-RAG-ingest shape (new documents arrive, ONLY their
+    chunks are tokenized and appended; the indexed corpus is never
+    re-read). Chunk keys inherit doc-id disjointness (the composite key
+    is doc-major), satisfying update_text_index's append contract.
+    _INCR_DONE proves both phases completed."""
+    from nyc_opendata_etl_spark.operators import curation
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "chunk_text_index_incr")
+    if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
+        import os
+
+        docs = load_table(spark, sf_dir, "documents")
+
+        def keyed(half: DataFrame) -> DataFrame:
+            ch = curation.chunk_documents(half, chunk_tokens=64, overlap=8)
+            return ch.select(
+                (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id")).alias(
+                    "doc_id"
+                ),
+                F.col("chunk_text").alias("text"),
+            )
+
+        text.build_text_index(keyed(docs.filter(F.col("doc_id") % 2 == 0)), path)
+        text.update_text_index(
+            spark, keyed(docs.filter(F.col("doc_id") % 2 == 1)), path
+        )
+        with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
+            fh.write("")  # both phases completed
+    return path
+
+
+@register(
+    "search_bm25_passages_incremental",
+    # the search_bm25_passages oracle with the incremental query's
+    # terms — the oracle recomputes passage BM25 over the raw FULL
+    # corpus, so a value match proves chunk-level append+merge
+    # reconstructs exactly the from-scratch index state.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_WS}'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    ch AS (
+        SELECT doc_id, chunk_id,
+               list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64)
+                   AS ctoks
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                          ELSE (n - 64 + 55) // 56 + 1 END))
+                         AS chunk_id
+              FROM s)
+    ),
+    d AS (
+        SELECT doc_id * {_CHUNK_KEY_BASE} + chunk_id AS key,
+               list_transform(ctoks, x -> lower(x)) AS toks
+        FROM ch
+    ),
+    dl AS (SELECT key, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tok AS (SELECT key, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT key, term, count(*) AS tf FROM tok
+        WHERE term IN ('scan', 'filter', 'stream')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.key,
+               CAST(round(
+                   ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n))),
+                   9) AS DECIMAL(28,12)) AS c
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.key = tf.key
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT key, CAST(sum(c) AS DOUBLE) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_hit_terms
+        FROM contrib GROUP BY key
+        ORDER BY bm25 DESC, key LIMIT 20
+    )
+    SELECT CAST(key // {_CHUNK_KEY_BASE} AS BIGINT) AS doc_id,
+           CAST(key % {_CHUNK_KEY_BASE} AS BIGINT) AS chunk_id,
+           bm25, n_hit_terms
+    FROM scored
+    """,
+)
+def q_search_bm25_passages_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Passage-level BM25 over an INCREMENTALLY built chunk index
+    (r13): the even-doc half's chunks are indexed from scratch, the
+    odd half's appended via update_text_index — new documents cost
+    only their own chunking+tokenization, the hourly-RAG-ingest
+    contract at passage granularity. The oracle recomputes passage
+    BM25 from the raw full corpus, so a green row proves chunk-level
+    append+merge reconstructs exactly the from-scratch state (the
+    search_bm25_incremental proof, passage edition)."""
+    index = _stage_chunk_text_index_incremental(spark, sf_dir)
+    hits = text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
+    return hits.select(
+        F.floor(F.col("doc_id") / _CHUNK_KEY_BASE).cast("long").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(_CHUNK_KEY_BASE))
+        .cast("long")
+        .alias("chunk_id"),
+        "bm25",
+        "n_hit_terms",
+    )
+
+
 def _stage_text_index_compacted(spark: SparkSession, sf_dir: str) -> str:
     """Stage the posting-list index through the full LIFECYCLE: build
     over the whole corpus, DELETE every doc_id % 5 == 0 (the takedown

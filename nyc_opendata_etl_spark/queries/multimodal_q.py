@@ -201,3 +201,96 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_png_media(docs)
     hashes = multimodal.image_ahash(media)
     return multimodal.ahash_near_dup_pairs(hashes, max_hamming=3, bands=4)
+
+
+@register(
+    "multimodal_image_clusters",
+    # the multimodal_image_neardup oracle's hash/band/verify CTEs
+    # composed with the dedup_clusters recursive-closure pattern, plus
+    # the identical-hash membership expand — every fragment already
+    # value-proven by its own oracle.
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, doc_id % 251 AS seed,
+               CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 11 + 1 AS BIGINT) AS h
+        FROM documents
+    ),
+    cell AS (
+        SELECT media_id, seed, w, h, unnest(range(64)) AS j FROM m
+    ),
+    v AS (
+        SELECT media_id, j,
+               (seed * 7
+                + 3 * (((j // 8) * h // 8) * w + ((j % 8) * w // 8))) % 256
+                   AS val
+        FROM cell
+    ),
+    s AS (SELECT media_id, sum(val) AS sv FROM v GROUP BY 1),
+    hh AS (
+        SELECT v.media_id,
+               CAST(sum(CASE WHEN v.val * 64 >= s.sv THEN
+                        CASE WHEN v.j = 63
+                             THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << CAST(v.j AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM v JOIN s USING (media_id) GROUP BY 1
+    ),
+    reps AS (
+        SELECT ahash, min(media_id) AS rep,
+               CAST(count(*) AS BIGINT) AS n_images
+        FROM hh GROUP BY 1
+    ),
+    bands AS (
+        SELECT rep AS id, ahash, k.band_idx,
+               (ahash >> (k.band_idx * 16)) & 65535 AS band_bits
+        FROM reps
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) k
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         AND a.id < b.id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+        SELECT src AS rep, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    memb AS (
+        SELECT h.media_id, r.rep, r.n_images
+        FROM hh h JOIN reps r USING (ahash)
+    )
+    SELECT memb.media_id,
+           COALESCE(cl.cluster_id, memb.rep) AS cluster_id
+    FROM memb LEFT JOIN cl USING (rep)
+    WHERE cl.cluster_id IS NOT NULL OR memb.n_images >= 2
+    """,
+)
+def q_multimodal_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level perceptual-dup CLUSTERS (r13) — the action step
+    after multimodal_image_neardup, mirroring dedup_clusters for text:
+    connected components (O(log n)-round large-star/small-star kernel)
+    over the aHash rep graph, expanded back to every member image via
+    the identical-hash membership join. Output (media_id, cluster_id =
+    min member id) for every image in a dup relation; the keep-list /
+    keep-best policies downstream are the text family's, unchanged.
+    The oracle composes the image hash/band/verify replay with the
+    recursive-CTE closure and the membership expand, so a value match
+    proves the decode, the banding, the CC kernel, AND the expand in
+    one differential check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(docs)
+    hashes = multimodal.image_ahash(media)
+    return multimodal.ahash_clusters(hashes)

@@ -133,3 +133,23 @@ def test_bm25_passages_key_contract_and_passage_hits(spark, tmp_path):
         7,
         _CHUNK_KEY_BASE - 1,
     )
+
+
+def test_ahash_clusters_membership_and_transitivity(spark):
+    """Identical-hash groups cluster without any cross-hash pair; the
+    closure is transitive across rep pairs (A~B, B~C, A far from C all
+    land in one cluster); perceptually unique images are absent."""
+    h1 = 0b0
+    h2 = 0b1            # hamming 1 from h1
+    h3 = 0b1111         # hamming 3 from h2, 4 from h1 (no direct pair)
+    far = -1
+    df = spark.createDataFrame(
+        [(1, h1), (2, h1), (3, h2), (4, h3), (9, far)],
+        "media_id long, ahash long",
+    )
+    got = {
+        r["media_id"]: r["cluster_id"]
+        for r in mm.ahash_clusters(df, max_hamming=3, bands=4).collect()
+    }
+    # 1,2 share a hash; 3 pairs with rep 1; 4 reaches 1 only through 3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
