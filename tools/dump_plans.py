@@ -394,6 +394,27 @@ SHOWCASE = {
         "map-side XOR-popcount verify. No all-pairs; the band join's "
         "volume is sum(|bucket|^2) over 16-bit band values."
     ),
+    "multimodal_image_clusters": (
+        "Image perceptual-dup clusters (round 13): the aHash kernel's "
+        "output is localCheckpointed once (Scan ExistingRDD on every "
+        "consumer - no repeated decode), the CC kernel's log-round "
+        "star contraction ran at plan-build time over the rep graph, "
+        "and the final plan is just the membership expand join plus "
+        "the dup-relation filter."
+    ),
+    "search_bm25_passages": (
+        "Passage-level BM25 (round 13): identical probe shape to "
+        "search_bm25 - pushed term predicate into the chunk-keyed "
+        "postings scan, broadcast vocab + stats, "
+        "TakeOrderedAndProject - chunking happened at staged-build "
+        "write time and is absent from the query plan entirely."
+    ),
+    "search_bm25_passages_incremental": (
+        "Incrementally built passage index probe (round 13): the plan "
+        "is byte-identical in shape to search_bm25_passages - "
+        "append+merge maintenance leaves no trace on the read path, "
+        "which is the point."
+    ),
     "search_bm25_after_delete": (
         "Index LIFECYCLE probe (round 12): the staged index went "
         "through build -> delete -> compact, and the probe plan is "
