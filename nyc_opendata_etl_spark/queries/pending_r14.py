@@ -1,0 +1,78 @@
+"""Round-14 registration, staged (the pending_r13 playbook): the
+exactly-once streaming index-maintenance pipeline built late in round
+13 after the r13 verdict window was already composed (registering
+would displace r9-cohort greens past what the round promised).
+
+NOT imported by ``queries._load_all``: nothing here reaches
+``queries()`` until round 14 flips it on (add ``pending_r14`` to the
+import list; ``_pending`` already mirrors the r13 flip's dual
+register/manifest behavior once the registry import is added). Until
+then the pair runs under the exact driver compare via
+tests/test_round13_ops.py::test_pending_r14_pair_passes_the_driver_compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_opendata_etl_spark.queries import llm_ops  # registers search_bm25
+from nyc_opendata_etl_spark.queries import REGISTRY
+from nyc_opendata_etl_spark.queries.pending_r13 import (
+    _fresh_run_dir,
+    _stage_docs_idordered,
+)
+
+PENDING: dict[str, tuple] = {}
+
+
+def _pending(name: str, oracle: str):
+    def deco(fn):
+        PENDING[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+@_pending(
+    # Proof by identity: the streaming-built index must reproduce
+    # search_bm25's EXACT result over the same corpus and terms, so
+    # its oracle is search_bm25's oracle VERBATIM (shared by
+    # reference, not by copy — a BM25 constant tweak can never
+    # desynchronize the two).
+    "stream_index_ingest",
+    oracle=REGISTRY["search_bm25"].oracle,
+)
+def q_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING index maintenance
+    (streaming/index_ingest.py) run as a bounded AvailableNow drain:
+    the corpus arrives in 4 micro-batches (8 staged id-ordered files,
+    maxFilesPerTrigger=2) and each batch dynamic-overwrites only its
+    own postings/stats partitions — a replayed batch rewrites identical
+    content instead of double-appending (the defect update_text_index's
+    append mode would have under replay; pinned in
+    tests/test_round13_ops.py). The delta-aware probe derives df from
+    the pruned term postings and folds the per-batch stats, scoring
+    bit-identically to a from-scratch build — so the search_bm25 oracle
+    verifies batching, idempotent writes, AND the probe end to end.
+    Index/checkpoint live in a reaped per-run temp dir."""
+    import uuid
+
+    from nyc_opendata_etl_spark.streaming.index_ingest import (
+        bm25_topk_delta,
+        stream_index_ingest,
+    )
+
+    src = _stage_docs_idordered(spark, sf_dir)
+    run = _fresh_run_dir("spark_graft_iidx_run_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    stream_index_ingest(
+        stream,
+        f"{run}/idx",
+        query_name=f"iidx_{uuid.uuid4().hex[:8]}",
+        checkpoint_location=f"{run}/ckpt",
+    )
+    return bm25_topk_delta(spark, f"{run}/idx", ["hash", "join", "vector"])

@@ -153,3 +153,170 @@ def test_ahash_clusters_membership_and_transitivity(spark):
     }
     # 1,2 share a hash; 3 pairs with rep 1; 4 reaches 1 only through 3
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+# ── exactly-once streaming index maintenance (r14 staging) ──────────
+
+
+def _idx_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _snap(spark, path):
+    post = sorted(
+        map(tuple, spark.read.parquet(f"{path}/postings").collect())
+    )
+    stats = sorted(map(tuple, spark.read.parquet(f"{path}/stats").collect()))
+    return post, stats
+
+
+def test_index_ingest_matches_from_scratch_build(spark, tmp_path):
+    """Two micro-batches through the delta layout score bit-identically
+    to bm25_topk_indexed over a from-scratch build_text_index of the
+    union — including an empty-text and a NULL-text doc, which carry no
+    postings but must count toward (n, sum_dl)."""
+    from nyc_opendata_etl_spark.operators import text
+    from nyc_opendata_etl_spark.streaming import index_ingest as ii
+
+    b0 = _idx_docs(
+        spark,
+        [(0, "alpha beta alpha"), (1, "beta gamma"), (2, ""), (3, None)],
+    )
+    b1 = _idx_docs(spark, [(10, "alpha alpha gamma"), (11, "delta")])
+    delta = str(tmp_path / "delta")
+    ii.index_ingest_batch(b0, 0, delta)
+    ii.index_ingest_batch(b1, 1, delta)
+    scratch = str(tmp_path / "scratch")
+    text.build_text_index(b0.unionByName(b1), scratch)
+    got = sorted(
+        map(
+            tuple,
+            ii.bm25_topk_delta(spark, delta, ["alpha", "gamma"]).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            text.bm25_topk_indexed(spark, scratch, ["alpha", "gamma"]).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+    # stats fold counts ALL six docs (incl. empty + NULL text)
+    n = (
+        spark.read.parquet(f"{delta}/stats")
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == 6
+
+
+def test_index_ingest_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a committed batch (failure-before-checkpoint
+    scenario) rewrites exactly its own postings/stats partitions with
+    identical content — unlike update_text_index's append mode, which
+    a replay would double-count."""
+    from nyc_opendata_etl_spark.streaming import index_ingest as ii
+
+    delta = str(tmp_path / "idx")
+    b0 = _idx_docs(spark, [(0, "alpha beta"), (1, "beta")])
+    b1 = _idx_docs(spark, [(10, "alpha alpha")])
+    ii.index_ingest_batch(b0, 0, delta)
+    ii.index_ingest_batch(b1, 1, delta)
+    before = _snap(spark, delta)
+    probe_before = sorted(
+        map(tuple, ii.bm25_topk_delta(spark, delta, ["alpha"]).collect())
+    )
+    ii.index_ingest_batch(b1, 1, delta)  # replay
+    assert _snap(spark, delta) == before
+    assert (
+        sorted(map(tuple, ii.bm25_topk_delta(spark, delta, ["alpha"]).collect()))
+        == probe_before
+    )
+
+
+def test_stream_index_ingest_end_to_end(spark, tmp_path):
+    """True streaming drain: a file source delivering two ordered
+    micro-batches through stream_index_ingest probes identically to a
+    from-scratch batch build."""
+    import os
+    import time
+
+    from nyc_opendata_etl_spark.operators import text
+    from nyc_opendata_etl_spark.streaming import index_ingest as ii
+
+    src = str(tmp_path / "src")
+    docs = _idx_docs(
+        spark, [(0, "alpha beta"), (1, "gamma alpha"), (2, "beta beta")]
+    )
+    os.makedirs(src)
+    base = time.time()
+    for i, half in enumerate(
+        [docs.filter(F.col("doc_id") < 2), docs.filter(F.col("doc_id") >= 2)]
+    ):
+        scratch = str(tmp_path / f"scr{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch) if f.startswith("part-")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.replace(os.path.join(scratch, part), dst)
+        t = base - (2 - i) * 1.0
+        os.utime(dst, (t, t))
+    delta = str(tmp_path / "delta")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    ii.stream_index_ingest(
+        stream,
+        delta,
+        query_name="iidx_test",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    scratch_idx = str(tmp_path / "scratch_idx")
+    text.build_text_index(docs, scratch_idx)
+    got = sorted(
+        map(tuple, ii.bm25_topk_delta(spark, delta, ["alpha", "beta"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            text.bm25_topk_indexed(spark, scratch_idx, ["alpha", "beta"]).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+
+def test_pending_r14_pair_passes_the_driver_compare(spark):
+    """The staged round-14 registration (queries/pending_r14.py) must
+    already pass the EXACT compare the driver's gate runs at sf0.01 —
+    the pending_r13 playbook, so the r14 flip is a rename, not a
+    leap. Also pins that it is NOT yet registered (the r13 window's
+    slot arithmetic is a promise)."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
+    from nyc_opendata_etl_spark.queries.pending_r14 import PENDING
+
+    assert set(PENDING) == {"stream_index_ingest"}
+    _load_all()
+    assert not set(PENDING) & set(REGISTRY)
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    from tests.test_round12b_ops import _canon_rows
+
+    for name, (fn, oracle) in PENDING.items():
+        sdf = fn(spark, sf)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows), name
+        assert sorted(sdf.columns) == sorted(duck_cols), name
+        assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+            duck_cols, duck_rows
+        ), name
