@@ -50,45 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "join_asof": 8,
-    "json_extract": 8,
-    "json_agg_by_key": 8,
-    "map_props_agg": 8,
-    "q3_shipping_priority": 8,
-    "q5_local_supplier_volume": 8,
-    "unpivot_measures": 8,
-    "profile_columns": 8,
-    "array_hof_pipeline": 8,
-    "join_interval_bucketed": 8,
-    "market_basket_pairs_relative": 8,
-    "stats_equidepth_bins_approx": 8,
-    "text_quality": 8,
-    "text_tfidf_top": 8,
-    "join_skew_salted": 8,
-    "corpus_split": 8,
-    "text_pii_scan": 8,
-    "text_unigram_logprob": 8,
-    "corpus_sample_stratified": 8,
-    "corpus_sample_priority": 8,
-    "window_tumbling": 8,
-    "window_session": 8,
-    "events_funnel": 8,
-    "events_cohort_retention": 8,
-    "events_ewma": 8,
-    "quality_validation": 8,
-    "events_sessionize": 8,
-    "rollup_incremental": 8,
-    "rollup_hll_distinct": 8,
-    "pipeline_311_fact": 8,
-    "pipeline_parking_fact": 8,
-    "scd2_merge": 8,
-    "multimodal_metadata_agg": 8,
-    "ingest_csv_documents": 9,
-    "ingest_jsonl_documents": 9,
-    "set_except_all": 9,
-    "set_intersect_all": 9,
-    "linkage_fellegi_sunter": 9,
-    "q18_large_volume_customer": 9,
     "graph_pagerank_trade": 9,
     "agg_listagg_ordered": 9,
     "audit_constraints": 9,
@@ -161,7 +122,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "dedup_ngram_jaccard": 10,
     "text_length_histogram": 10,
     "corpus_pack_sequences": 10,
-    "dedup_keep_best": 10,
     "text_char_entropy": 10,
     "embedding_gramian": 10,
     "corpus_mix_temperature": 10,
@@ -249,7 +209,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "similarity_ivfpq_topk": 12,
     "similarity_ivfpq_incremental": 12,
     "search_bm25_after_delete": 12,
-    "sketch_countmin_freq": 12,
     "corpus_mix_realize": 12,
     "stats_chi2_contingency": 12,
     "layout_zorder_locality": 12,
@@ -259,42 +218,81 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_pattern_match": 12,
     "pipeline_integrated_fact": 12,
     "multimodal_features": 12,
+    "ingest_csv_documents": 13,
+    "ingest_jsonl_documents": 13,
+    "join_asof": 13,
+    "set_except_all": 13,
+    "set_intersect_all": 13,
+    "json_extract": 13,
+    "json_agg_by_key": 13,
+    "map_props_agg": 13,
+    "linkage_fellegi_sunter": 13,
+    "q3_shipping_priority": 13,
+    "q18_large_volume_customer": 13,
+    "q5_local_supplier_volume": 13,
+    "unpivot_measures": 13,
+    "profile_columns": 13,
+    "array_hof_pipeline": 13,
+    "join_interval_bucketed": 13,
+    "market_basket_pairs_relative": 13,
+    "stats_equidepth_bins_approx": 13,
+    "text_quality": 13,
+    "text_tfidf_top": 13,
+    "join_skew_salted": 13,
+    "corpus_split": 13,
+    "text_pii_scan": 13,
+    "text_unigram_logprob": 13,
+    "corpus_sample_stratified": 13,
+    "dedup_keep_best": 13,
+    "search_bm25_passages": 13,
+    "search_bm25_passages_incremental": 13,
+    "sketch_countmin_freq": 13,
+    "corpus_sample_priority": 13,
+    "window_tumbling": 13,
+    "window_session": 13,
+    "events_funnel": 13,
+    "events_cohort_retention": 13,
+    "events_ewma": 13,
+    "quality_validation": 13,
+    "events_sessionize": 13,
+    "rollup_incremental": 13,
+    "rollup_hll_distinct": 13,
+    "pipeline_311_fact": 13,
+    "pipeline_parking_fact": 13,
+    "scd2_merge": 13,
+    "multimodal_metadata_agg": 13,
+    "multimodal_image_neardup": 13,
+    "multimodal_image_clusters": 13,
+    "dedup_incremental_rc": 13,
+    "stream_dedup_ingest": 13,
+    "stream_scd2_upserts": 13,
+    "multimodal_audio_features": 13,
+    "multimodal_video_frames": 13,
 }
 
-# Queries that MUST carry a round-13 verdict regardless of history:
+# Queries that MUST carry a round-14 verdict regardless of history:
 # every query whose implementation or oracle changes THIS round
-# (appended as the round's work lands). New round-13 registrations
-# (the five pending_r13 flips) join group 0 automatically as
-# never-checked. Remaining slots fill with the stalest greens via the
-# verdict-age sort below — after the r12 rotation that is the 33-query
-# r8 cohort (asof join, json/map surface, TPC-H Q3/Q5, tumbling/
-# session windows, funnel/retention/sessionize, text quality/tfidf/
-# pii, 311+parking pipelines, scd2_merge…), exactly the staleness debt
-# VERDICT r12 item 2 names. Slot arithmetic: 5 new + 33 r8 = 38 of 50
-# → ≤12 rechecks/extra registrations keep the whole cohort clearing.
-_RECHECK_R13: tuple[str, ...] = (
-    # ADVICE r12 low: WAV decoder now wraps EOFError/struct.error in
-    # ValueError — the audio kernel's error contract changed (new
-    # registration anyway, listed for the audit trail).
-    "multimodal_audio_features",
-    # ADVICE r12 medium: _index_or_none re-raises non-PATH_NOT_FOUND
-    # read failures; ADVICE r12 lows: 1 s mtime spacing in the staged
-    # stream sources, per-run temp dirs reaped (new registrations
-    # anyway, listed for the audit trail).
-    "stream_dedup_ingest",
-    "stream_scd2_upserts",
-    # r13 llm_ops.py review: uniques anti-join no longer force-
-    # broadcasts the duplicate-scaled membership list (AQE decides).
-    "dedup_keep_best",
-    # r13 llm_ops.py review: exact-count side now filters by the
-    # literal probe list + map-side-combined count instead of
-    # shuffling the full exploded token relation through a left join.
-    "sketch_countmin_freq",
+# (appended as the round's work lands). New round-14 registrations
+# (the pending_r14 flip and any later additions) join group 0
+# automatically as never-checked. Remaining slots fill with the
+# stalest greens via the verdict-age sort below — after the r13
+# rotation that is the 37-query r9 cohort (pagerank, bloom joins,
+# TPC-H Q4/Q6–Q22 shapes, cdc_apply_changelog, gapfill/attribution,
+# text ngram/bigram/boilerplate, sliding windows, scd2 point-in-time…),
+# exactly the staleness debt VERDICT r13 item 2 names. Slot
+# arithmetic: 1 flip + 37 r9 = 38 of 50 → ≤12 rechecks/extra
+# registrations keep the whole cohort clearing.
+_RECHECK_R14: tuple[str, ...] = (
+    # ADVICE r13: passage-key decode switched to integer `div`
+    # (double division mis-decodes doc_id >= 2^33) and the 2^20
+    # chunks-per-doc budget is now raise-enforced at index build.
+    "search_bm25_passages",
+    "search_bm25_passages_incremental",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R13)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R14)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
@@ -337,6 +335,7 @@ def _load_all() -> None:
         multimodal_q,
         tpch,
         pending_r13,
+        pending_r14,
     )
 
     _LOADED = True

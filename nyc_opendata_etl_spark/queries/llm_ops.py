@@ -3131,6 +3131,45 @@ def q_search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_KEY_BASE = 1 << 20
 
 
+def _passage_key():
+    """Composite passage key doc_id·2^20 + chunk_id with the budget
+    ENFORCED (ADVICE r13): a doc whose chunk_id reaches
+    _CHUNK_KEY_BASE would otherwise silently collide its chunks into
+    the next doc's key space, corrupting retrieval attribution — a
+    violating corpus must fail loudly at index-build time instead.
+    The raise_error branch is inside the row expression, so the check
+    is distributed and free on conforming rows."""
+    return F.when(
+        F.col("chunk_id") < _CHUNK_KEY_BASE,
+        F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "doc %d chunk %d exceeds the 2^20 chunks-per-doc "
+                "passage-key budget; raise _CHUNK_KEY_BASE for this corpus",
+                F.col("doc_id"),
+                F.col("chunk_id"),
+            )
+        )
+    )
+
+
+def _split_passage_key(hits: DataFrame) -> DataFrame:
+    """Decode the composite key back to (doc_id, chunk_id) with
+    INTEGER arithmetic (ADVICE r13: `/` is double-precision division,
+    exact only below 2^53, so floor(key / 2^20) mis-decodes for
+    doc_id ≥ 2^33 — `div` keeps the decode exact over the full long
+    range a 100 TB corpus uses)."""
+    return hits.select(
+        F.expr(f"doc_id div {_CHUNK_KEY_BASE}").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(_CHUNK_KEY_BASE))
+        .cast("long")
+        .alias("chunk_id"),
+        "bm25",
+        "n_hit_terms",
+    )
+
+
 def _stage_chunk_text_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage the PASSAGE-level posting index once per corpus version:
     chunk every document into 64-token windows (stride 56 — the
@@ -3147,9 +3186,7 @@ def _stage_chunk_text_index(spark: SparkSession, sf_dir: str) -> str:
         docs = load_table(spark, sf_dir, "documents")
         chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=8)
         keyed = chunks.select(
-            (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id")).alias(
-                "doc_id"
-            ),
+            _passage_key().alias("doc_id"),
             F.col("chunk_text").alias("text"),
         )
         text.build_text_index(keyed, path)
@@ -3240,14 +3277,7 @@ def q_search_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores end to end."""
     index = _stage_chunk_text_index(spark, sf_dir)
     hits = text.bm25_topk_indexed(spark, index, ["hash", "join", "vector"])
-    return hits.select(
-        F.floor(F.col("doc_id") / _CHUNK_KEY_BASE).cast("long").alias("doc_id"),
-        F.pmod(F.col("doc_id"), F.lit(_CHUNK_KEY_BASE))
-        .cast("long")
-        .alias("chunk_id"),
-        "bm25",
-        "n_hit_terms",
-    )
+    return _split_passage_key(hits)
 
 
 def _stage_chunk_text_index_incremental(spark: SparkSession, sf_dir: str) -> str:
@@ -3270,9 +3300,7 @@ def _stage_chunk_text_index_incremental(spark: SparkSession, sf_dir: str) -> str
         def keyed(half: DataFrame) -> DataFrame:
             ch = curation.chunk_documents(half, chunk_tokens=64, overlap=8)
             return ch.select(
-                (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_id")).alias(
-                    "doc_id"
-                ),
+                _passage_key().alias("doc_id"),
                 F.col("chunk_text").alias("text"),
             )
 
@@ -3365,14 +3393,7 @@ def q_search_bm25_passages_incremental(
     search_bm25_incremental proof, passage edition)."""
     index = _stage_chunk_text_index_incremental(spark, sf_dir)
     hits = text.bm25_topk_indexed(spark, index, ["scan", "filter", "stream"])
-    return hits.select(
-        F.floor(F.col("doc_id") / _CHUNK_KEY_BASE).cast("long").alias("doc_id"),
-        F.pmod(F.col("doc_id"), F.lit(_CHUNK_KEY_BASE))
-        .cast("long")
-        .alias("chunk_id"),
-        "bm25",
-        "n_hit_terms",
-    )
+    return _split_passage_key(hits)
 
 
 def _stage_text_index_compacted(spark: SparkSession, sf_dir: str) -> str:

@@ -46,23 +46,38 @@ def _fresh_run_dir(prefix: str) -> str:
     from THIS process are rmtree'd at interpreter exit (the returned
     DataFrame is lazy, so removal must outlive the caller — atexit is
     the earliest safe point), and orphans from crashed/killed earlier
-    runs are reaped on the next invocation once they are an hour old
-    (old enough that no live bench/test run still reads them)."""
+    runs are reaped on the next invocation. Liveness, not age, decides
+    what is an orphan (ADVICE r13: the old 1-hour mtime cutoff could
+    delete a LIVE long run's sink/checkpoint mid-run — a large-sf
+    bench or a stuck stream legitimately exceeds an hour): the owning
+    pid is embedded in the dir name and probed with ``os.kill(pid,
+    0)``; only dead owners are reaped. Legacy dirs without a pid tag
+    fall back to a conservative 24 h mtime cutoff."""
     import atexit
     import glob
     import os
+    import re
     import shutil
     import tempfile
     import time
 
-    cutoff = time.time() - 3600
     for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        m = re.match(re.escape(prefix) + r"p(\d+)_", os.path.basename(old))
         try:
-            if os.path.getmtime(old) < cutoff:
+            if m:
+                pid = int(m.group(1))
+                try:
+                    os.kill(pid, 0)
+                    continue  # owner alive — its run dir is not ours to reap
+                except ProcessLookupError:
+                    shutil.rmtree(old, ignore_errors=True)
+                except PermissionError:
+                    continue  # pid exists under another user — treat as live
+            elif os.path.getmtime(old) < time.time() - 86400:
                 shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass
-    run = tempfile.mkdtemp(prefix=prefix)
+    run = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
     return run
 

@@ -1,14 +1,17 @@
-"""Round-14 registration, staged (the pending_r13 playbook): the
-exactly-once streaming index-maintenance pipeline built late in round
-13 after the r13 verdict window was already composed (registering
-would displace r9-cohort greens past what the round promised).
+"""Round-14 registration — LIVE as of round 14 (flipped per VERDICT
+r13 item 1): the exactly-once streaming index-maintenance pipeline
+built late in round 13 after the r13 verdict window was already
+composed (registering then would have displaced r9-cohort greens past
+what that round promised).
 
-NOT imported by ``queries._load_all``: nothing here reaches
-``queries()`` until round 14 flips it on (add ``pending_r14`` to the
-import list; ``_pending`` already mirrors the r13 flip's dual
-register/manifest behavior once the registry import is added). Until
-then the pair runs under the exact driver compare via
-tests/test_round13_ops.py::test_pending_r14_pair_passes_the_driver_compare.
+Staged r13 → flipped r14: the pair ran under the SAME differential
+compare the driver uses (tests/test_round13_ops.py, Spark vs DuckDB at
+sf0.01) for a full round before registration, so the flip is a rename,
+not a leap. ``PENDING`` stays as this module's registration manifest —
+the in-suite differential test still iterates it as a pre-driver gate.
+
+Window-slot cost: 1 of round 14's ~12 spare slots (new registrations
+are never-checked → group 0 of the verdict-age sort automatically).
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_opendata_etl_spark.queries import llm_ops  # registers search_bm25
-from nyc_opendata_etl_spark.queries import REGISTRY
+from nyc_opendata_etl_spark.queries import REGISTRY, register
 from nyc_opendata_etl_spark.queries.pending_r13 import (
     _fresh_run_dir,
     _stage_docs_idordered,
@@ -26,9 +29,13 @@ PENDING: dict[str, tuple] = {}
 
 
 def _pending(name: str, oracle: str):
+    """r13 staging decorator, now ALSO the live registration (the r14
+    flip): records the (fn, oracle) pair for the in-suite differential
+    test and registers it with the query registry."""
+
     def deco(fn):
         PENDING[name] = (fn, oracle)
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 

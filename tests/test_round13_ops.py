@@ -287,11 +287,12 @@ def test_stream_index_ingest_end_to_end(spark, tmp_path):
 
 
 def test_pending_r14_pair_passes_the_driver_compare(spark):
-    """The staged round-14 registration (queries/pending_r14.py) must
-    already pass the EXACT compare the driver's gate runs at sf0.01 —
-    the pending_r13 playbook, so the r14 flip is a rename, not a
-    leap. Also pins that it is NOT yet registered (the r13 window's
-    slot arithmetic is a promise)."""
+    """The round-14 registration (queries/pending_r14.py, staged r13 →
+    flipped LIVE r14) must pass the EXACT compare the driver's gate
+    runs at sf0.01 — the pending_r13 playbook: a full round under this
+    differential gate before registration, so the flip is a rename,
+    not a leap. Also pins that the manifest and the live registry
+    agree post-flip."""
     import duckdb
 
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
@@ -299,7 +300,9 @@ def test_pending_r14_pair_passes_the_driver_compare(spark):
 
     assert set(PENDING) == {"stream_index_ingest"}
     _load_all()
-    assert not set(PENDING) & set(REGISTRY)
+    for name, (fn, oracle) in PENDING.items():
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in (
