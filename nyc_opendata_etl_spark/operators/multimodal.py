@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -336,8 +336,150 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def _ahash_banded(reps: DataFrame, max_hamming: int, bands: int) -> DataFrame:
+    """Explode the rep relation into band-bucket entries. Each row
+    carries (id, ahash, band_idx, band_bits, rem): ``band_bits`` is
+    band ``band_idx``'s segment and ``rem`` the COMPLEMENTARY bits
+    (the other bands' bits compacted into one 64-seg-bit value) —
+    precomputed here, where the band index is a literal, so the
+    hot-bucket refinement can sub-band it without a data-dependent
+    CASE."""
+    seg = 64 // bands
+    mask = (1 << seg) - 1
+
+    def rem_bits(k: int):
+        # bits below band k, then bits above it, compacted — pure
+        # integer shifts/masks; widths stay under 63 bits so the
+        # signed long never overflows (width = 64 - seg = 48 here).
+        low_w = k * seg
+        if k == bands - 1:
+            return F.col("ahash").bitwiseAND(F.lit((1 << low_w) - 1))
+        high = F.shiftrightunsigned(F.col("ahash"), (k + 1) * seg)
+        if low_w == 0:
+            return high
+        return F.shiftleft(high, low_w).bitwiseOR(
+            F.col("ahash").bitwiseAND(F.lit((1 << low_w) - 1))
+        )
+
+    return reps.select(
+        "id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("ahash"), k * seg)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                        rem_bits(k).alias("rem"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "ahash", "b.band_idx", "b.band_bits", "b.rem")
+
+
+def _ahash_candidates(
+    banded: DataFrame, max_hamming: int, bands: int, hot_bucket_cap: int
+) -> DataFrame:
+    """Candidate pairs from band buckets with the HOT-BUCKET guard
+    (r14, VERDICT r13 item 3): the plain bucket self-join's volume is
+    Σ|bucket|² over (band_idx, band_bits) — a degenerate corpus
+    (all-black thumbnails, blank pages) can concentrate one bucket and
+    go quadratic, the skew shape the SNM family already guards. Unlike
+    SNM's salt-split (which trades recall on hot blocks), the guard
+    here keeps recall EXACT by refining with a second pigeonhole: for
+    a pair agreeing on band k, its ≤ max_hamming differing bits all
+    lie in the complementary ``rem`` bits, so sub-banding rem into
+    ``max_hamming + 1`` segments guarantees ≥ 1 exactly-matching
+    sub-band. Buckets at or under ``hot_bucket_cap`` join wholesale;
+    hot buckets explode ×(max_hamming+1) and join on the refined key
+    (band_idx, band_bits, sub_idx, sub_bits), collapsing Σ|bucket|² to
+    Σ|sub-bucket|². Both members of a pair share the bucket, so
+    hot/cold routing can never separate a pair. A sub-bucket can in
+    principle still be hot (hashes agreeing on band k AND a rem
+    sub-band yet differing > max_hamming overall); the refinement is
+    recursively applicable, but one level bounds every corpus shape
+    observed, and the bucket-size window reuses the join's own
+    hash partitioning (one shuffle, not two)."""
+    n_sub = max_hamming + 1
+    rem_width = 64 - 64 // bands
+    sub_seg = rem_width // n_sub
+
+    bw = Window.partitionBy("band_idx", "band_bits")
+    banded = banded.withColumn("bsize", F.count(F.lit(1)).over(bw))
+
+    def pair_select(a, b, cond):
+        return a.join(b, cond, how="inner").select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+
+    cold = banded.filter(F.col("bsize") <= hot_bucket_cap)
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = pair_select(
+        a,
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_bits") == F.col("b.band_bits"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+
+    hot = banded.filter(F.col("bsize") > hot_bucket_cap).select(
+        "id",
+        "ahash",
+        "band_idx",
+        "band_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_idx"),
+                        (
+                            F.shiftrightunsigned(F.col("rem"), j * sub_seg)
+                            .bitwiseAND(
+                                F.lit(
+                                    (
+                                        1
+                                        << (
+                                            rem_width - j * sub_seg
+                                            if j == n_sub - 1
+                                            else sub_seg
+                                        )
+                                    )
+                                    - 1
+                                )
+                            )
+                        ).alias("sub_bits"),
+                    )
+                    for j in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "ahash", "band_idx", "band_bits", "s.sub_idx", "s.sub_bits")
+    ha, hb = hot.alias("a"), hot.alias("b")
+    cand_hot = pair_select(
+        ha,
+        hb,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_bits") == F.col("b.band_bits"))
+        & (F.col("a.sub_idx") == F.col("b.sub_idx"))
+        & (F.col("a.sub_bits") == F.col("b.sub_bits"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    return cand_cold.unionByName(cand_hot).distinct()
+
+
 def ahash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hot_bucket_cap: int = 4096,
 ) -> DataFrame:
     """Image near-dup pairs from perceptual hashes via BANDED Hamming
     search (r13) — the multimodal member of the dedup family, under its
@@ -354,7 +496,10 @@ def ahash_near_dup_pairs(
 
     Scale shape: one hash-collapse aggregate, a ``bands``-way explode
     of the REP relation (not the corpus), one bucket equi-join whose
-    volume is Σ|bucket|² over 16-bit band values, one map-side XOR
+    volume is Σ|bucket|² over 16-bit band values — bounded by the
+    HOT-BUCKET guard (r14): buckets above ``hot_bucket_cap`` refine to
+    a recall-exact sub-band key (:func:`_ahash_candidates`), so a
+    degenerate corpus cannot go quadratic — then a map-side XOR
     verify. No all-pairs anywhere; output is invariant under duplicate
     multiplicity."""
     if bands <= max_hamming:
@@ -362,8 +507,6 @@ def ahash_near_dup_pairs(
             f"bands={bands} must exceed max_hamming={max_hamming} for "
             f"pigeonhole-exact recall"
         )
-    seg = 64 // bands
-    mask = (1 << seg) - 1
     # localCheckpoint: reps is BOUNDED (one row per distinct hash) but
     # its lineage is the full decode+hash kernel scan, and the banded
     # self-join consumes it TWICE — without the checkpoint both join
@@ -375,40 +518,8 @@ def ahash_near_dup_pairs(
         .agg(F.min("media_id").alias("id"), F.count(F.lit(1)).alias("n_images"))
         .localCheckpoint()
     )
-    banded = reps.select(
-        "id",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band_idx"),
-                        (
-                            F.shiftright(F.col("ahash"), k * seg)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_bits"),
-                    )
-                    for k in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "ahash", "b.band_idx", "b.band_bits")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.ahash").alias("ha"),
-            F.col("b.ahash").alias("hb"),
-        )
-        .distinct()
-    )
+    banded = _ahash_banded(reps, max_hamming, bands)
+    cand = _ahash_candidates(banded, max_hamming, bands, hot_bucket_cap)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
@@ -418,7 +529,11 @@ def ahash_near_dup_pairs(
 
 
 def ahash_clusters(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4, cc_kernel=None
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    cc_kernel=None,
+    hot_bucket_cap: int = 4096,
 ) -> DataFrame:
     """IMAGE-level perceptual-dup clusters (r13): connected components
     over the aHash near-dup graph, expanded back to every member image
@@ -444,7 +559,10 @@ def ahash_clusters(
         cc_kernel = dedup.duplicate_clusters_logstar
     hashes = hashes.select("media_id", "ahash").localCheckpoint()
     rep_pairs = ahash_near_dup_pairs(
-        hashes, max_hamming=max_hamming, bands=bands
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        hot_bucket_cap=hot_bucket_cap,
     )
     rep_clusters = cc_kernel(rep_pairs).withColumnRenamed("doc_id", "rep")
     reps = hashes.groupBy("ahash").agg(

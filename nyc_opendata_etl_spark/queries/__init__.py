@@ -288,6 +288,11 @@ _RECHECK_R14: tuple[str, ...] = (
     # chunks-per-doc budget is now raise-enforced at index build.
     "search_bm25_passages",
     "search_bm25_passages_incremental",
+    # VERDICT r13 item 3: the aHash banded self-join gained the
+    # hot-bucket guard (recall-exact sub-band refinement above
+    # hot_bucket_cap) — both image queries' plans changed.
+    "multimodal_image_neardup",
+    "multimodal_image_clusters",
 )
 
 def _ordered() -> dict[str, QueryDef]:
