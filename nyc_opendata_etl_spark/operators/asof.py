@@ -1,0 +1,105 @@
+"""MERGE-based as-of join (r14) — the linear-cost form of the
+backward/forward as-of lookup.
+
+The r13-era formulation (equi-join on the key, inequality filter,
+``max_by``/``min_by`` per left row) is correct and memory-bounded (the
+partial aggregate streams), but its CPU cost is Σ_key |L_k|·|R_k| — a
+hot key with a million left rows and ten thousand right rows performs
+10¹⁰ comparisons before the aggregate collapses them. The classical
+engine-native as-of join is a sorted MERGE: linear in |L_k| + |R_k|.
+This module expresses that merge declaratively, Spark-first:
+
+1. UNION the two sides into one relation tagged by side (the right
+   side carries only key, time, and the picked value; the left side's
+   payload columns ride along, null on right rows).
+2. One window per key ordered by (time, side-tag, value): for
+   ``backward``, right rows sort BEFORE left rows at equal time (the
+   ``<=`` bound includes equality) and the answer is
+   ``last(value, ignorenulls) OVER (... ROWS UNBOUNDED PRECEDING →
+   CURRENT ROW)`` — last-observation-carried-forward; for
+   ``forward``, left rows sort first and the answer is
+   ``first(value, ignorenulls)`` over the following frame.
+3. Filter back to left rows.
+
+Tie semantics match the aggregate formulation exactly: right rows with
+equal time sort by value ascending, so LOCF's "last preceding row"
+IS ``max_by(value, struct(time, value))`` and the forward "first
+following row" IS ``min_by(value, struct(time, value))``.
+
+Cost: one shuffle of |L| + |R| rows on the key, one per-partition
+sort — no join, no per-key cross product, no inequality predicate.
+The window state is a single scalar (the running picked value), so
+skewed keys cost a sort, never memory. This is the plan an engine
+with a native ASOF JOIN (DuckDB, QuestDB, kdb) would produce, built
+from Spark primitives.
+
+Reference parity: the reference engine has no as-of join; this is
+part of the extension surface (SURVEY.md §2 Part B join matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Internal column names — prefixed to avoid colliding with payload
+#: columns; asserted absent from the left side's schema.
+_T, _SIDE, _VAL = "_asof_t", "_asof_side", "_asof_val"
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_value: str,
+    out_col: str,
+    direction: str = "backward",
+    time_type: str = "timestamp_ntz",
+) -> DataFrame:
+    """Left as-of join: for every ``left`` row, the ``right_value`` of
+    the latest ``right`` row with ``right_time <= left_time``
+    (``direction="backward"``) or the earliest with ``right_time >=
+    left_time`` (``"forward"``), matching on ``key``; ties on time pick
+    the max (backward) / min (forward) ``right_value``. Left rows with
+    no qualifying right row get NULL (left-join semantics). Output:
+    every ``left`` column plus ``out_col``, one row per left row.
+
+    Both time columns are cast to ``time_type`` so the union's merged
+    column has one type regardless of NTZ/LTZ parquet provenance."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    clash = {_T, _SIDE, _VAL} & set(left.columns)
+    if clash:
+        raise ValueError(f"left side uses reserved column names: {clash}")
+    # backward: right rows first at equal time (<= includes equality);
+    # forward: left rows first (>= includes equality).
+    right_tag = 0 if direction == "backward" else 1
+    r = right.select(
+        F.col(key),
+        F.col(right_time).cast(time_type).alias(_T),
+        F.lit(right_tag).alias(_SIDE),
+        F.col(right_value).alias(_VAL),
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).cast(time_type).alias(_T),
+        F.lit(1 - right_tag).alias(_SIDE),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(_T, _SIDE, _VAL)
+    picked: Column
+    if direction == "backward":
+        picked = F.last(_VAL, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        picked = F.first(_VAL, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    return (
+        u.withColumn(out_col, picked)
+        .filter(F.col(_SIDE) == (1 - right_tag))
+        .select(*left.columns, out_col)
+    )

@@ -293,6 +293,20 @@ _RECHECK_R14: tuple[str, ...] = (
     # hot_bucket_cap) — both image queries' plans changed.
     "multimodal_image_neardup",
     "multimodal_image_clusters",
+    # VERDICT r13 item 4: the leakage-safe split now probes the STAGED
+    # near-dup cluster map instead of recomputing clusters in-query.
+    "corpus_split_leakage_safe",
+    # r14 relational.py review: as-of joins rewrote to the linear
+    # MERGE form (operators/asof.py); forced broadcasts of SF-scaling
+    # relations (customer/supplier/HAVING survivors) removed from the
+    # TPC-H star shapes and graph edge builds — AQE decides.
+    # (join_asof_forward, graph_pagerank_trade and both bloom joins
+    # also changed but already sit in the r9 cohort of this window.)
+    "join_asof",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "recursive_reachability",
 )
 
 def _ordered() -> dict[str, QueryDef]:

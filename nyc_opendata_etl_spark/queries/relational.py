@@ -424,28 +424,37 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at-or-before each event for the matching
-    customer. Spark lacks a native as-of join; expressed as equi-join +
-    inequality filter + max_by per event — one shuffle on the equi key,
-    same as the sort-merge an engine-native as-of would do. Ties on
-    o_orderdate are broken by max o_orderkey (deterministic on both
-    sides; the oracle uses row_number DESC, DESC).
+    customer. Spark lacks a native as-of join; since r14 this runs the
+    MERGE form (operators/asof.asof_join_merge — union both sides,
+    one window per customer, last-observation-carried-forward):
+    linear in |events| + |orders| per key, where the old equi-join +
+    inequality-filter + max_by formulation paid Σ_key |E_k|·|O_k|
+    comparisons — quadratic on a hot customer, the 100 TB review
+    finding of the round. Ties on o_orderdate are broken by max
+    o_orderkey (the merge sorts right rows by (date, key) so LOCF's
+    last preceding row IS max_by(struct); the oracle uses row_number
+    DESC, DESC).
     """
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e = events.select(
         "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
     )
-    j = e.join(orders, (F.col("join_cust") == orders["o_custkey"]), "left").filter(
-        F.col("o_orderdate").isNull() | (F.col("o_orderdate") <= F.col("ts"))
+    o = orders.select(
+        F.col("o_custkey").alias("join_cust"), "o_orderdate", "o_orderkey"
     )
-    picked = j.groupBy("event_id").agg(
-        F.max_by(
-            "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
-        ).alias("last_order_key")
-    )
-    return events.select("event_id", "user_id", "ts").join(
-        picked, "event_id", "left"
-    )
+    return asof_join_merge(
+        e,
+        o,
+        key="join_cust",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value="o_orderkey",
+        out_col="last_order_key",
+        direction="backward",
+    ).select("event_id", "user_id", "ts", "last_order_key")
 
 
 # --------------------------------------------------------------------------
@@ -1120,9 +1129,12 @@ _REVENUE_DEC = (
 )
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer ⨝ date-filtered orders ⨝
-    lineitem, revenue top-10. The filtered customer side broadcasts; both
-    date filters push into the scans (verified in tests/test_plans.py
-    pushdown style); the limit plans as TakeOrderedAndProject."""
+    lineitem, revenue top-10. The filtered customer side carries NO
+    broadcast hint (r14 review: customer scales with SF — a forced
+    broadcast is an OOM cliff at 100 TB; AQE still broadcasts it from
+    runtime sizes while it fits). Both date filters push into the scans
+    (verified in tests/test_plans.py pushdown style); the limit plans
+    as TakeOrderedAndProject."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1137,7 +1149,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -1164,10 +1176,13 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: the grouped-HAVING IN-subquery (orders whose
     total lineitem quantity exceeds a threshold) becomes an aggregate →
     LEFT SEMI join — Spark never materializes the subquery as a column,
-    and the qualifying-key side (tiny after HAVING) broadcasts into the
-    semi join, so the fact table is filtered before the wide
-    customer/orders joins. Quantity sums route through DECIMAL (exact,
-    order-independent)."""
+    so the fact table is filtered before the wide customer/orders
+    joins. Neither the qualifying-key side nor customer carries a
+    broadcast hint (r14 review: both scale with SF — the HAVING
+    survivor count is a fixed FRACTION of orders, not a fixed size, so
+    a forced broadcast is an OOM cliff at 100 TB; AQE broadcasts
+    either from runtime sizes while small). Quantity sums route
+    through DECIMAL (exact, order-independent)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", _money("l_quantity").alias("qty")
     )
@@ -1178,14 +1193,14 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(qualifying),
+        qualifying,
         F.col("o_orderkey") == qualifying["l_orderkey"],
         "left_semi",
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"))
     )
@@ -1208,8 +1223,11 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (fact ⨝ orders ⨝ customer ⨝ supplier ⨝
     nation ⨝ region) with the customer-nation = supplier-nation locality
-    constraint. region→nation→supplier collapses into one broadcast
-    chain; only the lineitem⨝orders join shuffles."""
+    constraint. Only the FIXED-cardinality dims (nation: 25 rows,
+    region: 5) carry broadcast hints; customer and supplier scale with
+    SF, so they are unhinted (r14 review — AQE broadcasts them from
+    runtime sizes at bench scale, shuffles them at 100 TB instead of
+    OOMing the executors)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1224,9 +1242,9 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -1473,8 +1491,10 @@ def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     and long-sum is order/partitioning-independent, so the DuckDB
     oracle replays the recurrence to the last fixed-point unit. The
     heavy stage (edge aggregation: the 4-way star join) runs once and
-    is checkpointed; each iteration broadcasts only the |V|-row rank
-    relation."""
+    is checkpointed; customer and supplier are key-projected but
+    UNHINTED — they scale with SF, so AQE decides broadcast vs shuffle
+    (r14 review; the forced broadcast was the 100 TB OOM cliff). Each
+    iteration broadcasts only the |V|-row rank relation."""
     from nyc_opendata_etl_spark.operators.graph import pagerank_int
 
     nation = load_table(spark, sf_dir, "nation").select(
@@ -1486,8 +1506,8 @@ def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -1638,24 +1658,32 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (the backward twin is `join_asof`): earliest
     order at-or-after each event for the matching customer — the lookup
     a label-building pipeline uses for "next action after exposure".
-    Same scalable shape: one equi-key shuffle + min_by per event, ties
-    broken by min o_orderkey so both engines pick the same row."""
+    Since r14 the MERGE form (operators/asof.asof_join_merge, forward
+    direction: first-following-observation over the per-customer
+    union) — linear per key where the old equi-join + min_by paid the
+    per-key cross product. Ties broken by min o_orderkey (the merge's
+    first following row IS min_by(struct)), so both engines pick the
+    same row."""
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e = events.select(
         "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
     )
-    j = e.join(orders, (F.col("join_cust") == orders["o_custkey"]), "left").filter(
-        F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= F.col("ts"))
+    o = orders.select(
+        F.col("o_custkey").alias("join_cust"), "o_orderdate", "o_orderkey"
     )
-    picked = j.groupBy("event_id").agg(
-        F.min_by(
-            "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
-        ).alias("next_order_key")
-    )
-    return events.select("event_id", "user_id", "ts").join(
-        picked, "event_id", "left"
-    )
+    return asof_join_merge(
+        e,
+        o,
+        key="join_cust",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value="o_orderkey",
+        out_col="next_order_key",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_order_key")
 
 
 @register(
@@ -1923,7 +1951,8 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.pagerank_int's idiom, dedup_clusters) is the
     100 TB path, and this query is the declarative twin the SQL user
     reaches for. The heavy stage — the 4-way edge aggregate
-    (customer/supplier broadcast onto the lineitem-orders join) — is
+    (customer/supplier key-projected, unhinted — r14 review: they
+    scale with SF, AQE decides broadcast vs shuffle) — is
     materialized via localCheckpoint BEFORE the recursion: a recursive
     CTE's body re-executes per iteration, so leaving the edge build
     inside it re-ran the star join every hop (measured 3× slower).
@@ -1935,8 +1964,8 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -2343,9 +2372,10 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives genuinely occur and are counted. The probe-side prefilter
     is a scan-local ``forall`` over a broadcast bitmap: at 100 TB the
     fact never shuffles its non-candidate complement, and the exact
-    semi-join that removes false positives shuffles only the candidate
-    sliver (~3% here). Build side: one distinct+explode aggregate over
-    the dim."""
+    join that removes false positives sees only the candidate sliver
+    (~3% here) — its key side is UNHINTED (r14 review: the nation-3
+    supplier-key set scales with SF; AQE broadcasts it while small).
+    Build side: one distinct+explode aggregate over the dim."""
     from nyc_opendata_etl_spark.operators.bloom import bloom_prefilter, build_bloom_bitmap
 
     m, k = 32, 2
@@ -2354,7 +2384,7 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = build_bloom_bitmap(sup, "s_suppkey", m=m, k=k)
     cand = bloom_prefilter(li, "l_suppkey", bitmap, m=m, k=k)
     keys = sup.select(F.col("s_suppkey").alias("bk")).where(F.col("s_suppkey").isNotNull()).distinct()
-    agg = cand.join(F.broadcast(keys), cand["l_suppkey"] == F.col("bk"), "left").agg(
+    agg = cand.join(keys, cand["l_suppkey"] == F.col("bk"), "left").agg(
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("bk").isNotNull(), 1)).alias("n_matched"),
         F.count(F.when(F.col("bk").isNull(), 1)).alias("n_false_positives"),
@@ -2445,7 +2475,7 @@ def q_join_bloom_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_suppkey").isNotNull())
         .distinct()
     )
-    agg = cand.join(F.broadcast(keys), cand["l_suppkey"] == F.col("bk"), "left").agg(
+    agg = cand.join(keys, cand["l_suppkey"] == F.col("bk"), "left").agg(
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("bk").isNotNull(), 1)).alias("n_matched"),
         F.count(F.when(F.col("bk").isNull(), 1)).alias("n_false_positives"),

@@ -80,6 +80,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     from nyc_opendata_etl_spark.queries.llm_ops import (
         _stage_chunk_text_index,
         _stage_chunk_text_index_incremental,
+        _stage_dup_clusters,
         _stage_fingerprint_index,
         _stage_ivfpq_index,
         _stage_ivfpq_index_incremental,
@@ -110,6 +111,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
             # module exists to prevent.
             "chunk_text_index_incr (incremental passage BM25; r13)",
             lambda: _stage_chunk_text_index_incremental(spark, sf_dir),
+        ),
+        (
+            "dup_clusters (near-dup cluster map; r14)",
+            lambda: _stage_dup_clusters(spark, sf_dir),
         ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",

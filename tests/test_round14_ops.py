@@ -168,3 +168,81 @@ def test_ahash_hot_bucket_guard_exact_recall_and_bounded_volume(spark):
     n_hot = _ahash_candidates(banded, 3, 4, 50).count()
     assert n_cold > (n * (n - 1)) // 2  # the unguarded bucket IS quadratic
     assert n_hot * 20 < n_cold, (n_hot, n_cold)
+
+
+def test_asof_join_merge_matches_aggregate_formulation(spark):
+    """r14 relational.py review: the merge-form as-of join
+    (operators/asof.py) must reproduce the aggregate formulation
+    (equi-join + inequality filter + max_by/min_by struct) exactly —
+    including hot keys, time ties on both sides, duplicate right
+    values per time, keys with no right rows, and left times
+    before/after every right time."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
+    rnd = random.Random(1414)
+    lrows, rrows = [], []
+    for i in range(400):
+        k = rnd.choice([1, 1, 1, 1, 2, 3, 7])  # key 1 is hot; 7 has no right
+        lrows.append((i, k, rnd.randint(0, 50)))
+    rid = 0
+    for _ in range(300):
+        k = rnd.choice([1, 1, 1, 2, 3, 5])  # key 5 has no left
+        rrows.append((k, rnd.randint(0, 50), rid))
+        rid += 1
+    left = spark.createDataFrame(lrows, "lid long, k long, t long").select(
+        "lid", "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(rrows, "k long, t long, v long").select(
+        "k", F.timestamp_seconds("t").alias("rts"), "v"
+    )
+
+    for direction, agg in (
+        ("backward", F.max_by("v", F.struct(F.col("rts"), F.col("v")))),
+        ("forward", F.min_by("v", F.struct(F.col("rts"), F.col("v")))),
+    ):
+        got = {
+            (r.lid, r.picked)
+            for r in asof_join_merge(
+                left,
+                right,
+                key="k",
+                left_time="ts",
+                right_time="rts",
+                right_value="v",
+                out_col="picked",
+                direction=direction,
+            ).collect()
+        }
+        cmp = (
+            F.col("rts") <= F.col("ts")
+            if direction == "backward"
+            else F.col("rts") >= F.col("ts")
+        )
+        j = left.join(right, "k", "left").filter(
+            F.col("rts").isNull() | cmp
+        )
+        want_rows = (
+            left.join(
+                j.groupBy("lid").agg(agg.alias("picked")), "lid", "left"
+            )
+            .select("lid", "picked")
+            .collect()
+        )
+        want = {(r.lid, r.picked) for r in want_rows}
+        assert got == want, direction
+        assert len(got) == 400, direction
+
+
+def test_asof_join_merge_rejects_reserved_columns(spark):
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
+    left = spark.createDataFrame([(1, 2, 3)], "k long, ts long, _asof_t long")
+    right = spark.createDataFrame([(1, 2, 3)], "k long, rts long, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join_merge(left, right, "k", "ts", "rts", "v", "o")
