@@ -303,6 +303,7 @@ _RECHECK_R14: tuple[str, ...] = (
     # (join_asof_forward, graph_pagerank_trade and both bloom joins
     # also changed but already sit in the r9 cohort of this window.)
     "join_asof",
+    "join_asof_nearest",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customer",

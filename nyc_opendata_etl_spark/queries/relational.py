@@ -1710,31 +1710,67 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``merge_asof(direction='nearest')`` parity): the order whose date
     is CLOSEST to each event's timestamp in either direction, distance
     in exact microseconds (UTC session ⇔ DuckDB epoch_us, bit-equal),
-    ties → earlier date then smaller key. Same scalable shape as its
-    siblings: one equi-key shuffle + a min_by(struct) hash aggregate
-    per event — no inequality filter at all, so the per-customer order
-    set aggregates once and nothing resembles a range cross product."""
+    ties → earlier date then smaller key. Since r14 the MERGE form,
+    like its siblings: orders pre-aggregate to one (customer, date,
+    min-key) row — minimal distance is date-determined, and the
+    (date, key)-ascending tie-break wants the MIN key at the chosen
+    date — then a backward and a forward asof_join_merge pass stack on
+    the SAME per-customer partitioning (one exchange, two window
+    sorts), and a pure expression picks the closer side (tie → the
+    earlier, i.e. backward, date). Linear in |events| + |order dates|
+    per key; the old equi-join + min_by(struct) formulation paid the
+    per-customer cross product before its aggregate collapsed it."""
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e = events.select(
         "event_id", "user_id", "ts", (F.col("user_id") % 1500 + 1).alias("join_cust")
     )
-    j = e.join(orders, F.col("join_cust") == orders["o_custkey"], "left")
+    od = (
+        orders.groupBy(
+            F.col("o_custkey").alias("join_cust"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("od"),
+        )
+        .agg(F.min("o_orderkey").alias("min_key"))
+        .select(
+            "join_cust", "od", F.struct("od", "min_key").alias("cand")
+        )
+    )
+    b = asof_join_merge(
+        e,
+        od,
+        key="join_cust",
+        left_time="ts",
+        right_time="od",
+        right_value="cand",
+        out_col="bcand",
+        direction="backward",
+    )
+    bf = asof_join_merge(
+        b,
+        od,
+        key="join_cust",
+        left_time="ts",
+        right_time="od",
+        right_value="cand",
+        out_col="fcand",
+        direction="forward",
+    )
     # ts arrives TIMESTAMP_NTZ (the nanos-parquet conversion);
     # unix_micros needs TIMESTAMP — the NTZ→LTZ cast is exact under the
     # UTC session, matching DuckDB's epoch_us on the naive value
-    dist = F.abs(
-        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-        - F.unix_micros(F.col("ts").cast("timestamp"))
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d_b = t_us - F.unix_micros(F.col("bcand.od").cast("timestamp"))
+    d_f = F.unix_micros(F.col("fcand.od").cast("timestamp")) - t_us
+    nearest = (
+        F.when(F.col("bcand").isNull(), F.col("fcand.min_key"))
+        .when(F.col("fcand").isNull(), F.col("bcand.min_key"))
+        .when(d_b <= d_f, F.col("bcand.min_key"))
+        .otherwise(F.col("fcand.min_key"))
     )
-    picked = j.groupBy("event_id").agg(
-        F.min_by(
-            "o_orderkey",
-            F.struct(dist, F.col("o_orderdate"), F.col("o_orderkey")),
-        ).alias("nearest_order_key")
-    )
-    return events.select("event_id", "user_id", "ts").join(
-        picked, "event_id", "left"
+    return bf.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_order_key")
     )
 
 

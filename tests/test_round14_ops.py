@@ -246,3 +246,68 @@ def test_asof_join_merge_rejects_reserved_columns(spark):
 
     with _pytest.raises(ValueError, match="reserved"):
         asof_join_merge(left, right, "k", "ts", "rts", "v", "o")
+
+
+def test_asof_nearest_composition_matches_minby_formulation(spark):
+    """The nearest-direction composition (per-date min-key aggregate +
+    backward/forward merge + closer-side pick, r14) must equal the old
+    min_by(struct(dist, date, key)) formulation — including exact
+    distance ties broken toward the earlier date and same-date
+    duplicate keys broken toward the min key."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
+    rnd = random.Random(77)
+    lrows = [(i, rnd.choice([1, 1, 2, 9]), rnd.randint(0, 40) * 2) for i in range(300)]
+    # even left times + mixed-parity right times → engineered exact
+    # distance ties (t-d and t+d both present) occur frequently
+    rrows = [
+        (rnd.choice([1, 1, 2, 5]), rnd.randint(0, 40) * 2 + rnd.choice([0, 0, 2]), rid)
+        for rid in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k long, t long").select(
+        "lid", "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(rrows, "k long, t long, v long").select(
+        "k", F.timestamp_seconds("t").alias("rts"), "v"
+    )
+
+    od = (
+        right.groupBy("k", "rts")
+        .agg(F.min("v").alias("min_key"))
+        .select("k", "rts", F.struct(F.col("rts").alias("od"), "min_key").alias("cand"))
+    )
+    b = asof_join_merge(left, od, "k", "ts", "rts", "cand", "bcand", "backward")
+    bf = asof_join_merge(b, od, "k", "ts", "rts", "cand", "fcand", "forward")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d_b = t_us - F.unix_micros(F.col("bcand.od").cast("timestamp"))
+    d_f = F.unix_micros(F.col("fcand.od").cast("timestamp")) - t_us
+    nearest = (
+        F.when(F.col("bcand").isNull(), F.col("fcand.min_key"))
+        .when(F.col("fcand").isNull(), F.col("bcand.min_key"))
+        .when(d_b <= d_f, F.col("bcand.min_key"))
+        .otherwise(F.col("fcand.min_key"))
+    )
+    got = {(r.lid, r.picked) for r in bf.select("lid", nearest.alias("picked")).collect()}
+
+    j = left.join(right, "k", "left")
+    dist = F.abs(
+        F.unix_micros(F.col("rts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    want_rows = (
+        left.join(
+            j.groupBy("lid").agg(
+                F.min_by("v", F.struct(dist, F.col("rts"), F.col("v"))).alias("picked")
+            ),
+            "lid",
+            "left",
+        )
+        .select("lid", "picked")
+        .collect()
+    )
+    want = {(r.lid, r.picked) for r in want_rows}
+    assert got == want and len(got) == 300
