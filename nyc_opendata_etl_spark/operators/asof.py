@@ -103,3 +103,64 @@ def asof_join_merge(
         .filter(F.col(_SIDE) == (1 - right_tag))
         .select(*left.columns, out_col)
     )
+
+
+def asof_candidates_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_value: str,
+    backward_col: str,
+    forward_strict_col: str,
+    time_type: str = "timestamp_ntz",
+) -> DataFrame:
+    """BOTH as-of candidates from ONE merge pass: per left row, the
+    backward candidate (latest right row with time <= left time; ties
+    pick max value) and the STRICTLY-forward candidate (earliest right
+    row with time > left time; ties pick min value), as two columns.
+
+    One union, one exchange on the key, ONE sort — the two window
+    frames (ROWS UNBOUNDED PRECEDING → CURRENT and CURRENT+1 →
+    UNBOUNDED FOLLOWING) share the same (time, side, value) ordering,
+    so Spark stacks two Window nodes on a single Exchange+Sort (the
+    events_sessionize plan shape). This is what a nearest-direction
+    as-of needs: the at-or-after-with-equality case is subsumed by the
+    backward candidate (an equal-time right row IS the backward pick
+    at distance zero, and every nearest tie-break prefers the earlier
+    date), so the forward side can be strict and the ordering never
+    has to flip.
+
+    Right rows sort (time, side=0, value): at equal time they precede
+    left rows — in-frame for the backward LOCF, excluded from the
+    strictly-after frame — and the frame boundaries do the direction
+    split without a second union or sort."""
+    clash = {_T, _SIDE, _VAL} & set(left.columns)
+    if clash:
+        raise ValueError(f"left side uses reserved column names: {clash}")
+    r = right.select(
+        F.col(key),
+        F.col(right_time).cast(time_type).alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.col(right_value).alias(_VAL),
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).cast(time_type).alias(_T),
+        F.lit(1).alias(_SIDE),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(_T, _SIDE, _VAL)
+    back = F.last(_VAL, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first(_VAL, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn(backward_col, back)
+        .withColumn(forward_strict_col, fwd)
+        .filter(F.col(_SIDE) == 1)
+        .select(*left.columns, backward_col, forward_strict_col)
+    )

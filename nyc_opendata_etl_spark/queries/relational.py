@@ -1714,13 +1714,16 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     like its siblings: orders pre-aggregate to one (customer, date,
     min-key) row — minimal distance is date-determined, and the
     (date, key)-ascending tie-break wants the MIN key at the chosen
-    date — then a backward and a forward asof_join_merge pass stack on
-    the SAME per-customer partitioning (one exchange, two window
-    sorts), and a pure expression picks the closer side (tie → the
-    earlier, i.e. backward, date). Linear in |events| + |order dates|
-    per key; the old equi-join + min_by(struct) formulation paid the
-    per-customer cross product before its aggregate collapsed it."""
-    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+    date — then ONE merge pass yields both candidates
+    (operators/asof.asof_candidates_merge: backward LOCF and
+    strictly-forward first-observation share a single exchange + sort,
+    two stacked Window nodes; the at-or-after-equal-date case is
+    subsumed by the backward candidate at distance zero), and a pure
+    expression picks the closer side (tie → the earlier, i.e.
+    backward, date). Linear in |events| + |order dates| per key; the
+    old equi-join + min_by(struct) formulation paid the per-customer
+    cross product before its aggregate collapsed it."""
+    from nyc_opendata_etl_spark.operators.asof import asof_candidates_merge
 
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -1737,25 +1740,15 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "join_cust", "od", F.struct("od", "min_key").alias("cand")
         )
     )
-    b = asof_join_merge(
+    bf = asof_candidates_merge(
         e,
         od,
         key="join_cust",
         left_time="ts",
         right_time="od",
         right_value="cand",
-        out_col="bcand",
-        direction="backward",
-    )
-    bf = asof_join_merge(
-        b,
-        od,
-        key="join_cust",
-        left_time="ts",
-        right_time="od",
-        right_value="cand",
-        out_col="fcand",
-        direction="forward",
+        backward_col="bcand",
+        forward_strict_col="fcand",
     )
     # ts arrives TIMESTAMP_NTZ (the nanos-parquet conversion);
     # unix_micros needs TIMESTAMP — the NTZ→LTZ cast is exact under the

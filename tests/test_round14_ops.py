@@ -252,8 +252,9 @@ def test_asof_nearest_composition_matches_minby_formulation(spark):
     """The nearest-direction composition (per-date min-key aggregate +
     backward/forward merge + closer-side pick, r14) must equal the old
     min_by(struct(dist, date, key)) formulation — including exact
-    distance ties broken toward the earlier date and same-date
-    duplicate keys broken toward the min key."""
+    distance ties broken toward the earlier date, same-date duplicate
+    keys broken toward the min key, and the equal-date case (forward
+    candidate is STRICT in the merge; backward covers distance zero)."""
     import random
 
     from pyspark.sql import functions as F
@@ -275,13 +276,16 @@ def test_asof_nearest_composition_matches_minby_formulation(spark):
         "k", F.timestamp_seconds("t").alias("rts"), "v"
     )
 
+    from nyc_opendata_etl_spark.operators.asof import asof_candidates_merge
+
     od = (
         right.groupBy("k", "rts")
         .agg(F.min("v").alias("min_key"))
         .select("k", "rts", F.struct(F.col("rts").alias("od"), "min_key").alias("cand"))
     )
-    b = asof_join_merge(left, od, "k", "ts", "rts", "cand", "bcand", "backward")
-    bf = asof_join_merge(b, od, "k", "ts", "rts", "cand", "fcand", "forward")
+    bf = asof_candidates_merge(
+        left, od, "k", "ts", "rts", "cand", "bcand", "fcand"
+    )
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     d_b = t_us - F.unix_micros(F.col("bcand.od").cast("timestamp"))
     d_f = F.unix_micros(F.col("fcand.od").cast("timestamp")) - t_us

@@ -44,8 +44,12 @@ SHOWCASE = {
         "relation."
     ),
     "join_asof": (
-        "As-of join as a range-condition equi-join + latest-row window, "
-        "not a cross product."
+        "As-of join in MERGE form (round 14): union of events and "
+        "orders tagged by side, ONE exchange on the customer key, one "
+        "window sort, last-observation-carried-forward - linear in "
+        "|events|+|orders| per key. No join operator at all: the old "
+        "equi-join + max_by plan paid the per-customer cross product "
+        "before its aggregate collapsed it."
     ),
     "set_except_all": (
         "Multiset EXCEPT ALL as a union of +1/-1 signed counts, one "
@@ -392,7 +396,10 @@ SHOWCASE = {
         "Python), hash-collapse aggregate to min-id reps, a 4-way band "
         "explode of the REP relation only, one bucket equi-join, "
         "map-side XOR-popcount verify. No all-pairs; the band join's "
-        "volume is sum(|bucket|^2) over 16-bit band values."
+        "volume is sum(|bucket|^2) over 16-bit band values, and since "
+        "round 14 buckets above hot_bucket_cap refine to a recall-exact "
+        "sub-band key (second pigeonhole over the complementary bits), "
+        "so a degenerate corpus cannot go quadratic."
     ),
     "multimodal_image_clusters": (
         "Image perceptual-dup clusters (round 13): the aHash kernel's "
@@ -424,11 +431,13 @@ SHOWCASE = {
         "exactly from the survivors by the maintenance pass."
     ),
     "corpus_split_leakage_safe": (
-        "Cluster-keyed train/val/test split (round 12): the near-dup "
-        "clustering envelope (collapse-first, rep-graph CC) plus ONE "
-        "left join and pure md5-fold expressions - no additional "
-        "shuffle for the split itself; assignments are a pure function "
-        "of the cluster key, so corpus growth never reshuffles them."
+        "Cluster-keyed train/val/test split (round 14 form): probes the "
+        "STAGED near-dup cluster map (write-time artifact, the law the "
+        "retrieval indexes follow) - the plan is a parquet scan of the "
+        "cluster artifact, ONE left join, and pure md5-fold "
+        "expressions; the rep-graph clustering no longer runs in-query. "
+        "Assignments are a pure function of the cluster key, so corpus "
+        "growth never reshuffles them."
     ),
     "corpus_tokenize_ids": (
         "Real BPE ENCODING (round 12): one ArrowEvalPython stage in "
