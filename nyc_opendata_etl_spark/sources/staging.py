@@ -97,6 +97,9 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         _stage_docs_idordered,
         _stage_fingerprint_index_rc,
     )
+    from nyc_opendata_etl_spark.queries.pending_r15 import (
+        _stage_dup_cluster_index_incr,
+    )
 
     builders = [
         ("text_index (BM25 postings)", lambda: _stage_text_index(spark, sf_dir)),
@@ -115,6 +118,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "dup_clusters (near-dup cluster map; r14)",
             lambda: _stage_dup_clusters(spark, sf_dir),
+        ),
+        (
+            "dup_cluster_index_incr (incremental cluster map; pending r15)",
+            lambda: _stage_dup_cluster_index_incr(spark, sf_dir),
         ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",

@@ -315,3 +315,102 @@ def test_asof_nearest_composition_matches_minby_formulation(spark):
     )
     want = {(r.lid, r.picked) for r in want_rows}
     assert got == want and len(got) == 300
+
+
+def test_dup_cluster_index_incremental_merge_directions(spark, tmp_path):
+    """Staged-for-r15 incremental cluster map (operators/
+    cluster_index.py): one crafted corpus exercises every merge
+    direction in one update — a new BRIDGE doc (id 1, smaller than
+    every old id) whose text near-dups both old clusters' reps merges
+    them AND relabels both old labels to 1; a new doc identical to a
+    previously-singleton old rep promotes it into a cluster; a
+    pure-new identical pair plus a near-dup of it cluster on their
+    own; a unique new doc stays out. A second update batch proves
+    repeated appends. Ground truth: from-scratch
+    duplicate_clusters_collapsed over the final corpus — byte
+    identical."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import cluster_index as ci
+    from nyc_opendata_etl_spark.operators.dedup import (
+        duplicate_clusters_collapsed,
+    )
+
+    w = [f"w{i}" for i in range(100)]
+    u = [f"u{i}" for i in range(9)]
+    TA = " ".join(w)                                   # old cluster A
+    TB = " ".join(u[:9] + w[9:])                       # old cluster B (J(TA,TB)≈0.80- < t)
+    TBv = " ".join(u[:9] + w[9:99] + ["zz"])           # near-dup of TB
+    TC = " ".join(f"c{i}" for i in range(60))          # old singleton
+    Z = " ".join(u[:5] + w[5:])                        # bridges A and B
+    TD = " ".join(f"d{i}" for i in range(80))          # pure-new pair text
+    TDv = " ".join([f"d{i}" for i in range(79)] + ["yy"])
+    TE = " ".join(f"e{i}" for i in range(50))          # unique
+
+    old = spark.createDataFrame(
+        [(10, TA), (20, TA), (30, TB), (40, TBv), (50, TC)],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(1, Z), (60, TC), (70, TD), (80, TD), (81, TDv), (90, TE)],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame([(100, TE)], "doc_id long, text string")
+
+    path = str(tmp_path / "ci")
+    ci.build_dup_cluster_index(old, path)
+    ci.update_dup_cluster_index(spark, batch1, path)
+    ci.update_dup_cluster_index(spark, batch2, path)
+
+    got = sorted(map(tuple, ci.read_dup_clusters(spark, path).collect()))
+    assert got == [
+        (1, 1), (10, 1), (20, 1), (30, 1), (40, 1),
+        (50, 50), (60, 50),
+        (70, 70), (80, 70), (81, 70),
+        (90, 90), (100, 90),
+    ]
+    want = sorted(
+        map(
+            tuple,
+            duplicate_clusters_collapsed(
+                old.unionByName(batch1).unionByName(batch2)
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_pending_r15_pair_passes_the_driver_compare(spark):
+    """The staged round-15 registration (queries/pending_r15.py) must
+    already pass the EXACT compare the driver's gate runs at sf0.01 —
+    the pending playbook, so the r15 flip is a rename, not a leap.
+    Also pins that it is NOT yet registered (the r14 window's slot
+    arithmetic is a promise)."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
+    from nyc_opendata_etl_spark.queries.pending_r15 import PENDING
+
+    assert set(PENDING) == {"dedup_clusters_incremental"}
+    _load_all()
+    assert not set(PENDING) & set(REGISTRY)
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    from tests.test_round12b_ops import _canon_rows
+
+    for name, (fn, oracle) in PENDING.items():
+        sdf = fn(spark, sf)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows), name
+        assert sorted(sdf.columns) == sorted(duck_cols), name
+        assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+            duck_cols, duck_rows
+        ), name
