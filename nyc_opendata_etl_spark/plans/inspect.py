@@ -26,6 +26,23 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def final_plan(df: DataFrame) -> str:
+    """The ADAPTIVE FINAL physical plan: execute the DataFrame (AQE
+    finalizes the plan only on execution), then return the explain
+    text with the ``== Initial Plan ==`` section stripped — the
+    pre-AQE plan would otherwise leak stale operators (e.g. a
+    SortMergeJoin that AQE converted to broadcast) into assertions
+    about what actually ran."""
+    df.collect()
+    text = formatted_plan(df)
+    cut = text.find("== Initial Plan ==")
+    return text if cut < 0 else text[:cut]
+
+
+def final_uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in final_plan(df)
+
+
 def count_node(df: DataFrame, node: str) -> int:
     """Occurrences of a physical operator (e.g. "BroadcastHashJoin",
     "Exchange", "SortMergeJoin") in the plan."""

@@ -300,8 +300,10 @@ _RECHECK_R14: tuple[str, ...] = (
     # MERGE form (operators/asof.py); forced broadcasts of SF-scaling
     # relations (customer/supplier/HAVING survivors) removed from the
     # TPC-H star shapes and graph edge builds — AQE decides.
-    # (join_asof_forward, graph_pagerank_trade and both bloom joins
-    # also changed but already sit in the r9 cohort of this window.)
+    # (join_asof_forward, graph_pagerank_trade, both bloom joins and
+    # the eight TPC-H shapes q7/q8/q10/q14/q15/q17/q19/q21 — whose
+    # scaling-side hints were likewise removed — also changed but
+    # already sit in the r9 cohort of this window.)
     "join_asof",
     "join_asof_nearest",
     "q3_shipping_priority",

@@ -14,8 +14,12 @@ column set can express (Q12 in relational.py runs the shape with an
 adapted predicate).
 
 Plan-shape goals (verified in tests/test_plans.py):
-- dimension sides (region/nation, brand-filtered part, HAVING-qualified
-  key sets) broadcast; only fact⨝fact joins shuffle,
+- FIXED-cardinality dims (region/nation) and 1-row aggregates carry
+  broadcast hints; SF-scaling sides (customer/supplier/part slices,
+  HAVING-qualified key sets) are unhinted since the r14 review — AQE
+  broadcasts them from runtime sizes while small, so at test scale
+  only fact⨝fact joins shuffle and at 100 TB nothing forces an
+  executor-OOM broadcast,
 - every date/brand/segment filter reaches the parquet scan,
 - correlated scalar subqueries (Q17) and EXISTS (Q4/Q21/Q22) lower to
   aggregates + semi/anti hash joins, never nested loops.
@@ -136,9 +140,11 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume between two nations by year.
     nation⨝supplier and nation⨝customer are broadcast chains (nation is
-    25 rows at any scale); the symmetric nation-pair disjunction is a
-    post-join residual on two already-filtered tiny sides; only
-    lineitem⨝orders shuffles."""
+    25 rows at any scale) but the customer/supplier relations
+    themselves are UNHINTED (r14 review: they scale with SF; AQE
+    broadcasts them while small); the symmetric nation-pair
+    disjunction is a post-join residual; only lineitem⨝orders is
+    forced to shuffle at scale."""
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -161,8 +167,8 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .filter(pair)
         .select(
             "supp_nation",
@@ -198,10 +204,12 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: a nation's share of regional PROMO-part revenue by year.
-    8-way join where every non-fact side either broadcasts outright
-    (region, nation) or broadcasts after a selective filter (PROMO part
-    ≈ 1/6 of parts); the conditional share is one exact-decimal CASE sum
-    divided by the total, both from the same aggregate — a single pass."""
+    8-way join where the FIXED dims (region, nation) broadcast by hint
+    and the SF-scaling sides (PROMO part ≈ 1/6 of parts, region-scoped
+    customer, supplier) are unhinted — AQE broadcasts them while small,
+    shuffles them at 100 TB (r14 review); the conditional share is one
+    exact-decimal CASE sum divided by the total, both from the same
+    aggregate — a single pass."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
@@ -228,10 +236,10 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     nation_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             _revenue().alias("volume"),
@@ -280,7 +288,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
@@ -407,7 +415,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(zero)
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.round(
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -457,7 +465,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(
             F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
         )
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -478,8 +486,10 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost to small-quantity orders of one brand.
     (No p_container column; the brand filter alone scopes the parts.)
     The correlated per-part average lowers to one aggregate over the
-    brand's lineitems joined back by partkey — a broadcast of the tiny
-    per-part-threshold relation, not a re-scan per row. Quantities are
+    brand's lineitems joined back by partkey — never a re-scan per row.
+    Neither the brand key set nor the per-part-threshold relation is
+    broadcast-hinted (r14 review: both are a fixed FRACTION of part,
+    i.e. they scale with SF; AQE broadcasts them while small). Quantities are
     small integers, so the double average is exact in both engines."""
     part = (
         load_table(spark, sf_dir, "part")
@@ -487,12 +497,12 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == part["p_partkey"], "left_semi"
+        part, F.col("l_partkey") == part["p_partkey"], "left_semi"
     )
     thresholds = li.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
-    t = F.broadcast(thresholds).withColumnRenamed("l_partkey", "t_partkey")
+    t = thresholds.withColumnRenamed("l_partkey", "t_partkey")
     return (
         li.join(t, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -524,7 +534,9 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     three conjunctions stays one equi-join on partkey with the
     disjunction as a residual — Catalyst additionally derives the
     implied p_brand IN (...) filter pushed to the part scan, so the
-    broadcast side is three brands, not all parts."""
+    small side is three brands, not all parts (unhinted since r14 —
+    three brands of a 100 TB part table still scale with SF; AQE
+    decides)."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load_table(spark, sf_dir, "lineitem")
     legs = (
@@ -541,7 +553,7 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(legs)
         .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
     )
@@ -616,7 +628,7 @@ def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("supp_last") == F.col("order_last"))
             & (F.col("n_at_last") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
