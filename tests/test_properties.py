@@ -318,3 +318,59 @@ def test_bpe_python_equals_duckdb_on_arbitrary_merges(train_words, probe_words):
     """
     got = dict(con.execute(q, [sorted(set(probe_words))]).fetchall())
     assert got == expect
+
+
+def _ref_asof(lrows, rrows, direction):
+    """Pure-Python as-of reference: per left row, the max (t, v) right
+    pair at-or-before (backward) / min (t, v) at-or-after (forward)."""
+    out = []
+    for k, t in lrows:
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            out.append(max(cands)[1] if cands else None)
+        else:
+            cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt >= t]
+            out.append(min(cands)[1] if cands else None)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 5)),
+        max_size=30,
+    ),
+)
+def test_asof_merge_matches_pure_python_reference(spark, lrows, rrows):
+    """The r14 merge-form as-of join vs a direct Python reference, both
+    directions, on tiny dense-key data where time ties, duplicate
+    (key, time) right rows, keys with no right rows, and boundary
+    equality all occur constantly (hypothesis shrinks any divergence
+    to a minimal witness)."""
+    from nyc_opendata_etl_spark.operators.asof import asof_join_merge
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    right_rows = [(k, t, v) for k, t, v in rrows]
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, t long, v long"
+    )
+    if not right_rows:
+        right = right.filter(F.lit(False))
+    right = right.select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.picked
+            for r in asof_join_merge(
+                left, right, "k", "ts", "rts", "v", "picked", direction
+            ).collect()
+        }
+        want = _ref_asof(lrows, right_rows, direction)
+        assert [got[i] for i in range(len(lrows))] == want, direction
