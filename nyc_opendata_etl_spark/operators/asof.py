@@ -67,7 +67,14 @@ def asof_join_merge(
     every ``left`` column plus ``out_col``, one row per left row.
 
     Both time columns are cast to ``time_type`` so the union's merged
-    column has one type regardless of NTZ/LTZ parquet provenance."""
+    column has one type regardless of NTZ/LTZ parquet provenance.
+
+    NULL-time semantics (pinned): right rows with NULL time never
+    match (a NULL time satisfies neither inequality — they are dropped
+    before the union, where the sort would otherwise place them
+    "before everything" and LOCF could pick one); left rows with NULL
+    time get a NULL result (same reason, other side: the forward frame
+    from a nulls-first position would see the global minimum)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     clash = {_T, _SIDE, _VAL} & set(left.columns)
@@ -76,7 +83,7 @@ def asof_join_merge(
     # backward: right rows first at equal time (<= includes equality);
     # forward: left rows first (>= includes equality).
     right_tag = 0 if direction == "backward" else 1
-    r = right.select(
+    r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key),
         F.col(right_time).cast(time_type).alias(_T),
         F.lit(right_tag).alias(_SIDE),
@@ -99,7 +106,10 @@ def asof_join_merge(
             w.rowsBetween(0, Window.unboundedFollowing)
         )
     return (
-        u.withColumn(out_col, picked)
+        u.withColumn(
+            out_col,
+            F.when(F.col(_T).isNotNull(), picked),  # NULL left time → NULL
+        )
         .filter(F.col(_SIDE) == (1 - right_tag))
         .select(*left.columns, out_col)
     )
@@ -139,7 +149,9 @@ def asof_candidates_merge(
     clash = {_T, _SIDE, _VAL} & set(left.columns)
     if clash:
         raise ValueError(f"left side uses reserved column names: {clash}")
-    r = right.select(
+    # NULL-time rows: same contract as asof_join_merge (null right
+    # times never match; null left times yield NULL candidates)
+    r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key),
         F.col(right_time).cast(time_type).alias(_T),
         F.lit(0).alias(_SIDE),
@@ -159,8 +171,12 @@ def asof_candidates_merge(
         w.rowsBetween(1, Window.unboundedFollowing)
     )
     return (
-        u.withColumn(backward_col, back)
-        .withColumn(forward_strict_col, fwd)
+        u.withColumn(
+            backward_col, F.when(F.col(_T).isNotNull(), back)
+        )
+        .withColumn(
+            forward_strict_col, F.when(F.col(_T).isNotNull(), fwd)
+        )
         .filter(F.col(_SIDE) == 1)
         .select(*left.columns, backward_col, forward_strict_col)
     )

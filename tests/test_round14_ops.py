@@ -414,3 +414,46 @@ def test_pending_r15_pair_passes_the_driver_compare(spark):
         assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
             duck_cols, duck_rows
         ), name
+
+
+def test_asof_merge_null_time_contract(spark):
+    """NULL-time semantics (r14 adversarial self-review): right rows
+    with NULL time must never match (they'd otherwise sort 'before
+    everything' and be LOCF-picked); left rows with NULL time get a
+    NULL result in both directions (not the global min/max). Matches
+    the aggregate formulation, where a NULL comparison drops the
+    row."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.asof import (
+        asof_candidates_merge,
+        asof_join_merge,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, None), (3, 2, 10)], "lid long, k long, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, None, 999), (2, None, 999)],
+        "k long, t long, v long",
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    for direction, want in (
+        ("backward", {1: 100, 2: None, 3: None}),
+        ("forward", {1: None, 2: None, 3: None}),
+    ):
+        got = {
+            r.lid: r.picked
+            for r in asof_join_merge(
+                left, right, "k", "ts", "rts", "v", "picked", direction
+            ).collect()
+        }
+        assert got == want, direction
+
+    cand = {
+        r.lid: (r.b, r.f)
+        for r in asof_candidates_merge(
+            left, right, "k", "ts", "rts", "v", "b", "f"
+        ).collect()
+    }
+    assert cand == {1: (100, None), 2: (None, None), 3: (None, None)}
