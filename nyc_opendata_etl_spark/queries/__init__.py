@@ -294,8 +294,11 @@ _RECHECK_R14: tuple[str, ...] = (
     "multimodal_image_neardup",
     "multimodal_image_clusters",
     # VERDICT r13 item 4: the leakage-safe split now probes the STAGED
-    # near-dup cluster map instead of recomputing clusters in-query.
+    # near-dup cluster map instead of recomputing clusters in-query;
+    # dedup_keep_best (the family's other expensive consumer) moved to
+    # the same staged probe (42-44 s -> 9.5 s at 100x).
     "corpus_split_leakage_safe",
+    "dedup_keep_best",
     # r14 relational.py review: as-of joins rewrote to the linear
     # MERGE form (operators/asof.py); forced broadcasts of SF-scaling
     # relations (customer/supplier/HAVING survivors) removed from the

@@ -2029,19 +2029,23 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup lifecycle's final step — emit the CLEANED corpus
     keep-list: documents outside any near-dup cluster pass through
     ('unique'); within each cluster exactly one canonical survivor is
-    selected by quality argmax (most tokens, doc_id tie-break). Pair
-    detection (prefix-filtered exact Jaccard), transitive clustering
-    (min-label propagation), and selection (one window over cluster
-    members — a relation bounded by duplicates, not corpus size)
-    compose into one plan. The uniques anti-join is left to AQE: the
-    membership list scales with DUPLICATE DOCS, not clusters, so a
-    forced broadcast hint would OOM a duplicate-heavy 100 TB corpus —
-    AQE broadcasts it while it is small and falls back to a shuffled
-    anti-join when it is not (r13 llm_ops review)."""
+    selected by quality argmax (most tokens, doc_id tie-break).
+    Clusters come from the STAGED cluster map since r14
+    (_stage_dup_clusters — the write-time-staging law applied to this
+    family's second consumer after corpus_split_leakage_safe: a real
+    pipeline clusters once and every downstream step probes the
+    artifact; the unchanged recursive-CTE oracle is the staged ≡
+    in-query proof). Selection is one window over cluster members — a
+    relation bounded by duplicates, not corpus size. The uniques
+    anti-join is left to AQE: the membership list scales with
+    DUPLICATE DOCS, not clusters, so a forced broadcast hint would
+    OOM a duplicate-heavy 100 TB corpus — AQE broadcasts it while it
+    is small and falls back to a shuffled anti-join when it is not
+    (r13 llm_ops review)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    clusters = dedup.duplicate_clusters_collapsed(docs, threshold=0.8)
+    clusters = spark.read.parquet(_stage_dup_clusters(spark, sf_dir))
     quality = docs.select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
