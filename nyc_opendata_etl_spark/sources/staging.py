@@ -99,6 +99,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     )
     from nyc_opendata_etl_spark.queries.pending_r15 import (
         _stage_dup_cluster_index_incr,
+        _stage_ivfpq_stream,
     )
 
     builders = [
@@ -122,6 +123,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "dup_cluster_index_incr (incremental cluster map; pending r15)",
             lambda: _stage_dup_cluster_index_incr(spark, sf_dir),
+        ),
+        (
+            "ivfpq_index_stream (streaming ANN maintenance; pending r15)",
+            lambda: _stage_ivfpq_stream(spark, sf_dir),
         ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",

@@ -391,7 +391,7 @@ def test_pending_r15_pair_passes_the_driver_compare(spark):
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
     from nyc_opendata_etl_spark.queries.pending_r15 import PENDING
 
-    assert set(PENDING) == {"dedup_clusters_incremental"}
+    assert set(PENDING) == {"dedup_clusters_incremental", "stream_ivfpq_ingest"}
     _load_all()
     assert not set(PENDING) & set(REGISTRY)
     sf = "/root/testdata/sf0.01"
@@ -457,3 +457,60 @@ def test_asof_merge_null_time_contract(spark):
         ).collect()
     }
     assert cand == {1: (100, None), 2: (None, None), 3: (None, None)}
+
+
+def test_ann_ingest_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once contract of the streaming ANN sink: re-running a
+    micro-batch's write (the crash-after-write-before-commit replay)
+    leaves the codes relation IDENTICAL — the (batch, cid) dynamic
+    overwrite rewrites the batch's own partitions instead of appending
+    duplicate code rows (which would double ADC distances in the
+    probe). Also pins streamed-state == batch-updater-state: the same
+    vectors pushed through ann_ingest_batch equal an
+    update_ivfpq_index append, row for row."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.sources.tables import load_table
+    from nyc_opendata_etl_spark.streaming.ann_ingest import ann_ingest_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = str(tmp_path / "annidx")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), base)
+    import shutil
+
+    shutil.rmtree(f"{base}/codes", ignore_errors=True)
+
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_ingest_batch(even, 0, base)
+    ann_ingest_batch(odd, 1, base)
+
+    def snap():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{base}/codes")
+                .select("id", "m", "code", "cid")
+                .collect(),
+            )
+        )
+
+    first = snap()
+    ann_ingest_batch(odd, 1, base)  # replay batch 1
+    assert snap() == first, "replay must rewrite identical content"
+
+    # batch-updater equivalence: a fresh build+update over the same
+    # halves yields the same (id, m, code, cid) relation
+    ref = str(tmp_path / "refidx")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), ref)
+    similarity.update_ivfpq_index(odd, ref)
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{ref}/codes")
+            .select("id", "m", "code", "cid")
+            .collect(),
+        )
+    )
+    assert first == want
