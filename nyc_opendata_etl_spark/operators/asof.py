@@ -47,6 +47,21 @@ from pyspark.sql import functions as F
 _T, _SIDE, _VAL = "_asof_t", "_asof_side", "_asof_val"
 
 
+def _check_clash(left: DataFrame, *out_cols: str) -> None:
+    """Reject reserved-name collisions AND output-column collisions:
+    an ``out_col`` already present on the left would be silently
+    replaced by ``withColumn`` and then selected twice (ambiguous
+    duplicate output); two identical out_cols would shadow each other
+    the same way (ADVICE r14)."""
+    clash = ({_T, _SIDE, _VAL} | set(out_cols)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left side uses reserved/output column names: {sorted(clash)}"
+        )
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"output column names must be distinct: {out_cols}")
+
+
 def asof_join_merge(
     left: DataFrame,
     right: DataFrame,
@@ -74,16 +89,24 @@ def asof_join_merge(
     before the union, where the sort would otherwise place them
     "before everything" and LOCF could pick one); left rows with NULL
     time get a NULL result (same reason, other side: the forward frame
-    from a nulls-first position would see the global minimum)."""
+    from a nulls-first position would see the global minimum).
+
+    NULL-key semantics (pinned, matches the equi-join formulation this
+    merge replaces): a NULL key never matches. Right rows with NULL
+    key are dropped before the union — ``Window.partitionBy`` would
+    otherwise group them WITH NULL-key left rows and LOCF could pick
+    one, a match the old join never produced. NULL-key left rows then
+    land in a partition holding no right values, so their picked value
+    is NULL without further handling."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
-    clash = {_T, _SIDE, _VAL} & set(left.columns)
-    if clash:
-        raise ValueError(f"left side uses reserved column names: {clash}")
+    _check_clash(left, out_col)
     # backward: right rows first at equal time (<= includes equality);
     # forward: left rows first (>= includes equality).
     right_tag = 0 if direction == "backward" else 1
-    r = right.filter(F.col(right_time).isNotNull()).select(
+    r = right.filter(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key),
         F.col(right_time).cast(time_type).alias(_T),
         F.lit(right_tag).alias(_SIDE),
@@ -146,12 +169,13 @@ def asof_candidates_merge(
     left rows — in-frame for the backward LOCF, excluded from the
     strictly-after frame — and the frame boundaries do the direction
     split without a second union or sort."""
-    clash = {_T, _SIDE, _VAL} & set(left.columns)
-    if clash:
-        raise ValueError(f"left side uses reserved column names: {clash}")
-    # NULL-time rows: same contract as asof_join_merge (null right
-    # times never match; null left times yield NULL candidates)
-    r = right.filter(F.col(right_time).isNotNull()).select(
+    _check_clash(left, backward_col, forward_strict_col)
+    # NULL-time/NULL-key rows: same contract as asof_join_merge (null
+    # right times/keys never match; null left times yield NULL
+    # candidates, null left keys see no right values)
+    r = right.filter(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key),
         F.col(right_time).cast(time_type).alias(_T),
         F.lit(0).alias(_SIDE),

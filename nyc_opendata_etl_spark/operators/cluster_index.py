@@ -11,26 +11,44 @@ UPDATE step touches only the new batch plus the artifact, never the
 already-indexed corpus, and whose output is pinned IDENTICAL to a
 from-scratch `dedup.duplicate_clusters_collapsed` run.
 
-Artifact layout under ``path/``:
+Artifact layout under ``path/`` — every relation is replay-idempotent
+(ADVICE r14: the r14-staged form appended reps/prefix/members before
+the clusters swap, so a crash between the appends and the swap
+followed by a re-run of the same batch double-appended; this layout
+closes that window with the two disciplines the streaming layer
+already pins — index_ingest's batch-partitioned dynamic overwrite and
+dim_sink's versioned-snapshot strictly-below-batch reads):
 
-- ``reps/``     append log, one row per distinct canonical text:
-                (ch = md5(canon), rep = min doc id, sh = sorted
-                xxhash64 shingle array, n_sh). The canonical text
-                itself never persists — the shingle hashes are the
-                only representation pairing needs.
-- ``prefix/``   append log, the AllPairs prefix index of every rep:
-                (ph, rep, n_sh) for the first |sh| − ⌈t·|sh|⌉ + 1
-                hashes. Because the canonical order (sorted xxhash64)
-                is global and deterministic, prefixes appended in any
-                batch are mutually comparable — the lossless-recall
-                theorem (two sets with J ≥ t share an element in both
-                prefixes) holds ACROSS batches.
-- ``members/``  append log: (doc_id, rep) for every indexed doc.
-- ``clusters/`` the output map (doc_id, cluster_id = min member id)
-                for every doc in a dup relation — rewritten per update
-                via the two-rename swap (a batch's label merges can
-                relabel old rows, so this relation is a compacted
-                view, not a log).
+- ``reps/b=<batch>/``    one row per distinct canonical text first
+                seen in that batch: (ch = md5(canon), rep = min doc
+                id, sh = sorted xxhash64 shingle array, n_sh). The
+                canonical text itself never persists — the shingle
+                hashes are the only representation pairing needs.
+- ``prefix/b=<batch>/``  the AllPairs prefix index of that batch's
+                reps: (ph, rep, n_sh) for the first
+                |sh| − ⌈t·|sh|⌉ + 1 hashes. Because the canonical
+                order (sorted xxhash64) is global and deterministic,
+                prefixes written in any batch are mutually comparable
+                — the lossless-recall theorem (two sets with J ≥ t
+                share an element in both prefixes) holds ACROSS
+                batches.
+- ``members/b=<batch>/`` (doc_id, rep) for that batch's docs.
+- ``clusters/v=<batch>/`` versioned SNAPSHOTS of the output map
+                (doc_id, cluster_id = min member id) for every doc in
+                a dup relation (a batch's label merges can relabel old
+                rows, so each version is a compacted view, not a log);
+                ``_CURRENT`` points at the newest committed version —
+                a reader convenience, never an update input.
+
+Crash/replay contract: batch ids are strictly increasing (streaming
+epoch ids satisfy this; the build seeds batch −1). Update ``b`` reads
+reps/prefix at partitions ``b' < b`` and the newest clusters version
+``v < b`` — NEVER its own partial output — and every write lands in
+``b``'s own partitions (dynamic overwrite) or ``v=b`` (plain
+overwrite). A batch replayed from ANY crash point — or after full
+success — therefore recomputes byte-identical content from
+byte-identical inputs and overwrites itself; no marker needed
+(pinned: tests/test_round14_ops.py replay test).
 
 Update algorithm (union-find over the contracted graph):
 
@@ -74,7 +92,14 @@ from nyc_opendata_etl_spark.operators.dedup import (
     duplicate_clusters_collapsed,
     word_shingles,
 )
-from nyc_opendata_etl_spark.operators.index_maintenance import _swap_dir
+from nyc_opendata_etl_spark.streaming.dim_sink import (
+    _version_dirs,
+    _write_pointer,
+)
+
+#: The build's batch id — below every real (non-negative) batch id,
+#: the dim_sink SEED_VERSION convention.
+BUILD_BATCH = -1
 
 
 def _sh_col(canon_col: str, n: int):
@@ -100,6 +125,32 @@ def _prefix_rows(reps: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _write_batch(df: DataFrame, log_path: str, batch_id: int) -> None:
+    """Idempotent batch write into an append-log relation: the rows
+    land under their own ``b=<batch_id>`` partition via dynamic
+    overwrite, so a replayed batch REWRITES identical content instead
+    of double-appending (the index_ingest discipline)."""
+    (
+        df.withColumn("b", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b")
+        .parquet(log_path)
+    )
+
+
+def _read_below(spark: SparkSession, log_path: str, batch_id: int) -> DataFrame:
+    """The log's rows from batches STRICTLY below ``batch_id`` — the
+    replay-pinned snapshot (a crashed prior attempt of this very batch
+    is invisible, so recompute is deterministic). Partition pruning
+    keeps this a metadata filter, not a scan."""
+    return (
+        spark.read.parquet(log_path)
+        .filter(F.col("b") < F.lit(batch_id))
+        .drop("b")
+    )
+
+
 def build_dup_cluster_index(
     docs: DataFrame,
     path: str,
@@ -109,9 +160,11 @@ def build_dup_cluster_index(
     threshold: float = 0.8,
     cc_kernel=None,
 ) -> None:
-    """From-scratch build: write reps/prefix/members and the initial
-    cluster map (`duplicate_clusters_collapsed` — the proven kernel).
-    ``_BUILT`` is written last, proving all four relations landed."""
+    """From-scratch build: write reps/prefix/members (batch partition
+    ``b=BUILD_BATCH``) and the initial cluster-map snapshot
+    (`duplicate_clusters_collapsed` — the proven kernel) as
+    ``clusters/v=BUILD_BATCH``. ``_BUILT`` is written last, proving
+    all four relations landed."""
     src = _canon_src(docs, text_col, id_col)
     grp = src.groupBy(F.md5("__canon__").alias("ch")).agg(
         F.min("id").alias("rep"),
@@ -122,14 +175,14 @@ def build_dup_cluster_index(
         .withColumn("n_sh", F.size("sh"))
         .localCheckpoint()  # one corpus scan feeds three writes
     )
-    reps.write.mode("overwrite").parquet(f"{path}/reps")
-    _prefix_rows(reps, threshold).write.mode("overwrite").parquet(f"{path}/prefix")
-    (
+    _write_batch(reps, f"{path}/reps", BUILD_BATCH)
+    _write_batch(_prefix_rows(reps, threshold), f"{path}/prefix", BUILD_BATCH)
+    _write_batch(
         src.select("id", F.md5("__canon__").alias("ch"))
         .join(reps.select("ch", "rep"), "ch")
-        .select(F.col("id").alias("doc_id"), "rep")
-        .write.mode("overwrite")
-        .parquet(f"{path}/members")
+        .select(F.col("id").alias("doc_id"), "rep"),
+        f"{path}/members",
+        BUILD_BATCH,
     )
     duplicate_clusters_collapsed(
         docs,
@@ -138,7 +191,8 @@ def build_dup_cluster_index(
         n=n,
         threshold=threshold,
         cc_kernel=cc_kernel,
-    ).write.mode("overwrite").parquet(f"{path}/clusters")
+    ).write.mode("overwrite").parquet(f"{path}/clusters/v={BUILD_BATCH}")
+    _write_pointer(f"{path}/clusters", BUILD_BATCH)
     with open(os.path.join(path, "_BUILT"), "w") as fh:
         fh.write("")
 
@@ -147,6 +201,7 @@ def update_dup_cluster_index(
     spark: SparkSession,
     new_docs: DataFrame,
     path: str,
+    batch_id: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -162,17 +217,36 @@ def update_dup_cluster_index(
     pure-new complete groups — with labels that stay the global
     min-member-id (a new doc with a smaller id than an old cluster's
     label relabels that cluster, exactly as a from-scratch run
-    would)."""
+    would).
+
+    ``batch_id`` must be ≥ 0 and strictly greater than every
+    previously applied batch (streaming epoch ids satisfy this). The
+    update is CRASH- and REPLAY-idempotent (ADVICE r14): all reads
+    come from partitions/versions strictly below ``batch_id``, all
+    writes overwrite only ``batch_id``'s own partitions/version — a
+    re-run from any crash point rewrites byte-identical content."""
     if cc_kernel is None:
         cc_kernel = duplicate_clusters
+    if batch_id <= BUILD_BATCH:
+        raise ValueError(
+            f"batch_id={batch_id} must exceed the build batch {BUILD_BATCH}"
+        )
     t = float(threshold)
 
-    # eager snapshots BEFORE any append: the candidate join must see
-    # the PRE-batch index (lazy reads evaluated after the append would
-    # double-count the batch's own rows)
-    reps_old = spark.read.parquet(f"{path}/reps").localCheckpoint()
-    prefix_old = spark.read.parquet(f"{path}/prefix").localCheckpoint()
-    clusters_old = spark.read.parquet(f"{path}/clusters").localCheckpoint()
+    # replay-pinned snapshots: strictly-below-batch reads (a crashed
+    # prior attempt of THIS batch is invisible; lazy reads evaluated
+    # after this batch's writes would otherwise double-count its rows)
+    reps_old = _read_below(spark, f"{path}/reps", batch_id).localCheckpoint()
+    prefix_old = _read_below(spark, f"{path}/prefix", batch_id).localCheckpoint()
+    below = [v for v in _version_dirs(f"{path}/clusters") if v < batch_id]
+    if not below:
+        raise ValueError(
+            f"update_dup_cluster_index: no cluster snapshot below batch "
+            f"{batch_id} at {path}; call build_dup_cluster_index first"
+        )
+    clusters_old = spark.read.parquet(
+        f"{path}/clusters/v={max(below)}"
+    ).localCheckpoint()
 
     newsrc = _canon_src(new_docs, text_col, id_col).localCheckpoint()
     newgrp = (
@@ -199,12 +273,14 @@ def update_dup_cluster_index(
         .localCheckpoint()
     )
 
-    # append-log maintenance (O(batch) writes, index never re-read)
-    new_reps.select("ch", "rep", "sh", "n_sh").write.mode("append").parquet(
-        f"{path}/reps"
+    # append-log maintenance (O(batch) writes into the batch's OWN
+    # partition — dynamic overwrite, so replay rewrites not re-appends;
+    # the pre-batch index is never re-read or rewritten)
+    _write_batch(
+        new_reps.select("ch", "rep", "sh", "n_sh"), f"{path}/reps", batch_id
     )
-    _prefix_rows(new_reps, t).write.mode("append").parquet(f"{path}/prefix")
-    (
+    _write_batch(_prefix_rows(new_reps, t), f"{path}/prefix", batch_id)
+    _write_batch(
         newsrc.select("id", F.md5("__canon__").alias("ch"))
         .join(
             reps_old.select("ch", "rep").unionByName(
@@ -212,9 +288,9 @@ def update_dup_cluster_index(
             ),
             "ch",
         )
-        .select(F.col("id").alias("doc_id"), "rep")
-        .write.mode("append")
-        .parquet(f"{path}/members")
+        .select(F.col("id").alias("doc_id"), "rep"),
+        f"{path}/members",
+        batch_id,
     )
 
     # candidate pairs involving new reps — index probe, not corpus scan
@@ -354,11 +430,18 @@ def update_dup_cluster_index(
         .join(ch_lbl, "ch")
         .select(F.col("id").alias("doc_id"), "cluster_id")
     )
-    out = part_a.unionByName(part_b).unionByName(part_c).localCheckpoint()
-    _swap_dir(
-        f"{path}/clusters", lambda tmp: out.write.parquet(tmp)
-    )
+    out = part_a.unionByName(part_b).unionByName(part_c)
+    # versioned snapshot + pointer-last (the dim_sink discipline):
+    # replay overwrites v=batch_id with identical content; readers
+    # never see a partially written version because the pointer only
+    # advances after the write completes
+    out.write.mode("overwrite").parquet(f"{path}/clusters/v={batch_id}")
+    _write_pointer(f"{path}/clusters", batch_id)
 
 
 def read_dup_clusters(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/clusters")
+    """The cluster map as of the newest committed batch (pointer read
+    — the reader-side convenience no update ever uses as input)."""
+    with open(os.path.join(path, "clusters", "_CURRENT")) as fh:
+        v = int(fh.read().strip())
+    return spark.read.parquet(f"{path}/clusters/v={v}")

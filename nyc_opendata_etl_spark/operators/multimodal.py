@@ -507,6 +507,15 @@ def ahash_near_dup_pairs(
             f"bands={bands} must exceed max_hamming={max_hamming} for "
             f"pigeonhole-exact recall"
         )
+    if 64 % bands != 0:
+        # _ahash_banded's seg = 64 // bands would leave the top
+        # 64 - bands*seg bits in NO band, silently breaking the
+        # pigeonhole recall guarantee and the rem/sub-band arithmetic
+        # (ADVICE r14).
+        raise ValueError(
+            f"bands={bands} must divide 64 evenly for full-hash "
+            f"band coverage"
+        )
     # localCheckpoint: reps is BOUNDED (one row per distinct hash) but
     # its lineage is the full decode+hash kernel scan, and the banded
     # self-join consumes it TWICE — without the checkpoint both join

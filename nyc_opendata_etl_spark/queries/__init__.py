@@ -50,43 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "graph_pagerank_trade": 9,
-    "agg_listagg_ordered": 9,
-    "audit_constraints": 9,
-    "profile_drift": 9,
-    "join_asof_forward": 9,
-    "join_bloom_prefiltered": 9,
-    "join_bloom_packed": 9,
-    "text_rolling_hash": 9,
-    "agg_distinct_twophase": 9,
-    "text_repetition": 9,
-    "text_ngram_topk": 9,
-    "corpus_domain_mix": 9,
-    "outlier_robust_z": 9,
-    "text_boilerplate_ngrams": 9,
-    "corpus_sample_weighted": 9,
-    "text_bigram_logprob": 9,
-    "corpus_vocab_stats": 9,
-    "window_sliding": 9,
-    "events_transitions": 9,
-    "events_gapfill_locf": 9,
-    "events_attribution": 9,
-    "cdc_apply_changelog": 9,
-    "window_sliding_distinct": 9,
-    "scd2_point_in_time": 9,
-    "multimodal_frame_sample": 9,
-    "q4_order_priority": 9,
-    "q6_forecast_revenue": 9,
-    "q7_volume_shipping": 9,
-    "q8_market_share": 9,
-    "q10_returned_items": 9,
-    "q13_customer_distribution": 9,
-    "q14_promo_revenue": 9,
-    "q15_top_supplier": 9,
-    "q17_small_quantity_revenue": 9,
-    "q19_discounted_revenue": 9,
-    "q21_waiting_supplier": 9,
-    "q22_global_sales": 9,
     "star_revenue": 10,
     "dim_surrogate": 10,
     "dim_first_per_group": 10,
@@ -112,7 +75,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "window_moving_sum": 10,
     "agg_percentile_approx": 10,
     "market_basket_pairs": 10,
-    "recursive_reachability": 10,
     "join_lateral_topn": 10,
     "json_variant_shred": 10,
     "sketch_theta_setops": 10,
@@ -183,7 +145,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "window_distribution": 12,
     "agg_stats": 12,
     "fuzzy_name_match": 12,
-    "join_asof_nearest": 12,
     "graph_triangles": 12,
     "join_null_safe": 12,
     "agg_mode_median": 12,
@@ -197,7 +158,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "similarity_ann_ivf": 12,
     "dedup_clusters": 12,
     "dedup_clusters_logstar": 12,
-    "corpus_split_leakage_safe": 12,
     "corpus_e2e_curation": 12,
     "corpus_pack_bins_tokenized": 12,
     "corpus_tokenize_ids": 12,
@@ -220,16 +180,12 @@ _LAST_VERIFIED: dict[str, int] = {
     "multimodal_features": 12,
     "ingest_csv_documents": 13,
     "ingest_jsonl_documents": 13,
-    "join_asof": 13,
     "set_except_all": 13,
     "set_intersect_all": 13,
     "json_extract": 13,
     "json_agg_by_key": 13,
     "map_props_agg": 13,
     "linkage_fellegi_sunter": 13,
-    "q3_shipping_priority": 13,
-    "q18_large_volume_customer": 13,
-    "q5_local_supplier_volume": 13,
     "unpivot_measures": 13,
     "profile_columns": 13,
     "array_hof_pipeline": 13,
@@ -243,9 +199,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "text_pii_scan": 13,
     "text_unigram_logprob": 13,
     "corpus_sample_stratified": 13,
-    "dedup_keep_best": 13,
-    "search_bm25_passages": 13,
-    "search_bm25_passages_incremental": 13,
     "sketch_countmin_freq": 13,
     "corpus_sample_priority": 13,
     "window_tumbling": 13,
@@ -261,63 +214,95 @@ _LAST_VERIFIED: dict[str, int] = {
     "pipeline_parking_fact": 13,
     "scd2_merge": 13,
     "multimodal_metadata_agg": 13,
-    "multimodal_image_neardup": 13,
-    "multimodal_image_clusters": 13,
     "dedup_incremental_rc": 13,
     "stream_dedup_ingest": 13,
     "stream_scd2_upserts": 13,
     "multimodal_audio_features": 13,
     "multimodal_video_frames": 13,
+    "join_asof": 14,
+    "q3_shipping_priority": 14,
+    "q18_large_volume_customer": 14,
+    "q5_local_supplier_volume": 14,
+    "graph_pagerank_trade": 14,
+    "agg_listagg_ordered": 14,
+    "audit_constraints": 14,
+    "profile_drift": 14,
+    "join_asof_forward": 14,
+    "join_asof_nearest": 14,
+    "recursive_reachability": 14,
+    "join_bloom_prefiltered": 14,
+    "join_bloom_packed": 14,
+    "text_rolling_hash": 14,
+    "corpus_split_leakage_safe": 14,
+    "agg_distinct_twophase": 14,
+    "text_repetition": 14,
+    "text_ngram_topk": 14,
+    "corpus_domain_mix": 14,
+    "dedup_keep_best": 14,
+    "outlier_robust_z": 14,
+    "text_boilerplate_ngrams": 14,
+    "corpus_sample_weighted": 14,
+    "text_bigram_logprob": 14,
+    "corpus_vocab_stats": 14,
+    "search_bm25_passages": 14,
+    "search_bm25_passages_incremental": 14,
+    "window_sliding": 14,
+    "events_transitions": 14,
+    "events_gapfill_locf": 14,
+    "events_attribution": 14,
+    "cdc_apply_changelog": 14,
+    "window_sliding_distinct": 14,
+    "scd2_point_in_time": 14,
+    "multimodal_frame_sample": 14,
+    "multimodal_image_neardup": 14,
+    "multimodal_image_clusters": 14,
+    "q4_order_priority": 14,
+    "q6_forecast_revenue": 14,
+    "q7_volume_shipping": 14,
+    "q8_market_share": 14,
+    "q10_returned_items": 14,
+    "q13_customer_distribution": 14,
+    "q14_promo_revenue": 14,
+    "q15_top_supplier": 14,
+    "q17_small_quantity_revenue": 14,
+    "q19_discounted_revenue": 14,
+    "q21_waiting_supplier": 14,
+    "q22_global_sales": 14,
+    "stream_index_ingest": 14,
 }
 
-# Queries that MUST carry a round-14 verdict regardless of history:
+# Queries that MUST carry a round-15 verdict regardless of history:
 # every query whose implementation or oracle changes THIS round
-# (appended as the round's work lands). New round-14 registrations
-# (the pending_r14 flip and any later additions) join group 0
-# automatically as never-checked. Remaining slots fill with the
-# stalest greens via the verdict-age sort below — after the r13
-# rotation that is the 37-query r9 cohort (pagerank, bloom joins,
-# TPC-H Q4/Q6–Q22 shapes, cdc_apply_changelog, gapfill/attribution,
-# text ngram/bigram/boilerplate, sliding windows, scd2 point-in-time…),
-# exactly the staleness debt VERDICT r13 item 2 names. Slot
-# arithmetic: 1 flip + 37 r9 = 38 of 50 → ≤12 rechecks/extra
-# registrations keep the whole cohort clearing.
-_RECHECK_R14: tuple[str, ...] = (
-    # ADVICE r13: passage-key decode switched to integer `div`
-    # (double division mis-decodes doc_id >= 2^33) and the 2^20
-    # chunks-per-doc budget is now raise-enforced at index build.
-    "search_bm25_passages",
-    "search_bm25_passages_incremental",
-    # VERDICT r13 item 3: the aHash banded self-join gained the
-    # hot-bucket guard (recall-exact sub-band refinement above
-    # hot_bucket_cap) — both image queries' plans changed.
+# (appended as the round's work lands). New round-15 registrations
+# (the pending_r15 pair) join group 0 automatically as never-checked.
+# Remaining slots fill with the stalest greens via the verdict-age
+# sort below — after the r14 rotation that is the 42-query r10 cohort
+# (the parity core: star_revenue, dims/keys/normalize, Q1, rollup/
+# cube, top-k, rank/lag/moving windows, sketches, SNM dedup family,
+# pack/entropy/mix text ops…), exactly the staleness debt VERDICT r14
+# item 2 names. Slot arithmetic: 2 flips + 5 ADVICE-touched rechecks
+# + 42 r10 = 49 of 50; the 50th slot auto-fills with the stalest r11
+# green. The deferred TPC-H derived-partsupp hint removals
+# (q2/q9/q11/q16/q20) are all r11-verified → they head r16's window
+# for free, per the VERDICT item 2 one-for-one deferral rule.
+_RECHECK_R15: tuple[str, ...] = (
+    # ADVICE r14: asof.py gained the NULL-join-key contract (right
+    # rows with NULL keys can no longer LOCF onto NULL-key left rows)
+    # and out_col/candidate-col clash validation — all three as-of
+    # queries run through the changed operator.
+    "join_asof",
+    "join_asof_forward",
+    "join_asof_nearest",
+    # ADVICE r14: ahash_near_dup_pairs gained the 64 % bands == 0
+    # validation next to the bands > max_hamming check — both image
+    # queries run through the validated banding path.
     "multimodal_image_neardup",
     "multimodal_image_clusters",
-    # VERDICT r13 item 4: the leakage-safe split now probes the STAGED
-    # near-dup cluster map instead of recomputing clusters in-query;
-    # dedup_keep_best (the family's other expensive consumer) moved to
-    # the same staged probe (42-44 s -> 9.5 s at 100x).
-    "corpus_split_leakage_safe",
-    "dedup_keep_best",
-    # r14 relational.py review: as-of joins rewrote to the linear
-    # MERGE form (operators/asof.py); forced broadcasts of SF-scaling
-    # relations (customer/supplier/HAVING survivors) removed from the
-    # TPC-H star shapes and graph edge builds — AQE decides.
-    # (join_asof_forward, graph_pagerank_trade, both bloom joins and
-    # the eight TPC-H shapes q7/q8/q10/q14/q15/q17/q19/q21 — whose
-    # scaling-side hints were likewise removed — also changed but
-    # already sit in the r9 cohort of this window.)
-    "join_asof",
-    "join_asof_nearest",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "recursive_reachability",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R14)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R15)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:
@@ -361,6 +346,7 @@ def _load_all() -> None:
         tpch,
         pending_r13,
         pending_r14,
+        pending_r15,
     )
 
     _LOADED = True

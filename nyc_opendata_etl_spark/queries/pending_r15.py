@@ -1,16 +1,17 @@
-"""Round-15 registrations, staged (the pending_r13/r14 playbook): the
-INCREMENTAL near-dup cluster map and the exactly-once STREAMING IVF-PQ
-index maintenance, both built late in round 14 after the r14 verdict
-window was already slot-exact at 50 (registering would evict r9-cohort
-greens past what the round promised). Flip cost: 2 of r15's ~6 spare
-slots.
+"""Round-15 registrations — LIVE as of round 15 (flipped per VERDICT
+r14 item 1): the INCREMENTAL near-dup cluster map and the exactly-once
+STREAMING IVF-PQ index maintenance, both built late in round 14 after
+the r14 verdict window was already slot-exact at 50 (registering then
+would have evicted r9-cohort greens past what that round promised).
 
-NOT imported by ``queries._load_all``: nothing here reaches
-``queries()`` until round 15 flips it on (add ``pending_r15`` to the
-import list and make ``_pending`` call ``register`` — the same
-one-line flip r13 and r14 each executed). Until then the pair runs
-under the exact driver compare via
-tests/test_round14_ops.py::test_pending_r15_pair_passes_the_driver_compare.
+Staged r14 → flipped r15: the pair ran under the SAME differential
+compare the driver uses (tests/test_round14_ops.py, Spark vs DuckDB at
+sf0.01) for a full round before registration, so the flip is a rename,
+not a leap. ``PENDING`` stays as this module's registration manifest —
+the in-suite differential test still iterates it as a pre-driver gate.
+
+Window-slot cost: 2 of round 15's 50 (new registrations are
+never-checked → group 0 of the verdict-age sort automatically).
 """
 
 from __future__ import annotations
@@ -18,16 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops  # noqa: F401
+from nyc_opendata_etl_spark.queries import REGISTRY, register
+from nyc_opendata_etl_spark.queries import llm_ops  # noqa: F401
 from nyc_opendata_etl_spark.sources.tables import load_table
 
 PENDING: dict[str, tuple] = {}
 
 
 def _pending(name: str, oracle: str):
+    """r14 staging decorator, now ALSO the live registration (the r15
+    flip): records the (fn, oracle) pair for the in-suite differential
+    test and registers it with the query registry."""
+
     def deco(fn):
         PENDING[name] = (fn, oracle)
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 
@@ -35,19 +41,23 @@ def _pending(name: str, oracle: str):
 def _stage_dup_cluster_index_incr(spark: SparkSession, sf_dir: str) -> str:
     """Stage the incremental cluster-map artifact once per corpus
     version: base build from the even half, one maintenance batch
-    folding in the odd half (operators/cluster_index.py). _INCR_DONE
-    is written last, proving both phases completed."""
+    (batch 0 — the build seeds batch −1) folding in the odd half
+    (operators/cluster_index.py). _INCR_DONE is written last, proving
+    both phases completed. The staging kind carries a ``2`` suffix:
+    the ADVICE-r14 crash-idempotence rework changed the artifact
+    LAYOUT (batch-partitioned logs + versioned cluster snapshots), so
+    pre-rework staged dirs must never satisfy the staleness check."""
     import os
 
     from nyc_opendata_etl_spark.operators import cluster_index as ci
     from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
 
-    path = stage_dir(sf_dir, "dup_cluster_index_incr")
+    path = stage_dir(sf_dir, "dup_cluster_index_incr2")
     if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
         docs = load_table(spark, sf_dir, "documents")
         ci.build_dup_cluster_index(docs.filter(F.col("doc_id") % 2 == 0), path)
         ci.update_dup_cluster_index(
-            spark, docs.filter(F.col("doc_id") % 2 == 1), path
+            spark, docs.filter(F.col("doc_id") % 2 == 1), path, batch_id=0
         )
         with open(os.path.join(path, "_INCR_DONE"), "w") as fh:
             fh.write("")

@@ -121,11 +121,11 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
             lambda: _stage_dup_clusters(spark, sf_dir),
         ),
         (
-            "dup_cluster_index_incr (incremental cluster map; pending r15)",
+            "dup_cluster_index_incr2 (incremental cluster map; r15)",
             lambda: _stage_dup_cluster_index_incr(spark, sf_dir),
         ),
         (
-            "ivfpq_index_stream (streaming ANN maintenance; pending r15)",
+            "ivfpq_index_stream (streaming ANN maintenance; r15)",
             lambda: _stage_ivfpq_stream(spark, sf_dir),
         ),
         (

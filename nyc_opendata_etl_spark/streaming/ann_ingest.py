@@ -87,11 +87,24 @@ def stream_ivfpq_ingest(
     vec_col: str = "embedding",
     query_name: str = "ann_ingest",
     checkpoint_location: str | None = None,
+    ephemeral: bool = False,
 ) -> None:
     """Drain an embedding stream into the batch-partitioned IVF-PQ
     codes layout (bounded here by ``Trigger.AvailableNow``; drop the
     trigger for a continuous pipeline). See the module docstring for
-    the exactly-once contract."""
+    the exactly-once contract.
+
+    The contract RIDES ON the offset log pinning batch composition,
+    so omitting ``checkpoint_location`` silently downgrades replay to
+    at-most-once — callers must either pass a durable location or
+    opt out explicitly with ``ephemeral=True`` (ADVICE r14)."""
+    if checkpoint_location is None and not ephemeral:
+        raise ValueError(
+            "stream_ivfpq_ingest: the exactly-once contract requires a "
+            "durable checkpoint_location (the offset log pins batch "
+            "composition across restarts); pass ephemeral=True to "
+            "accept at-most-once replay semantics deliberately"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ann_ingest_batch(

@@ -136,11 +136,20 @@ def stream_scd2_upserts(
     eff_date_col: str = "eff_date",
     query_name: str = "scd2_upserts",
     checkpoint_location: str | None = None,
+    ephemeral: bool = False,
 ) -> None:
     """Drain a CDC update stream into the versioned SCD2 dimension
     (bounded by ``Trigger.AvailableNow``; drop the trigger for a
     continuous pipeline). See the module docstring for the replay
     contract."""
+
+    if checkpoint_location is None and not ephemeral:
+        raise ValueError(
+            "stream_scd2_upserts: the exactly-once/replay contract requires a "
+            "durable checkpoint_location (the offset log pins batch "
+            "composition across restarts); pass ephemeral=True to "
+            "accept at-most-once replay semantics deliberately"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         scd2_upsert_batch(

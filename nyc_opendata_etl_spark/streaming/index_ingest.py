@@ -110,11 +110,25 @@ def stream_index_ingest(
     id_col: str = "doc_id",
     query_name: str = "index_ingest",
     checkpoint_location: str | None = None,
+    ephemeral: bool = False,
 ) -> None:
     """Drain a document stream into the batch-partitioned index
     (bounded here by ``Trigger.AvailableNow``; drop the trigger for a
     continuous pipeline). See the module docstring for the
-    exactly-once contract."""
+    exactly-once contract.
+
+    The contract RIDES ON the offset log pinning batch composition,
+    so omitting ``checkpoint_location`` silently downgrades replay to
+    at-most-once — callers must either pass a durable location or
+    opt out explicitly with ``ephemeral=True`` (ADVICE r14, applied
+    family-wide)."""
+    if checkpoint_location is None and not ephemeral:
+        raise ValueError(
+            "stream_index_ingest: the exactly-once contract requires a "
+            "durable checkpoint_location (the offset log pins batch "
+            "composition across restarts); pass ephemeral=True to "
+            "accept at-most-once replay semantics deliberately"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         index_ingest_batch(

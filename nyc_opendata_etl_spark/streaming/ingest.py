@@ -162,11 +162,20 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     query_name: str = "dedup_ingest",
     checkpoint_location: str | None = None,
+    ephemeral: bool = False,
 ) -> None:
     """Drain a document stream through the content-dedup ingest
     (bounded here by ``Trigger.AvailableNow`` — drop the trigger for a
     continuous pipeline). See the module docstring for the
     exactly-once and takedown contracts."""
+
+    if checkpoint_location is None and not ephemeral:
+        raise ValueError(
+            "stream_dedup_ingest: the exactly-once/replay contract requires a "
+            "durable checkpoint_location (the offset log pins batch "
+            "composition across restarts); pass ephemeral=True to "
+            "accept at-most-once replay semantics deliberately"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(

@@ -359,8 +359,8 @@ def test_dup_cluster_index_incremental_merge_directions(spark, tmp_path):
 
     path = str(tmp_path / "ci")
     ci.build_dup_cluster_index(old, path)
-    ci.update_dup_cluster_index(spark, batch1, path)
-    ci.update_dup_cluster_index(spark, batch2, path)
+    ci.update_dup_cluster_index(spark, batch1, path, batch_id=0)
+    ci.update_dup_cluster_index(spark, batch2, path, batch_id=1)
 
     got = sorted(map(tuple, ci.read_dup_clusters(spark, path).collect()))
     assert got == [
@@ -380,12 +380,52 @@ def test_dup_cluster_index_incremental_merge_directions(spark, tmp_path):
     assert got == want
 
 
+def test_dup_cluster_index_update_replay_idempotent(spark, tmp_path):
+    """Crash/replay contract (ADVICE r14): re-running an
+    already-applied batch must leave every artifact relation IDENTICAL
+    — strictly-below-batch reads pin the recompute's inputs and
+    per-batch dynamic overwrite rewrites (never re-appends) its own
+    partitions, so replay from any crash point converges to the same
+    bytes. The r14-staged form double-appended reps/prefix/members
+    here (inflated members → fan-out in every matched join)."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import cluster_index as ci
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 3} " + " ".join(f"w{j}" for j in range(40))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ci")
+    ci.build_dup_cluster_index(docs.filter(F.col("doc_id") < 6), path)
+    batch = docs.filter(F.col("doc_id") >= 6)
+    ci.update_dup_cluster_index(spark, batch, path, batch_id=0)
+
+    def snap():
+        return {
+            rel: sorted(
+                map(tuple, spark.read.parquet(f"{path}/{rel}").collect())
+            )
+            for rel in ("reps", "prefix", "members")
+        } | {"clusters": sorted(map(tuple, ci.read_dup_clusters(spark, path).collect()))}
+
+    before = snap()
+    ci.update_dup_cluster_index(spark, batch, path, batch_id=0)  # replay
+    assert snap() == before
+    # and the pre-build guard: a batch at or below the build id is a
+    # contract violation, not a silent mis-read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must exceed the build batch"):
+        ci.update_dup_cluster_index(spark, batch, path, batch_id=ci.BUILD_BATCH)
+
+
 def test_pending_r15_pair_passes_the_driver_compare(spark):
-    """The staged round-15 registration (queries/pending_r15.py) must
-    already pass the EXACT compare the driver's gate runs at sf0.01 —
-    the pending playbook, so the r15 flip is a rename, not a leap.
-    Also pins that it is NOT yet registered (the r14 window's slot
-    arithmetic is a promise)."""
+    """The round-15 registration (queries/pending_r15.py, LIVE as of
+    r15) must pass the EXACT compare the driver's gate runs at sf0.01
+    — the pending playbook's in-suite differential gate, kept after
+    the flip. Also pins that the pair IS registered with the same fn
+    and oracle (the r13→r14 flip precedent)."""
     import duckdb
 
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
@@ -393,7 +433,9 @@ def test_pending_r15_pair_passes_the_driver_compare(spark):
 
     assert set(PENDING) == {"dedup_clusters_incremental", "stream_ivfpq_ingest"}
     _load_all()
-    assert not set(PENDING) & set(REGISTRY)
+    for name, (fn, oracle) in PENDING.items():
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in (
@@ -514,3 +556,69 @@ def test_ann_ingest_replay_is_idempotent(spark, tmp_path):
         )
     )
     assert first == want
+
+
+def test_asof_merge_null_key_and_out_col_contracts(spark):
+    """ADVICE r14 asof items: (1) NULL join keys never match — the
+    window's partitionBy would otherwise group NULL-key right rows
+    WITH NULL-key left rows and LOCF could pick one, a match the
+    equi-join formulation this merge replaces never produced; (2)
+    out_col (and both candidate columns) join the reserved-name clash
+    validation, so a collision raises instead of yielding duplicate
+    output columns."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.asof import (
+        asof_candidates_merge,
+        asof_join_merge,
+    )
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, 7, 10)], "lid long, k long, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(None, 5, 111), (None, 20, 444), (7, 5, 222), (7, 20, 333)],
+        "k long, t long, v long",
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    for direction, want in (
+        ("backward", {(1, None), (2, 222)}),
+        ("forward", {(1, None), (2, 333)}),
+    ):
+        got = {
+            (r.lid, r.picked)
+            for r in asof_join_merge(
+                left, right, "k", "ts", "rts", "v", "picked",
+                direction=direction,
+            ).collect()
+        }
+        assert got == want, direction
+
+    got = {
+        (r.lid, r.b, r.f)
+        for r in asof_candidates_merge(
+            left, right, "k", "ts", "rts", "v", "b", "f"
+        ).collect()
+    }
+    assert got == {(1, None, None), (2, 222, 333)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved/output"):
+        asof_join_merge(left, right, "k", "ts", "rts", "v", "lid")
+    with pytest.raises(ValueError, match="reserved/output"):
+        asof_candidates_merge(left, right, "k", "ts", "rts", "v", "lid", "f")
+    with pytest.raises(ValueError, match="distinct"):
+        asof_candidates_merge(left, right, "k", "ts", "rts", "v", "x", "x")
+
+
+def test_ahash_bands_must_divide_64():
+    """ADVICE r14: bands that do not divide 64 would leave the top
+    bits in NO band — pigeonhole recall silently broken; the operator
+    must refuse."""
+    import pytest
+
+    from nyc_opendata_etl_spark.operators.multimodal import ahash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="divide 64"):
+        ahash_near_dup_pairs(None, max_hamming=3, bands=5)

@@ -394,3 +394,28 @@ def test_stream_sink_accepts_checkpoint_location(spark, tmp_path):
         checkpoint_location=ckpt,
     )
     assert spark.read.parquet(sink).count() == 1
+
+
+def test_exactly_once_wrappers_require_checkpoint_or_explicit_optout():
+    """ADVICE r14, applied family-wide: every exactly-once streaming
+    wrapper's contract rides on the offset log pinning batch
+    composition, so a caller omitting checkpoint_location must get a
+    raise (not silent at-most-once semantics) unless they opt out with
+    ephemeral=True. The guard fires before the stream is touched, so a
+    None stream reaches it."""
+    import pytest
+
+    from nyc_opendata_etl_spark.streaming.ann_ingest import stream_ivfpq_ingest
+    from nyc_opendata_etl_spark.streaming.dim_sink import stream_scd2_upserts
+    from nyc_opendata_etl_spark.streaming.index_ingest import stream_index_ingest
+    from nyc_opendata_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    cases = [
+        lambda: stream_index_ingest(None, "/tmp/x"),
+        lambda: stream_ivfpq_ingest(None, "/tmp/x"),
+        lambda: stream_dedup_ingest(None, "/tmp/x", "/tmp/y"),
+        lambda: stream_scd2_upserts(None, "/tmp/x", ["k"], ["v"]),
+    ]
+    for case in cases:
+        with pytest.raises(ValueError, match="checkpoint_location"):
+            case()
