@@ -383,96 +383,143 @@ def _ahash_banded(reps: DataFrame, max_hamming: int, bands: int) -> DataFrame:
 
 
 def _ahash_candidates(
-    banded: DataFrame, max_hamming: int, bands: int, hot_bucket_cap: int
+    banded: DataFrame,
+    max_hamming: int,
+    bands: int,
+    hot_bucket_cap: int,
+    refine_levels: int = 2,
 ) -> DataFrame:
-    """Candidate pairs from band buckets with the HOT-BUCKET guard
-    (r14, VERDICT r13 item 3): the plain bucket self-join's volume is
-    Σ|bucket|² over (band_idx, band_bits) — a degenerate corpus
-    (all-black thumbnails, blank pages) can concentrate one bucket and
-    go quadratic, the skew shape the SNM family already guards. Unlike
-    SNM's salt-split (which trades recall on hot blocks), the guard
-    here keeps recall EXACT by refining with a second pigeonhole: for
-    a pair agreeing on band k, its ≤ max_hamming differing bits all
-    lie in the complementary ``rem`` bits, so sub-banding rem into
+    """Candidate pairs from band buckets with the RECURSIVE HOT-BUCKET
+    guard (r14 one level; r15 generalized per VERDICT r14 item 7): the
+    plain bucket self-join's volume is Σ|bucket|² over
+    (band_idx, band_bits) — a degenerate corpus (all-black thumbnails,
+    blank pages) can concentrate one bucket and go quadratic, the skew
+    shape the SNM family already guards. Unlike SNM's salt-split
+    (which trades recall on hot blocks), the guard keeps recall EXACT
+    by refining with further pigeonholes: for a pair agreeing on the
+    key so far, its ≤ max_hamming differing bits all lie in the
+    complementary ``rem`` bits, so splitting rem into
     ``max_hamming + 1`` segments guarantees ≥ 1 exactly-matching
-    sub-band. Buckets at or under ``hot_bucket_cap`` join wholesale;
-    hot buckets explode ×(max_hamming+1) and join on the refined key
-    (band_idx, band_bits, sub_idx, sub_bits), collapsing Σ|bucket|² to
-    Σ|sub-bucket|². Both members of a pair share the bucket, so
-    hot/cold routing can never separate a pair. A sub-bucket can in
-    principle still be hot (hashes agreeing on band k AND a rem
-    sub-band yet differing > max_hamming overall); the refinement is
-    recursively applicable, but one level bounds every corpus shape
-    observed, and the bucket-size window reuses the join's own
-    hash partitioning (one shuffle, not two)."""
+    segment — inductively at EVERY depth. Buckets at or under
+    ``hot_bucket_cap`` settle (join wholesale); hot buckets explode
+    ×(max_hamming+1) into refined keys and recurse on the (shrinking)
+    complement, collapsing Σ|bucket|² to Σ|deepest-bucket|².
+
+    A hot SUB-bucket is adversarially constructible (hashes varying
+    only in the 36 bits outside band 0 + rem segment 0 — 2³⁶ distinct
+    values can share one level-1 key), hence the recursion. Depth is
+    bounded twice: ``refine_levels`` (each level adds a window +
+    explode over the normally-EMPTY hot relation — cheap at runtime
+    but not free in the plan, so the default stops at 2), and the
+    structural bound — once ``2^width <= hot_bucket_cap`` a bucket of
+    DISTINCT hashes (collapse-first guarantees distinctness) cannot
+    exceed the cap, and once ``width < max_hamming + 1`` it cannot be
+    split; both settle the remaining rows. Pinned:
+    test_ahash_recursive_guard_hot_sub_bucket.
+
+    Mechanics: the refinement key accumulates as an array<long>
+    ``kpath`` ([band_idx, band_bits, sub_idx, sub_bits, ...]); rows
+    settling at different depths carry different-length kpaths, which
+    is correct — hotness is a property of the bucket, so both members
+    of a pair always settle at the SAME depth — and lets ONE
+    self-join on kpath serve every depth. Each level's bucket-size
+    window reuses the join's own hash partitioning."""
     n_sub = max_hamming + 1
-    rem_width = 64 - 64 // bands
-    sub_seg = rem_width // n_sub
 
-    bw = Window.partitionBy("band_idx", "band_bits")
-    banded = banded.withColumn("bsize", F.count(F.lit(1)).over(bw))
+    df = banded.select(
+        "id",
+        "ahash",
+        F.array(
+            F.col("band_idx").cast("long"), F.col("band_bits").cast("long")
+        ).alias("kpath"),
+        "rem",
+    )
+    width = 64 - 64 // bands
+    settled = []
+    level = 0
+    while True:
+        bw = Window.partitionBy("kpath")
+        df = df.withColumn("bsize", F.count(F.lit(1)).over(bw))
+        seg = width // n_sub
+        can_split = (
+            level < refine_levels
+            and seg > 0
+            and (1 << width) > hot_bucket_cap  # distinct hashes ≤ 2^width
+        )
+        if not can_split:
+            settled.append(df.drop("bsize", "rem"))
+            break
+        settled.append(
+            df.filter(F.col("bsize") <= hot_bucket_cap).drop("bsize", "rem")
+        )
+        hot = df.filter(F.col("bsize") > hot_bucket_cap).drop("bsize")
 
-    def pair_select(a, b, cond):
-        return a.join(b, cond, how="inner").select(
+        def seg_bits(j: int):
+            w = width - (n_sub - 1) * seg if j == n_sub - 1 else seg
+            return F.shiftrightunsigned(F.col("rem"), j * seg).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+
+        def comp_bits(j: int):
+            # rem with segment j removed — pure shifts/masks; widths
+            # stay ≤ 48 bits so the signed long never overflows
+            if j == n_sub - 1:
+                return F.col("rem").bitwiseAND(F.lit((1 << ((n_sub - 1) * seg)) - 1))
+            low_w = j * seg
+            high = F.shiftrightunsigned(F.col("rem"), (j + 1) * seg)
+            if low_w == 0:
+                return high
+            return F.shiftleft(high, low_w).bitwiseOR(
+                F.col("rem").bitwiseAND(F.lit((1 << low_w) - 1))
+            )
+
+        df = hot.select(
+            "id",
+            "ahash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.concat(
+                                "kpath",
+                                F.array(
+                                    F.lit(j).cast("long"),
+                                    seg_bits(j).cast("long"),
+                                ),
+                            ).alias("kpath"),
+                            comp_bits(j).alias("rem"),
+                        )
+                        for j in range(n_sub)
+                    ]
+                )
+            ).alias("s"),
+        ).select("id", "ahash", "s.kpath", "s.rem")
+        # branch j's true complement width varies (the last segment is
+        # the widest); width - seg is the conservative max — a value
+        # with fewer actual bits just has zero high bits, and its
+        # differing bits still all lie below the bookkept width
+        width -= seg
+        level += 1
+
+    allrows = settled[0]
+    for s in settled[1:]:
+        allrows = allrows.unionByName(s)
+    a, b = allrows.alias("a"), allrows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.kpath") == F.col("b.kpath"))
+            & (F.col("a.id") < F.col("b.id")),
+            how="inner",
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.ahash").alias("ha"),
             F.col("b.ahash").alias("hb"),
         )
-
-    cold = banded.filter(F.col("bsize") <= hot_bucket_cap)
-    a, b = cold.alias("a"), cold.alias("b")
-    cand_cold = pair_select(
-        a,
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_bits") == F.col("b.band_bits"))
-        & (F.col("a.id") < F.col("b.id")),
+        .distinct()
     )
-
-    hot = banded.filter(F.col("bsize") > hot_bucket_cap).select(
-        "id",
-        "ahash",
-        "band_idx",
-        "band_bits",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub_idx"),
-                        (
-                            F.shiftrightunsigned(F.col("rem"), j * sub_seg)
-                            .bitwiseAND(
-                                F.lit(
-                                    (
-                                        1
-                                        << (
-                                            rem_width - j * sub_seg
-                                            if j == n_sub - 1
-                                            else sub_seg
-                                        )
-                                    )
-                                    - 1
-                                )
-                            )
-                        ).alias("sub_bits"),
-                    )
-                    for j in range(n_sub)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "ahash", "band_idx", "band_bits", "s.sub_idx", "s.sub_bits")
-    ha, hb = hot.alias("a"), hot.alias("b")
-    cand_hot = pair_select(
-        ha,
-        hb,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_bits") == F.col("b.band_bits"))
-        & (F.col("a.sub_idx") == F.col("b.sub_idx"))
-        & (F.col("a.sub_bits") == F.col("b.sub_bits"))
-        & (F.col("a.id") < F.col("b.id")),
-    )
-    return cand_cold.unionByName(cand_hot).distinct()
 
 
 def ahash_near_dup_pairs(
@@ -480,6 +527,7 @@ def ahash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hot_bucket_cap: int = 4096,
+    refine_levels: int = 2,
 ) -> DataFrame:
     """Image near-dup pairs from perceptual hashes via BANDED Hamming
     search (r13) — the multimodal member of the dedup family, under its
@@ -497,9 +545,11 @@ def ahash_near_dup_pairs(
     Scale shape: one hash-collapse aggregate, a ``bands``-way explode
     of the REP relation (not the corpus), one bucket equi-join whose
     volume is Σ|bucket|² over 16-bit band values — bounded by the
-    HOT-BUCKET guard (r14): buckets above ``hot_bucket_cap`` refine to
-    a recall-exact sub-band key (:func:`_ahash_candidates`), so a
-    degenerate corpus cannot go quadratic — then a map-side XOR
+    RECURSIVE HOT-BUCKET guard (r14/r15): buckets above
+    ``hot_bucket_cap`` refine to a recall-exact sub-band key, hot
+    SUB-buckets refine again up to ``refine_levels`` deep
+    (:func:`_ahash_candidates`), so a degenerate corpus cannot go
+    quadratic — then a map-side XOR
     verify. No all-pairs anywhere; output is invariant under duplicate
     multiplicity."""
     if bands <= max_hamming:
@@ -528,7 +578,9 @@ def ahash_near_dup_pairs(
         .localCheckpoint()
     )
     banded = _ahash_banded(reps, max_hamming, bands)
-    cand = _ahash_candidates(banded, max_hamming, bands, hot_bucket_cap)
+    cand = _ahash_candidates(
+        banded, max_hamming, bands, hot_bucket_cap, refine_levels
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
@@ -543,6 +595,7 @@ def ahash_clusters(
     bands: int = 4,
     cc_kernel=None,
     hot_bucket_cap: int = 4096,
+    refine_levels: int = 2,
 ) -> DataFrame:
     """IMAGE-level perceptual-dup clusters (r13): connected components
     over the aHash near-dup graph, expanded back to every member image
@@ -572,6 +625,7 @@ def ahash_clusters(
         max_hamming=max_hamming,
         bands=bands,
         hot_bucket_cap=hot_bucket_cap,
+        refine_levels=refine_levels,
     )
     rep_clusters = cc_kernel(rep_pairs).withColumnRenamed("doc_id", "rep")
     reps = hashes.groupBy("ahash").agg(

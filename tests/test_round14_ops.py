@@ -622,3 +622,56 @@ def test_ahash_bands_must_divide_64():
 
     with pytest.raises(ValueError, match="divide 64"):
         ahash_near_dup_pairs(None, max_hamming=3, bands=5)
+
+
+def test_ahash_recursive_guard_hot_sub_bucket(spark):
+    """VERDICT r14 item 7: a hot SUB-bucket IS constructible — hashes
+    varying only in the 36 bits outside band 0 (low 16) and rem
+    segment 0 (bits 16..27) all share one level-1 refined key, so the
+    one-level guard leaves a quadratic residue there. Pins (a) the
+    depth-2 guard collapses that residue (>10x fewer candidates than
+    depth-1 on the adversarial corpus) and (b) recall stays EXACT at
+    every depth: depth-1, depth-2 and the unguarded path all return
+    the brute-force pair set, including engineered 1-3-bit near-dups
+    whose differing bits straddle the refined segments."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators.multimodal import (
+        _ahash_banded,
+        _ahash_candidates,
+        ahash_near_dup_pairs,
+    )
+
+    # band 0 (bits 0..15) = 0xBEEF; level-1 rem segment 0 (bits
+    # 16..27) = 0xABC; only bits 28..63 vary (kept positive: < 2^62).
+    n = 600
+    hashes = {}
+    for i in range(n):
+        hi = (i * 2654435761) & ((1 << 34) - 1)
+        hashes[i] = (hi << 28) | (0xABC << 16) | 0xBEEF
+    hashes[1000] = hashes[0] ^ (1 << 5)                      # in band 0
+    hashes[1001] = hashes[1] ^ (1 << 20) ^ (1 << 40)         # seg0 + high
+    hashes[1002] = hashes[2] ^ (1 << 30) ^ (1 << 45) ^ (1 << 60)
+    assert len(set(hashes.values())) == len(hashes)
+
+    df = spark.createDataFrame(
+        list(hashes.items()), "media_id long, ahash long"
+    )
+    expected = _brute_pairs(hashes, 3)
+    for depth in (1, 2):
+        got = sorted(
+            map(
+                tuple,
+                ahash_near_dup_pairs(
+                    df, hot_bucket_cap=50, refine_levels=depth
+                ).collect(),
+            )
+        )
+        assert got == expected, f"depth={depth}"
+
+    reps = df.groupBy("ahash").agg(F.min("media_id").alias("id"))
+    banded = _ahash_banded(reps, 3, 4)
+    n_d1 = _ahash_candidates(banded, 3, 4, 50, refine_levels=1).count()
+    n_d2 = _ahash_candidates(banded, 3, 4, 50, refine_levels=2).count()
+    assert n_d1 > (n * (n - 1)) // 4  # depth-1 residue is quadratic here
+    assert n_d2 * 10 < n_d1, (n_d2, n_d1)
