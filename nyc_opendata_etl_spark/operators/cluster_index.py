@@ -439,6 +439,50 @@ def update_dup_cluster_index(
     _write_pointer(f"{path}/clusters", batch_id)
 
 
+def compact_dup_cluster_index(spark: SparkSession, path: str) -> None:
+    """Bound the artifact's growth after many maintenance batches:
+    fold every ``b=`` partition of reps/prefix/members back into the
+    build partition (``b=BUILD_BATCH``) and retire all cluster
+    snapshots but the pointer's target. Read-equivalent to the
+    uncompacted artifact (pinned ≡ a fresh build over the full corpus
+    in tests/test_round15_ops.py), and subsequent updates behave
+    identically because strictly-below-batch reads see the same rows
+    either way.
+
+    Run ONLY in a maintenance window with the ingest stream stopped
+    and its checkpoint committed (the prune_scd2_versions contract):
+    compaction relabels rows below every batch id, so a replay of a
+    pre-compaction batch would re-apply it — the checkpoint horizon,
+    not this function, is what makes that impossible."""
+    from nyc_opendata_etl_spark.operators.index_maintenance import _swap_dir
+
+    for rel in ("reps", "prefix", "members"):
+        rows = spark.read.parquet(f"{path}/{rel}").drop("b").localCheckpoint()
+        _swap_dir(
+            f"{path}/{rel}",
+            lambda tmp, rows=rows: _write_batch_into(rows, tmp, BUILD_BATCH),
+        )
+    with open(os.path.join(path, "clusters", "_CURRENT")) as fh:
+        keep = int(fh.read().strip())
+    cur = spark.read.parquet(f"{path}/clusters/v={keep}").localCheckpoint()
+    _swap_dir(
+        f"{path}/clusters",
+        lambda tmp: cur.write.parquet(f"{tmp}/v={keep}"),
+    )
+    _write_pointer(f"{path}/clusters", keep)
+
+
+def _write_batch_into(df: DataFrame, log_path: str, batch_id: int) -> None:
+    """_write_batch without dynamic overwrite — used by compaction,
+    whose target is a fresh swap dir."""
+    (
+        df.withColumn("b", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(log_path)
+    )
+
+
 def read_dup_clusters(spark: SparkSession, path: str) -> DataFrame:
     """The cluster map as of the newest committed batch (pointer read
     — the reader-side convenience no update ever uses as input)."""

@@ -1,0 +1,134 @@
+"""Round-16 registration, staged (the pending_r13/r14/r15 playbook):
+exactly-once STREAMING near-dup cluster-map maintenance, built in
+round 15 after the r15 verdict window was already slot-exact at 50
+(registering would evict r10-cohort greens past what the round
+promised). Flip cost: 1 of r16's spare slots.
+
+NOT imported by ``queries._load_all``: nothing here reaches
+``queries()`` until round 16 flips it on (add ``pending_r16`` to the
+import list and make ``_pending`` call ``register`` — the same
+one-line flip r13/r14/r15 each executed). Until then the query runs
+under the exact driver compare via
+tests/test_round15_ops.py::test_pending_r16_passes_the_driver_compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops  # noqa: F401
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+PENDING: dict[str, tuple] = {}
+
+
+def _pending(name: str, oracle: str):
+    def deco(fn):
+        PENDING[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _stage_docs_odd_idordered(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the ODD-doc_id half of documents as 8 id-range-ordered
+    parquet files with ascending ≥1 s-apart mtimes (the
+    _stage_docs_idordered protocol: FileStreamSource replays by
+    ms-precision mtime; stamps go backwards from now), so the cluster
+    ingest stream drains the maintenance half in deterministic
+    id-ordered micro-batches whose ids are disjoint from the even-half
+    build — the batch updater's new-ids-only contract."""
+    import os
+    import time
+
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "docs_odd_idordered")
+    if is_stale(path, sf_dir, "documents"):
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text")
+            .repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+        base = time.time()
+        for i, p in enumerate(parts):
+            t = base - (len(parts) - i) * 1.0
+            os.utime(os.path.join(path, p), (t, t))
+    return path
+
+
+def _stage_cluster_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the STREAMING-maintained cluster map once per corpus
+    version: from-scratch build over the even half (batch −1), then
+    the odd half arrives through the exactly-once streaming sink
+    (4 AvailableNow micro-batches over 8 id-ordered files), each epoch
+    folding O(batch) work into the artifact — the
+    dedup_clusters_incremental geometry with the single maintenance
+    batch replaced by a genuine Structured Streaming drain, so that
+    query's oracle transfers VERBATIM. _STREAM_DONE is written last,
+    proving build + drain both completed."""
+    import os
+    import uuid
+
+    from nyc_opendata_etl_spark.operators import cluster_index as ci
+    from nyc_opendata_etl_spark.queries.pending_r13 import _fresh_run_dir
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+    from nyc_opendata_etl_spark.streaming.cluster_ingest import (
+        stream_cluster_ingest,
+    )
+
+    path = stage_dir(sf_dir, "dup_cluster_index_stream")
+    if is_stale(path, sf_dir, "documents", marker="_STREAM_DONE"):
+        docs = load_table(spark, sf_dir, "documents")
+        ci.build_dup_cluster_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        src = _stage_docs_odd_idordered(spark, sf_dir)
+        run = _fresh_run_dir("spark_graft_clidx_run_")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        stream_cluster_ingest(
+            stream,
+            path,
+            query_name=f"clidx_{uuid.uuid4().hex[:8]}",
+            checkpoint_location=f"{run}/ckpt",
+        )
+        with open(os.path.join(path, "_STREAM_DONE"), "w") as fh:
+            fh.write("")
+    return path
+
+
+@_pending(
+    # Proof by identity: the streamed cluster map must reproduce
+    # dedup_clusters' EXACT output over the same corpus, so its oracle
+    # is dedup_clusters' recursive-CTE oracle VERBATIM (shared by
+    # reference — a threshold or shingle tweak can never desynchronize
+    # the two; the dedup_clusters_incremental proof, streaming
+    # edition).
+    "stream_cluster_ingest",
+    oracle=REGISTRY["dedup_clusters"].oracle,
+)
+def q_stream_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the STREAMING-maintained cluster map
+    (streaming/cluster_ingest.py): the even half is clustered from
+    scratch, the odd half arrives in 4 exactly-once micro-batches,
+    each folded in O(batch) by the replay-idempotent batch updater —
+    strictly-below-batch reads + per-batch dynamic overwrite mean a
+    replayed epoch rewrites byte-identical content (no marker, no
+    dedup pass; the property the r15 ADVICE rework bought). A green
+    row proves 4 successive contract-preserving folds reconstruct the
+    from-scratch clustering through a real Structured Streaming drain
+    — the hourly-cluster-ingest contract end to end. Completes the
+    streaming maintenance family: BM25 postings, IVF-PQ codes, and
+    now the cluster map."""
+    from nyc_opendata_etl_spark.operators import cluster_index as ci
+
+    path = _stage_cluster_stream(spark, sf_dir)
+    return ci.read_dup_clusters(spark, path)

@@ -101,6 +101,9 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         _stage_dup_cluster_index_incr,
         _stage_ivfpq_stream,
     )
+    from nyc_opendata_etl_spark.queries.pending_r16 import (
+        _stage_cluster_stream,
+    )
 
     builders = [
         ("text_index (BM25 postings)", lambda: _stage_text_index(spark, sf_dir)),
@@ -127,6 +130,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "ivfpq_index_stream (streaming ANN maintenance; r15)",
             lambda: _stage_ivfpq_stream(spark, sf_dir),
+        ),
+        (
+            "dup_cluster_index_stream (streaming cluster map; pending r16)",
+            lambda: _stage_cluster_stream(spark, sf_dir),
         ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",
