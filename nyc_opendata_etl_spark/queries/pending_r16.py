@@ -1,8 +1,9 @@
-"""Round-16 registration, staged (the pending_r13/r14/r15 playbook):
-exactly-once STREAMING near-dup cluster-map maintenance, built in
-round 15 after the r15 verdict window was already slot-exact at 50
-(registering would evict r10-cohort greens past what the round
-promised). Flip cost: 1 of r16's spare slots.
+"""Round-16 registrations, staged (the pending_r13/r14/r15 playbook):
+exactly-once STREAMING near-dup cluster-map maintenance and the ANN
+deletion lifecycle (takedown + compact of the IVF-PQ index), both
+built in round 15 after the r15 verdict window was already slot-exact
+at 50 (registering would evict r10-cohort greens past what the round
+promised). Flip cost: 2 of r16's spare slots.
 
 NOT imported by ``queries._load_all``: nothing here reaches
 ``queries()`` until round 16 flips it on (add ``pending_r16`` to the
@@ -132,3 +133,80 @@ def q_stream_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _stage_cluster_stream(spark, sf_dir)
     return ci.read_dup_clusters(spark, path)
+
+
+def _stage_ivfpq_index_deleted(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the DELETION lifecycle of the IVF-PQ index: incremental
+    construction (build even half, append odd half — the
+    similarity_ivfpq_incremental geometry, so that oracle transfers by
+    derivation), then TAKEDOWN of every vec_id ≡ 3 (mod 7) via
+    compact_ivfpq_index(delete_ids) — code rows dropped and the
+    cell-partitioned layout rewritten, quantizers untouched (they
+    survive deletion even of their own training vectors: vec_id 10 is
+    both a centroid source and deleted, deliberately). _DEL_DONE is
+    written last, proving build + append + delete-compact all
+    completed."""
+    import os
+
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.operators.index_maintenance import (
+        compact_ivfpq_index,
+    )
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "ivfpq_index_deleted")
+    if is_stale(path, sf_dir, "embeddings", marker="_DEL_DONE"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+        similarity.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        compact_ivfpq_index(
+            spark,
+            path,
+            delete_ids=emb.filter(F.col("vec_id") % 7 == 3).select(
+                F.col("vec_id").alias("id")
+            ),
+        )
+        with open(os.path.join(path, "_DEL_DONE"), "w") as fh:
+            fh.write("")
+    return path
+
+
+def _ivfpq_after_delete_oracle() -> str:
+    """similarity_ivfpq_incremental's oracle BY DERIVATION: identical
+    protocol replay (build-half quantizers, full-corpus assignment)
+    with deleted vectors excluded from candidacy AND from the exact
+    top-k the recall boolean compares against. Derived, not copied, so
+    a quantizer/ADC tweak in the parent oracle flows through; the
+    anchors are asserted so a parent edit that breaks them fails at
+    import, not silently at compare time."""
+    base = REGISTRY["similarity_ivfpq_incremental"].oracle
+    a1 = "JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 43"
+    a2 = "WHERE e.vec_id <> 43"
+    assert base.count(a1) == 1 and base.count(a2) == 1, (
+        "parent oracle anchors moved; re-derive the after-delete oracle"
+    )
+    out = base.replace(a1, a1 + " AND a.vec_id % 7 <> 3")
+    out = out.replace(a2, a2 + " AND e.vec_id % 7 <> 3")
+    return out
+
+
+@_pending("similarity_after_delete", oracle=_ivfpq_after_delete_oracle())
+def q_similarity_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe AFTER TAKEDOWN — the deletion lifecycle the text
+    index already proves (search_bm25_after_delete), ANN edition,
+    completing the IVF-PQ family's lifecycle: build, incremental
+    append, exactly-once streaming ingest, and now delete + compact.
+    Every vec_id ≡ 3 (mod 7) is removed from the staged incremental
+    index via compact_ivfpq_index (code rows dropped, cell layout
+    rewritten, quantizers kept — the FAISS remove_ids() contract);
+    the unchanged probe (query 43, a survivor) must then return
+    exactly what the derivation oracle computes over survivors — a
+    green row proves deleted vectors can never resurface as
+    candidates AND that the exact-recall boolean is judged against
+    the surviving corpus, the right-to-be-forgotten contract for an
+    embedding store."""
+    from nyc_opendata_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    index = _stage_ivfpq_index_deleted(spark, sf_dir)
+    return similarity.ivfpq_topk_indexed(spark, emb, index, query_vec_id=43)

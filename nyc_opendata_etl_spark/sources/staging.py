@@ -103,6 +103,7 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
     )
     from nyc_opendata_etl_spark.queries.pending_r16 import (
         _stage_cluster_stream,
+        _stage_ivfpq_index_deleted,
     )
 
     builders = [
@@ -134,6 +135,10 @@ def stage_all(spark, sf_dir: str) -> list[tuple[str, float]]:
         (
             "dup_cluster_index_stream (streaming cluster map; pending r16)",
             lambda: _stage_cluster_stream(spark, sf_dir),
+        ),
+        (
+            "ivfpq_index_deleted (ANN takedown lifecycle; pending r16)",
+            lambda: _stage_ivfpq_index_deleted(spark, sf_dir),
         ),
         (
             "fingerprint_index_rc (deletion-capable dedup; pending r13)",

@@ -180,7 +180,7 @@ def test_pending_r16_passes_the_driver_compare(spark):
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
     from nyc_opendata_etl_spark.queries.pending_r16 import PENDING
 
-    assert set(PENDING) == {"stream_cluster_ingest"}
+    assert set(PENDING) == {"stream_cluster_ingest", "similarity_after_delete"}
     _load_all()
     assert not set(PENDING) & set(REGISTRY)
     sf = "/root/testdata/sf0.01"
@@ -203,3 +203,47 @@ def test_pending_r16_passes_the_driver_compare(spark):
         assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
             duck_cols, duck_rows
         ), name
+
+
+def test_ivfpq_takedown_removes_codes_and_keeps_quantizers(spark, tmp_path):
+    """Direct takedown pin (the oracle match proves output parity;
+    this pins the MECHANISM): after compact_ivfpq_index(delete_ids),
+    no deleted id survives anywhere in codes/, surviving code rows are
+    byte-identical to before, and centroids/codebook/params are
+    untouched — the FAISS remove_ids() contract."""
+    from pyspark.sql import functions as F
+
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.operators.index_maintenance import (
+        compact_ivfpq_index,
+    )
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    similarity.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    pre = spark.read.parquet(f"{path}/codes")
+    pre_rows = {(r.id, r.m, r.code) for r in pre.collect()}
+    pre_quant = {
+        rel: sorted(map(tuple, spark.read.parquet(f"{path}/{rel}").collect()))
+        for rel in ("centroids", "codebook", "params")
+    }
+
+    deleted = emb.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("id")
+    )
+    del_ids = {r.id for r in deleted.collect()}
+    assert del_ids, "fixture must delete something"
+    compact_ivfpq_index(spark, path, delete_ids=deleted)
+
+    post = spark.read.parquet(f"{path}/codes")
+    post_rows = {(r.id, r.m, r.code) for r in post.collect()}
+    assert not ({i for i, _, _ in post_rows} & del_ids)
+    assert post_rows == {t for t in pre_rows if t[0] not in del_ids}
+    post_quant = {
+        rel: sorted(map(tuple, spark.read.parquet(f"{path}/{rel}").collect()))
+        for rel in ("centroids", "codebook", "params")
+    }
+    assert post_quant == pre_quant
