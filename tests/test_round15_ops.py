@@ -247,3 +247,52 @@ def test_ivfpq_takedown_removes_codes_and_keeps_quantizers(spark, tmp_path):
         for rel in ("centroids", "codebook", "params")
     }
     assert post_quant == pre_quant
+
+
+def test_ahash_recursive_guard_randomized_recall_property(spark):
+    """Property sweep for the recursive guard: across seeded random
+    corpora (mixed concentration shapes), every (cap, depth) setting
+    returns exactly the brute-force pair set — recall never depends on
+    the hot/cold routing or the recursion depth."""
+    import random
+
+    from nyc_opendata_etl_spark.operators.multimodal import ahash_near_dup_pairs
+    from tests.test_round14_ops import _brute_pairs
+
+    def to_long(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for seed in (7, 99):
+        rnd = random.Random(seed)
+        hashes = {}
+        mid = 0
+        base = rnd.getrandbits(64)
+        for _ in range(120):  # concentrated: share a random band-0 value
+            hashes[mid] = (rnd.getrandbits(48) << 16) | (base & 0xFFFF)
+            mid += 1
+        for _ in range(120):  # diffuse
+            hashes[mid] = rnd.getrandbits(64)
+            mid += 1
+        for _ in range(30):  # engineered near-dups of random members
+            src = rnd.choice(list(hashes.values()))
+            flips = rnd.sample(range(64), rnd.randint(1, 4))
+            h = src
+            for b in flips:
+                h ^= 1 << b
+            hashes[mid] = h
+            mid += 1
+        df = spark.createDataFrame(
+            [(m, to_long(h)) for m, h in hashes.items()],
+            "media_id long, ahash long",
+        )
+        expected = _brute_pairs({m: to_long(h) for m, h in hashes.items()}, 3)
+        for cap, depth in ((10, 1), (10, 3), (64, 2), (10**9, 2)):
+            got = sorted(
+                map(
+                    tuple,
+                    ahash_near_dup_pairs(
+                        df, hot_bucket_cap=cap, refine_levels=depth
+                    ).collect(),
+                )
+            )
+            assert got == expected, (seed, cap, depth)
