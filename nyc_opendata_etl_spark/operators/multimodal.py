@@ -438,8 +438,6 @@ def _ahash_candidates(
     settled = []
     level = 0
     while True:
-        bw = Window.partitionBy("kpath")
-        df = df.withColumn("bsize", F.count(F.lit(1)).over(bw))
         seg = width // n_sub
         can_split = (
             level < refine_levels
@@ -447,8 +445,13 @@ def _ahash_candidates(
             and (1 << width) > hot_bucket_cap  # distinct hashes ≤ 2^width
         )
         if not can_split:
-            settled.append(df.drop("bsize", "rem"))
+            # terminal level settles wholesale — no bucket-size window
+            # (its result would be unused; computing it cost an extra
+            # exchange stage on every query)
+            settled.append(df.drop("rem"))
             break
+        bw = Window.partitionBy("kpath")
+        df = df.withColumn("bsize", F.count(F.lit(1)).over(bw))
         settled.append(
             df.filter(F.col("bsize") <= hot_bucket_cap).drop("bsize", "rem")
         )
