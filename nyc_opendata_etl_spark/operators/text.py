@@ -25,7 +25,21 @@ def canon_text(col: Column | str) -> Column:
     strips only ASCII spaces, leaving e.g. a leading tab as a residual
     leading space and an empty first shingle token), then collapse
     interior runs to single spaces. Mirrored by the _CANON fragment in
-    queries/llm_ops.py."""
+    queries/llm_ops.py.
+
+    Cross-engine determinism scope (r16 adjudication): the canonical
+    form is promised byte-identical across the three engines (Spark
+    JVM ``lower()``, Python ``str.lower()``, DuckDB utf8proc) only for
+    codepoints ASSIGNED in every engine's Unicode snapshot. Codepoints
+    unassigned in the oldest snapshot (Python 3.11 = Unicode 14.0;
+    ``unicodedata.category(c) == 'Cn'``) are excluded: their case
+    mappings are snapshot-dependent by construction (a full 0..0x10FFFF
+    sweep found exactly 27 divergent codepoints — U+1C89, U+A7CB/CC/
+    DA/DC, U+10D50–65, all Unicode 15.1/16 additions — and ALL are Cn
+    in Python; no assigned codepoint diverges, per Unicode's case-pair
+    stability in practice). Pinned by
+    tests/test_properties.py::test_lower_divergence_class_is_unassigned;
+    the property generators draw from the assigned-codepoint domain."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(
         F.lower(c), f"^[{PY_WS_JAVA}]+|[{PY_WS_JAVA}]+$", ""

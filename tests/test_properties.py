@@ -22,9 +22,17 @@ from nyc_opendata_etl_spark.functions.normalize import normalize_string
 
 MOD = 10**9
 
-# printable-ish text incl. unicode, but no surrogates (unencodable)
+# printable-ish text incl. unicode, but no surrogates (unencodable) and
+# no unassigned codepoints (Cn): the cross-engine case-mapping
+# determinism law is scoped to codepoints assigned in EVERY engine's
+# Unicode snapshot (see operators/text.py::canon_text — Python 3.11 is
+# the oldest at Unicode 14; codepoints added later, e.g. U+1C8A TJE,
+# case-map in Spark's newer tables but not in Python's, so they are
+# outside the promised domain by adjudication, not by accident).
 TEXT = st.text(
-    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cn"), max_codepoint=0x2FFF
+    ),
     max_size=40,
 )
 
@@ -139,6 +147,47 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts):
     }
     want = _brute_jaccard_pairs(docs, n=2, t=0.6)
     assert got == want
+
+
+# The 27 codepoints (full 0..0x10FFFF sweep, r16) where Spark's lower()
+# diverges from Python 3.11's — all Unicode 15.1/16 additions, category
+# Cn (unassigned) in Python's Unicode 14 tables. The determinism law's
+# excluded class, by adjudication (NOTES r16).
+_LOWER_DIVERGENT_CPS = (
+    [0x1C89, 0xA7CB, 0xA7CC, 0xA7DA, 0xA7DC]
+    + list(range(0x10D50, 0x10D66))
+)
+
+
+def test_lower_divergence_class_is_unassigned(spark):
+    """Pin the r16 adjudication: every codepoint where Spark ``lower()``
+    disagrees with Python ``str.lower()`` is UNASSIGNED (category Cn)
+    in Python 3.11's Unicode 14 snapshot — so scoping the cross-engine
+    determinism law (canon_text docstring) to assigned codepoints
+    excludes exactly the divergence class and nothing assigned. Checks
+    the 27 known divergent codepoints (must still diverge — the
+    exclusion is real) plus a deterministic 1-in-13 sample of the full
+    range (no NEW divergence outside Cn may appear)."""
+    import unicodedata
+
+    sample = [
+        i
+        for i in range(0x20, 0x110000, 13)
+        if not (0xD800 <= i <= 0xDFFF)
+    ]
+    cps = sorted(set(sample) | set(_LOWER_DIVERGENT_CPS))
+    df = spark.createDataFrame([(i, chr(i)) for i in cps], "cp long, ch string")
+    got = {
+        r.cp: r.lo for r in df.select("cp", F.lower("ch").alias("lo")).collect()
+    }
+    diverged = {i for i in cps if got[i] != chr(i).lower()}
+    # the known class still diverges (Spark's tables are newer) ...
+    assert set(_LOWER_DIVERGENT_CPS) <= diverged
+    # ... and nothing ASSIGNED in Python's snapshot ever does
+    assigned_divergers = {
+        hex(i) for i in diverged if unicodedata.category(chr(i)) != "Cn"
+    }
+    assert assigned_divergers == set()
 
 
 @settings(max_examples=15, deadline=None)
