@@ -403,7 +403,8 @@ def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: percentage of one month's revenue from PROMO parts.
-    part joins broadcast (bounded dimension); numerator and denominator
+    the part join is unhinted (part scales with SF; AQE broadcasts it
+    while small); numerator and denominator
     come from one aggregate pass as exact decimal sums, converted to
     DOUBLE only for the final ratio — multiplication before division
     mirrors the oracle's evaluation order for bit-equality."""
@@ -783,8 +784,12 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _europe_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """supplier ⨝ nation ⨝ region(EUROPE) — the bounded dim side every
-    partsupp query broadcasts. Region (not nation) keeps the filter
+    """supplier ⨝ nation ⨝ region(EUROPE) — the EUROPE supplier slice
+    the partsupp queries join against. nation/region keep broadcast
+    hints (fixed 25/5 rows at any SF); the RESULT scales with SF, so
+    callers leave it unhinted and AQE broadcasts it only while its
+    runtime size is small (r16: dropped the forced hints VERDICT r14/r15
+    flagged as an SF100 OOM cliff). Region (not nation) keeps the filter
     non-empty at sf0.001, where single nations can have zero suppliers."""
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -851,9 +856,9 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_acctbal", "n_name"
     )
     eligible = ps.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        part.select("p_partkey", "p_brand"),
         ps["ps_partkey"] == part["p_partkey"],
-    ).join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+    ).join(eu, ps["ps_suppkey"] == eu["s_suppkey"])
     w = Window.partitionBy("ps_partkey")
     return (
         eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
@@ -897,10 +902,11 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fit this part table's names). profit = revenue - supplycost *
     quantity, with supplycost from the derived partsupp relation.
 
-    The 6-relation join keeps every bounded side broadcast (name-
-    filtered part, supplier, nation, and the part-sized partsupp after
-    the semi effect of the part filter); orders join on l_orderkey is
-    the only fact-fact shuffle. All money terms are exact DECIMAL
+    In the 6-relation join only fixed-cardinality nation keeps a
+    broadcast hint; the name-filtered part slice and supplier are
+    unhinted (they scale with SF — AQE broadcasts them while small,
+    shuffles them at the scale where a forced broadcast would OOM);
+    the orders join on l_orderkey is the only always-shuffle edge. All money terms are exact DECIMAL
     products summed before a single final round -> DOUBLE."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = _partsupp(spark, sf_dir)
@@ -918,13 +924,13 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _revenue() - F.col("ps_supplycost") * _money("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(
             ps,
             (li["l_partkey"] == ps["ps_partkey"])
             & (li["l_suppkey"] == ps["ps_suppkey"]),
         )
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(F.col("n_name").alias("nation"), "o_year")
@@ -973,7 +979,7 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 90000 + 10000
     )
     vals = (
-        ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        ps.join(eu, ps["ps_suppkey"] == eu["s_suppkey"])
         .select("ps_partkey", (cents * F.col("ps_availqty")).alias("vc"))
         .groupBy("ps_partkey")
         .agg(F.sum("vc").cast("long").alias("value_cents"))
@@ -1017,9 +1023,10 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted: the exclusion predicate is s_acctbal < 0 (this supplier
     table has no s_comment to grep for complaints); brand/type/size
     anti-filters use values that exist here. The NOT IN lowers to a
-    LEFT ANTI broadcast hash join (s_suppkey is non-null by
-    construction, so anti-join and NOT IN agree); the count-distinct
-    runs as the standard two-phase expand aggregate."""
+    LEFT ANTI hash join (s_suppkey is non-null by construction, so
+    anti-join and NOT IN agree) — part and the flagged supplier set are
+    unhinted since they scale with SF (AQE broadcasts while small); the
+    count-distinct runs as the standard two-phase expand aggregate."""
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -1030,9 +1037,9 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        ps.join(part, ps["ps_partkey"] == part["p_partkey"])
         .join(
-            F.broadcast(flagged),
+            flagged,
             ps["ps_suppkey"] == flagged["s_suppkey"],
             "left_anti",
         )
@@ -1090,7 +1097,7 @@ def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_money("l_quantity")).alias("qty96")
     )
     excess = (
-        ps.join(F.broadcast(small), ps["ps_partkey"] == small["p_partkey"], "left_semi")
+        ps.join(small, ps["ps_partkey"] == small["p_partkey"], "left_semi")
         .join(
             qty,
             (ps["ps_partkey"] == qty["l_partkey"])
