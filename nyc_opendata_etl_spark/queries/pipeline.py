@@ -367,10 +367,15 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Type 2: each fact row joins the dimension VERSION valid at its own
     event time (equi join on the natural key + validity-interval
     residual), so facts are attributed to historical attribute values,
-    not today's. The versioned dim is bounded (versions per key, not
-    data volume) → broadcast; the fact side never shuffles before the
-    final aggregate. Synthetic history: customers with key % 5 == 0
-    were 'RETIRED' before 1995."""
+    not today's. The versioned dim SCALES WITH SF — it is built from
+    the full customer table (~150k rows/SF → 15M at SF100; versions
+    scale with customer count, not version churn — the r15 "bounded"
+    claim was wrong, VERDICT r15 item 2), so it carries NO broadcast
+    hint: AQE broadcasts it from runtime sizes while small and shuffles
+    the equi-key join at the scale where a forced broadcast would OOM;
+    the validity interval stays a join residual on the equi join either
+    way. Synthetic history: customers with key % 5 == 0 were 'RETIRED'
+    before 1995."""
     cust = load_table(spark, sf_dir, "customer")
     t92 = F.lit("1992-01-01").cast("timestamp")
     t95 = F.lit("1995-01-01").cast("timestamp")
@@ -391,7 +396,7 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = hist.unionByName(cur)
     orders = load_table(spark, sf_dir, "orders")
     joined = orders.join(
-        F.broadcast(dim),
+        dim,
         (orders["o_custkey"] == dim["c_custkey"])
         & (orders["o_orderdate"] >= dim["effective_from"])
         & (dim["effective_to"].isNull() | (orders["o_orderdate"] < dim["effective_to"])),

@@ -304,6 +304,19 @@ def test_q21_windowed_qualification_plan(spark):
     assert pi.shuffle_count(df) <= 3
 
 
+def test_scd2_point_in_time_join_is_aqe_decided(spark):
+    """r16 (VERDICT r15 item 2): the versioned dim is built from the
+    FULL customer table, so it scales with SF and must carry NO forced
+    broadcast hint — AQE decides from runtime sizes. Pin: the logical
+    plan carries no hint, the join stays an EQUI hash join with the
+    validity interval as a residual (never BroadcastNestedLoopJoin),
+    and at test scale the adaptive final plan still broadcasts."""
+    df = queries()["scd2_point_in_time"](spark, SF)
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert pi.count_node(df, "BroadcastNestedLoopJoin") == 0
+    assert not pi.final_uses_sort_merge_join(df)
+
+
 def test_q22_not_exists_is_anti_join_with_pushed_date(spark):
     df = queries()["q22_global_sales"](spark, SF)
     plan = pi.formatted_plan(df)
