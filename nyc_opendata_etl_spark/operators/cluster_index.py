@@ -231,6 +231,19 @@ def update_dup_cluster_index(
         raise ValueError(
             f"batch_id={batch_id} must exceed the build batch {BUILD_BATCH}"
         )
+    applied = _version_dirs(f"{path}/clusters")
+    if applied and batch_id < max(applied):
+        # ADVICE r15: out-of-order batch ids must fail LOUDLY. A batch
+        # at/below an already-applied batch is only legal as a REPLAY of
+        # the latest (equality — streaming epoch re-delivery rewrites
+        # byte-identical content); anything lower would dynamic-overwrite
+        # that batch's log partitions with different content and move the
+        # _CURRENT pointer backwards to a stale snapshot.
+        raise ValueError(
+            f"batch_id={batch_id} is below the max applied batch "
+            f"{max(applied)} at {path}; batches must arrive in "
+            f"non-decreasing order (equality = replay)"
+        )
     t = float(threshold)
 
     # replay-pinned snapshots: strictly-below-batch reads (a crashed
@@ -465,11 +478,17 @@ def compact_dup_cluster_index(spark: SparkSession, path: str) -> None:
     with open(os.path.join(path, "clusters", "_CURRENT")) as fh:
         keep = int(fh.read().strip())
     cur = spark.read.parquet(f"{path}/clusters/v={keep}").localCheckpoint()
-    _swap_dir(
-        f"{path}/clusters",
-        lambda tmp: cur.write.parquet(f"{tmp}/v={keep}"),
-    )
-    _write_pointer(f"{path}/clusters", keep)
+
+    def _rebuild_clusters(tmp: str) -> None:
+        # ADVICE r15: _CURRENT lives INSIDE clusters/, so the swap
+        # removes it — write the pointer into the tmp dir so pointer
+        # and snapshot land atomically with the rename (a crash between
+        # swap and a post-hoc pointer write would otherwise leave
+        # read_dup_clusters raising FileNotFoundError).
+        cur.write.parquet(f"{tmp}/v={keep}")
+        _write_pointer(tmp, keep)
+
+    _swap_dir(f"{path}/clusters", _rebuild_clusters)
 
 
 def _write_batch_into(df: DataFrame, log_path: str, batch_id: int) -> None:

@@ -347,6 +347,7 @@ def _load_all() -> None:
         pending_r13,
         pending_r14,
         pending_r15,
+        pending_r16,
     )
 
     _LOADED = True

@@ -54,6 +54,13 @@ def _stage_dup_cluster_index_incr(spark: SparkSession, sf_dir: str) -> str:
 
     path = stage_dir(sf_dir, "dup_cluster_index_incr2")
     if is_stale(path, sf_dir, "documents", marker="_INCR_DONE"):
+        # ADVICE r15: a stale rebuild must start from an EMPTY artifact.
+        # build_dup_cluster_index only overwrites b=-1/v=-1 partitions,
+        # so a prior run's b>=0 logs / v>=0 snapshots would survive a
+        # corpus change or crashed drain and poison later updates.
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         ci.build_dup_cluster_index(docs.filter(F.col("doc_id") % 2 == 0), path)
         ci.update_dup_cluster_index(

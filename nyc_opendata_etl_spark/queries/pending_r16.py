@@ -1,33 +1,31 @@
-"""Round-16 registrations, staged (the pending_r13/r14/r15 playbook):
-exactly-once STREAMING near-dup cluster-map maintenance and the ANN
-deletion lifecycle (takedown + compact of the IVF-PQ index), both
-built in round 15 after the r15 verdict window was already slot-exact
-at 50 (registering would evict r10-cohort greens past what the round
-promised). Flip cost: 2 of r16's spare slots.
-
-NOT imported by ``queries._load_all``: nothing here reaches
-``queries()`` until round 16 flips it on (add ``pending_r16`` to the
-import list and make ``_pending`` call ``register`` — the same
-one-line flip r13/r14/r15 each executed). Until then the query runs
-under the exact driver compare via
-tests/test_round15_ops.py::test_pending_r16_passes_the_driver_compare.
-"""
+"""Round-16 registrations, LIVE since the r16 flip (the
+pending_r13/r14/r15 playbook): exactly-once STREAMING near-dup
+cluster-map maintenance and the ANN deletion lifecycle (takedown +
+compact of the IVF-PQ index), both built in round 15 after the r15
+verdict window was already slot-exact at 50, flipped live in round 16
+(registry 221 → 223). ``PENDING`` stays as this module's registration
+manifest — tests/test_round15_ops.py keeps running the exact driver
+compare against it in-suite."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops  # noqa: F401
+from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops, register  # noqa: F401
 from nyc_opendata_etl_spark.sources.tables import load_table
 
 PENDING: dict[str, tuple] = {}
 
 
 def _pending(name: str, oracle: str):
+    """r15 staging decorator, now ALSO the live registration (the r16
+    flip): records the (fn, oracle) pair for the in-suite differential
+    test and registers it with the query registry."""
+
     def deco(fn):
         PENDING[name] = (fn, oracle)
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 
@@ -86,6 +84,12 @@ def _stage_cluster_stream(spark: SparkSession, sf_dir: str) -> str:
 
     path = stage_dir(sf_dir, "dup_cluster_index_stream")
     if is_stale(path, sf_dir, "documents", marker="_STREAM_DONE"):
+        # ADVICE r15: a stale rebuild must start from an EMPTY artifact
+        # (build only overwrites b=-1/v=-1; surviving b>=0 logs from a
+        # crashed drain or prior corpus would poison later updates).
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         ci.build_dup_cluster_index(docs.filter(F.col("doc_id") % 2 == 0), path)
         src = _stage_docs_odd_idordered(spark, sf_dir)

@@ -170,11 +170,11 @@ def test_compact_dup_cluster_index_is_read_equivalent(spark, tmp_path):
 
 
 def test_pending_r16_passes_the_driver_compare(spark):
-    """The staged round-16 registration (queries/pending_r16.py) must
-    already pass the EXACT compare the driver's gate runs at sf0.01 —
-    the pending playbook, so the r16 flip is a rename, not a leap.
-    Also pins that it is NOT yet registered (the r15 window's slot
-    arithmetic is a promise)."""
+    """The round-16 registration (queries/pending_r16.py, LIVE since
+    the r16 flip) must pass the EXACT compare the driver's gate runs
+    at sf0.01 — the pending playbook's in-suite differential gate,
+    kept after the flip. Also pins that the pair IS registered with
+    the same fn and oracle (the r13→r14→r15 flip precedent)."""
     import duckdb
 
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
@@ -182,7 +182,9 @@ def test_pending_r16_passes_the_driver_compare(spark):
 
     assert set(PENDING) == {"stream_cluster_ingest", "similarity_after_delete"}
     _load_all()
-    assert not set(PENDING) & set(REGISTRY)
+    for name, (fn, oracle) in PENDING.items():
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in (

@@ -406,6 +406,9 @@ def test_exactly_once_wrappers_require_checkpoint_or_explicit_optout():
     import pytest
 
     from nyc_opendata_etl_spark.streaming.ann_ingest import stream_ivfpq_ingest
+    from nyc_opendata_etl_spark.streaming.cluster_ingest import (
+        stream_cluster_ingest,
+    )
     from nyc_opendata_etl_spark.streaming.dim_sink import stream_scd2_upserts
     from nyc_opendata_etl_spark.streaming.index_ingest import stream_index_ingest
     from nyc_opendata_etl_spark.streaming.ingest import stream_dedup_ingest
@@ -415,6 +418,7 @@ def test_exactly_once_wrappers_require_checkpoint_or_explicit_optout():
         lambda: stream_ivfpq_ingest(None, "/tmp/x"),
         lambda: stream_dedup_ingest(None, "/tmp/x", "/tmp/y"),
         lambda: stream_scd2_upserts(None, "/tmp/x", ["k"], ["v"]),
+        lambda: stream_cluster_ingest(None, "/tmp/x"),
     ]
     for case in cases:
         with pytest.raises(ValueError, match="checkpoint_location"):
