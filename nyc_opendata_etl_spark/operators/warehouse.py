@@ -375,6 +375,63 @@ def normalize_parking_join_fields(raw_parking: DataFrame) -> DataFrame:
 
 _CACHED_INPUTS: list[DataFrame] = []
 
+# Raw-input cache gate (r16, VERDICT r15 item 4 / r15 review finding
+# 5a): caching the raw facts is a win while they fit the storage tier
+# (each feeds 3-4 consumers) and pure eviction churn when they don't —
+# at 100 TB the raws are terabytes and a 128 MiB-block LRU would
+# thrash. Default threshold: 4 GiB of ON-DISK input (compressed
+# parquet; in-memory is ~3-5x that — still comfortably inside one
+# executor tier's storage fraction). Override per session with
+# spark.graft.buildStar.cacheMaxInputBytes.
+_RAW_CACHE_CONF = "spark.graft.buildStar.cacheMaxInputBytes"
+_RAW_CACHE_DEFAULT_BYTES = 4 << 30
+
+
+def _input_size_bytes(df: DataFrame) -> int | None:
+    """Metadata-only size estimate of a DataFrame's file inputs: sum of
+    the scan's input file sizes (``inputFiles`` resolves the listing
+    without reading data; joins/unions return all sides' files). An
+    in-memory source (createDataFrame) lists no files → 0 (bounded by
+    construction — it came through the driver). A non-local scheme
+    (hdfs:/s3:) returns None = UNKNOWN: ``os.path`` can't stat it, and
+    at the scale where data lives on a remote store the raws are
+    presumed cache-hostile anyway."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(parsed.path or uri)
+        except OSError:
+            return None
+    return total
+
+
+def _cache_if_bounded(spark: SparkSession, df: DataFrame) -> bool:
+    """Cache ``df`` (and track it for the per-build eviction sweep)
+    only when its input-size estimate fits the configured budget; skip
+    — leaving the scan to re-run per consumer, which at that scale is
+    cheaper than storage-tier churn — when it doesn't, or when the
+    size is unknowable (remote store). Returns whether it cached, so
+    the caller can gate the cache pre-fill job the same way."""
+    limit = int(
+        spark.conf.get(_RAW_CACHE_CONF, None) or _RAW_CACHE_DEFAULT_BYTES
+    )
+    est = _input_size_bytes(df)
+    if est is not None and est <= limit:
+        df.cache()
+        _CACHED_INPUTS.append(df)
+        return True
+    return False
+
 
 def build_star(
     spark: SparkSession,
@@ -384,9 +441,13 @@ def build_star(
 ) -> dict[str, DataFrame]:
     """The complete warehouse build. Returns all dim + fact DataFrames.
 
-    The two raw inputs are cached — each feeds 3-4 consumers (SURVEY §3
-    E1 step 4): 311 → agency/complaint/location dims + fact; parking →
-    agency/vehicle/violation/parking-location dims + fact.
+    The two raw inputs are cached WHEN THEY FIT (r16 size gate —
+    ``_cache_if_bounded``): each feeds 3-4 consumers (SURVEY §3 E1
+    step 4): 311 → agency/complaint/location dims + fact; parking →
+    agency/vehicle/violation/parking-location dims + fact. Above the
+    configured input-size budget (or on an unstat-able remote store)
+    the cache is skipped: re-running a columnar scan per consumer is
+    cheaper at that scale than LRU churn in the storage tier.
 
     ``facts`` scopes the build: a caller that needs only one fact (the
     per-fact pipeline queries) skips constructing the other branch's
@@ -403,9 +464,11 @@ def build_star(
     # inputs so repeated builds in a session don't accumulate storage
     while _CACHED_INPUTS:
         _CACHED_INPUTS.pop().unpersist()
-    raw_311.cache()
-    raw_parking.cache()
-    _CACHED_INPUTS.extend([raw_311, raw_parking])
+    raws_cached = [
+        df
+        for df in (raw_311, raw_parking)
+        if _cache_if_bounded(spark, df)
+    ]
 
     agency_src = raw_311.select(
         *[
@@ -450,19 +513,22 @@ def build_star(
         d.cache()
     _CACHED_INPUTS.extend(dims.values())
 
-    # Fill BOTH raw-input caches in one job before the dim probes run.
-    # The probe job below holds up to six subtrees over the same cached
-    # raws; cached-partition fill is not synchronized across concurrent
-    # tasks, so without this step the probe's dim subtrees race and
-    # recompute the raw scans several times over (measured: the probe
-    # job alone cost ~11 s at sf0.1 for the integrated build; with the
-    # caches pre-filled the same build's probe+stamp total is ~6 s).
+    # Fill the raw-input caches (those the size gate admitted) in one
+    # job before the dim probes run. The probe job below holds up to
+    # six subtrees over the same cached raws; cached-partition fill is
+    # not synchronized across concurrent tasks, so without this step
+    # the probe's dim subtrees race and recompute the raw scans several
+    # times over (measured: the probe job alone cost ~11 s at sf0.1 for
+    # the integrated build; with the caches pre-filled the same build's
+    # probe+stamp total is ~6 s). An uncached raw gets no pre-fill —
+    # that would be a pure wasted scan.
     from functools import reduce
 
-    reduce(
-        DataFrame.union,
-        [df.select(F.lit(1).alias("one")) for df in (raw_311, raw_parking)],
-    ).count()
+    if raws_cached:
+        reduce(
+            DataFrame.union,
+            [df.select(F.lit(1).alias("one")) for df in raws_cached],
+        ).count()
 
     # F3 emptiness probes, batched: one job unions limit(1) markers from
     # every dim, so all dim builds (and their cache fills) run

