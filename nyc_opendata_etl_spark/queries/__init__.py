@@ -50,49 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "star_revenue": 10,
-    "dim_surrogate": 10,
-    "dim_first_per_group": 10,
-    "assign_keys_left": 10,
-    "generated_date_dim": 10,
-    "generated_time_dim": 10,
-    "date_keys": 10,
-    "normalize_clean": 10,
-    "numeric_coercion": 10,
-    "union_by_name": 10,
-    "filter_window": 10,
-    "project_defensive": 10,
-    "ingest_orc_documents": 10,
-    "dim_late_arriving": 10,
-    "q1_pricing_summary": 10,
-    "agg_rollup": 10,
-    "agg_cube": 10,
-    "agg_count_distinct": 10,
-    "agg_approx_distinct": 10,
-    "topk_orders": 10,
-    "window_rank": 10,
-    "window_lag_lead": 10,
-    "window_moving_sum": 10,
-    "agg_percentile_approx": 10,
-    "market_basket_pairs": 10,
-    "join_lateral_topn": 10,
-    "json_variant_shred": 10,
-    "sketch_theta_setops": 10,
-    "sketch_bitmap_distinct": 10,
-    "stats_weighted_quantiles": 10,
-    "stats_weighted_quantiles_approx": 10,
-    "dedup_ngram_jaccard": 10,
-    "text_length_histogram": 10,
-    "corpus_pack_sequences": 10,
-    "text_char_entropy": 10,
-    "embedding_gramian": 10,
-    "corpus_mix_temperature": 10,
-    "search_rerank_crossenc": 10,
-    "dedup_containment": 10,
-    "dedup_sorted_neighborhood": 10,
-    "dedup_snm_adaptive": 10,
-    "events_user_sequences": 10,
-    "time_keys": 11,
     "ampm_parse_time": 11,
     "bool_flag": 11,
     "filter_window_yesterday": 11,
@@ -219,7 +176,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "stream_scd2_upserts": 13,
     "multimodal_audio_features": 13,
     "multimodal_video_frames": 13,
-    "join_asof": 14,
     "q3_shipping_priority": 14,
     "q18_large_volume_customer": 14,
     "q5_local_supplier_volume": 14,
@@ -227,8 +183,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "agg_listagg_ordered": 14,
     "audit_constraints": 14,
     "profile_drift": 14,
-    "join_asof_forward": 14,
-    "join_asof_nearest": 14,
     "recursive_reachability": 14,
     "join_bloom_prefiltered": 14,
     "join_bloom_packed": 14,
@@ -254,8 +208,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "window_sliding_distinct": 14,
     "scd2_point_in_time": 14,
     "multimodal_frame_sample": 14,
-    "multimodal_image_neardup": 14,
-    "multimodal_image_clusters": 14,
     "q4_order_priority": 14,
     "q6_forecast_revenue": 14,
     "q7_volume_shipping": 14,
@@ -269,40 +221,90 @@ _LAST_VERIFIED: dict[str, int] = {
     "q21_waiting_supplier": 14,
     "q22_global_sales": 14,
     "stream_index_ingest": 14,
+    "star_revenue": 15,
+    "dim_surrogate": 15,
+    "dim_first_per_group": 15,
+    "assign_keys_left": 15,
+    "generated_date_dim": 15,
+    "generated_time_dim": 15,
+    "date_keys": 15,
+    "time_keys": 15,
+    "normalize_clean": 15,
+    "numeric_coercion": 15,
+    "union_by_name": 15,
+    "filter_window": 15,
+    "project_defensive": 15,
+    "ingest_orc_documents": 15,
+    "dim_late_arriving": 15,
+    "q1_pricing_summary": 15,
+    "agg_rollup": 15,
+    "agg_cube": 15,
+    "agg_count_distinct": 15,
+    "agg_approx_distinct": 15,
+    "topk_orders": 15,
+    "window_rank": 15,
+    "window_lag_lead": 15,
+    "window_moving_sum": 15,
+    "join_asof": 15,
+    "agg_percentile_approx": 15,
+    "join_asof_forward": 15,
+    "join_asof_nearest": 15,
+    "market_basket_pairs": 15,
+    "join_lateral_topn": 15,
+    "json_variant_shred": 15,
+    "sketch_theta_setops": 15,
+    "sketch_bitmap_distinct": 15,
+    "stats_weighted_quantiles": 15,
+    "stats_weighted_quantiles_approx": 15,
+    "dedup_ngram_jaccard": 15,
+    "text_length_histogram": 15,
+    "corpus_pack_sequences": 15,
+    "text_char_entropy": 15,
+    "embedding_gramian": 15,
+    "corpus_mix_temperature": 15,
+    "search_rerank_crossenc": 15,
+    "dedup_containment": 15,
+    "dedup_sorted_neighborhood": 15,
+    "dedup_snm_adaptive": 15,
+    "events_user_sequences": 15,
+    "multimodal_image_neardup": 15,
+    "multimodal_image_clusters": 15,
+    "stream_ivfpq_ingest": 15,
+    "dedup_clusters_incremental": 15,
 }
 
-# Queries that MUST carry a round-15 verdict regardless of history:
-# every query whose implementation or oracle changes THIS round
-# (appended as the round's work lands). New round-15 registrations
-# (the pending_r15 pair) join group 0 automatically as never-checked.
-# Remaining slots fill with the stalest greens via the verdict-age
-# sort below — after the r14 rotation that is the 42-query r10 cohort
-# (the parity core: star_revenue, dims/keys/normalize, Q1, rollup/
-# cube, top-k, rank/lag/moving windows, sketches, SNM dedup family,
-# pack/entropy/mix text ops…), exactly the staleness debt VERDICT r14
-# item 2 names. Slot arithmetic: 2 flips + 5 ADVICE-touched rechecks
-# + 42 r10 = 49 of 50; the 50th slot auto-fills with the stalest r11
-# green. The deferred TPC-H derived-partsupp hint removals
-# (q2/q9/q11/q16/q20) are all r11-verified → they head r16's window
-# for free, per the VERDICT item 2 one-for-one deferral rule.
-_RECHECK_R15: tuple[str, ...] = (
-    # ADVICE r14: asof.py gained the NULL-join-key contract (right
-    # rows with NULL keys can no longer LOCF onto NULL-key left rows)
-    # and out_col/candidate-col clash validation — all three as-of
-    # queries run through the changed operator.
-    "join_asof",
-    "join_asof_forward",
-    "join_asof_nearest",
-    # ADVICE r14: ahash_near_dup_pairs gained the 64 % bands == 0
-    # validation next to the bands > max_hamming check — both image
-    # queries run through the validated banding path.
-    "multimodal_image_neardup",
-    "multimodal_image_clusters",
+# Queries that MUST carry a round-16 verdict regardless of history:
+# every query whose implementation changed THIS round. New round-16
+# registrations (the pending_r16 pair) join group 0 automatically as
+# never-checked. Slot arithmetic: 2 flips + 8 rechecks below + the
+# 38-query r11 cohort (which already contains the five TPC-H
+# derived-partsupp queries whose forced broadcasts were dropped this
+# round — their recheck is free) = 48 of 50; the last 2 slots
+# auto-fill with the stalest r12 greens.
+_RECHECK_R16: tuple[str, ...] = (
+    # r16: scd2_point_in_time lost its forced broadcast of the
+    # SF-scaling versioned dim (VERDICT r15 item 2).
+    "scd2_point_in_time",
+    # r16: build_star's raw-input caches became size-gated (VERDICT
+    # r15 item 4) — all three pipeline facts run through the gate.
+    "pipeline_311_fact",
+    "pipeline_parking_fact",
+    "pipeline_integrated_fact",
+    # r16: the IVF-PQ codes write gained the salted pre-write exchange
+    # (VERDICT r15 item 5) — every query reading a freshly staged
+    # index layout re-verifies against its unchanged oracle.
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_incremental",
+    "stream_ivfpq_ingest",
+    # r16: cluster_index gained the out-of-order batch guard and the
+    # atomic compact pointer (ADVICE r15) — the batch updater's query
+    # re-verifies.
+    "dedup_clusters_incremental",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R15)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R16)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:

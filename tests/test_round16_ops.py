@@ -120,3 +120,59 @@ def test_stale_cluster_stream_restage_starts_empty(spark):
     assert os.path.exists(os.path.join(path, "_STREAM_DONE"))
     got = sorted(map(tuple, ci.read_dup_clusters(spark, path).collect()))
     assert got == want
+
+
+def test_ivfpq_build_write_parallelizes_past_one_task_per_cell(
+    spark, tmp_path
+):
+    """r16 (VERDICT r15 item 5 / r14 NOTES item 16): the pre-write
+    exchange of the cell-partitioned codes layout must not serialize
+    onto n_centroids tasks. The salted repartition spreads each cell's
+    rows over a deterministic id-derived bucket, so (a) the planned
+    exchange keys exceed the centroid count at this parallelism and
+    (b) at least one cell directory lands >1 data file — while the
+    probe math (oracle-checked elsewhere) and the pruned directory
+    layout are unchanged."""
+    import os
+
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_cells = 16
+    assert par > n_cells, "test needs parallelism above the cell count"
+
+    # the adversarial shape the hash salt exists for: cells assigned by
+    # id arithmetic, which a modulo salt would collapse into (a modulo
+    # salt here is constant per cell — exactly one key per cell again)
+    cells = emb.selectExpr("vec_id as id", "cast(vec_id % 16 as int) as cid")
+    n_salt = -(-2 * par // n_cells)
+    keys = cells.select(
+        "cid", F.pmod(F.xxhash64("id"), F.lit(n_salt)).alias("s")
+    ).distinct()
+    assert keys.count() > n_cells  # exchange no longer one-key-per-cell
+
+    # AQE rightly coalesces the KB-sized test shuffle back to one task
+    # (at real scale the partitions stay separate); switch coalescing
+    # off here to observe the physical spread the salt buys.
+    idx = str(tmp_path / "ivfpq_index")
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_conf, "true")
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        similarity.build_ivfpq_index(emb, idx)
+    finally:
+        spark.conf.set(coalesce_conf, prev)
+    per_cell = []
+    codes = os.path.join(idx, "codes")
+    for d in os.listdir(codes):
+        if d.startswith("cid="):
+            per_cell.append(
+                sum(
+                    1
+                    for f in os.listdir(os.path.join(codes, d))
+                    if f.startswith("part-")
+                )
+            )
+    assert max(per_cell) > 1  # some cell's rows came from several tasks
