@@ -552,3 +552,38 @@ def curriculum_order(
             ),
         )
     )
+
+
+def shard_epoch(
+    docs: DataFrame,
+    seed: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded EPOCH SHUFFLE + sharding — the last step of
+    a pretraining-data pipeline: assign every document a shard and a
+    position within it such that the concatenation of shards in
+    (shard, pos) order is a seed-keyed pseudo-random permutation of the
+    corpus. Changing the seed re-permutes everything (a fresh epoch);
+    the same seed reproduces the identical order on any cluster, any
+    partitioning, any run — the md5-keyed determinism law, so training
+    restarts and data-lineage audits see the exact byte order the
+    original job produced.
+
+    Shape: hv = md5_long(seed || "|" || id) gives each doc a stable
+    draw; shard = hv % n_shards balances shards to corpus_size/n_shards
+    (±md5 uniformity); pos = row_number over (shard ORDER BY hv, id).
+    ONE shuffle (the per-shard sort window); no global total order
+    anywhere — each shard sorts independently, so at 100 TB this is
+    n_shards parallel sorts of corpus/n_shards rows each, not one
+    driver-breaking global sort. (id breaks hv ties so the order is
+    total even under md5-fold collisions, which the 10^9-fold makes
+    likely at billions of docs.)"""
+    hv = md5_long(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("hv", id_col)
+    return (
+        docs.select(id_col, hv.alias("hv"))
+        .withColumn("shard", F.pmod(F.col("hv"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

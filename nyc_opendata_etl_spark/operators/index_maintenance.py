@@ -175,12 +175,75 @@ def compact_ivfpq_index(
     cell instead of per-batch fragments). Centroids, codebook, and
     params are untouched — quantizers survive deletion; re-training is
     a separate (full-build) decision."""
+    from nyc_opendata_etl_spark.operators.similarity import (
+        _salted_cid_repartition,
+    )
+
+    n_centroids = int(
+        spark.read.parquet(f"{path}/params").first()["n_centroids"]
+    )
     codes = _minus_ids(spark.read.parquet(f"{path}/codes"), delete_ids, "id")
     _swap_dir(
         f"{path}/codes",
         lambda tmp: (
-            codes.repartition("cid")
+            _salted_cid_repartition(codes, n_centroids)
             .write.partitionBy("cid")
             .parquet(tmp)
         ),
     )
+
+
+def retrain_ivfpq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Periodic quantizer RE-TRAIN — the maintenance pass every
+    ``update_ivfpq_index`` docstring defers to ("drift between corpus
+    and quantizers is what periodic re-trains are for"), completing
+    the index lifecycle: build / incremental append / exactly-once
+    streaming ingest / delete+compact / **retrain**.
+
+    Appends reuse the build's quantizers (the FAISS ``add()``
+    contract), so after enough corpus turnover the centroids stop
+    describing the data: recall decays even though every probe is
+    "correct" against the stale cells. The heal is a re-train from the
+    CURRENT corpus: recompute centroids and codebook under the same
+    deterministic convention as :func:`~.similarity.build_ivfpq_index`
+    (keeping the live index's recorded n_centroids/m/d_sub/n_codes —
+    the self-describing ``params/`` contract survives), re-assign and
+    re-encode every vector, and SWAP THE WHOLE INDEX DIRECTORY in one
+    rename pair. The whole-dir swap is the correctness point:
+    quantizers and codes must never mix across versions (a code is
+    meaningless against another codebook's centroids), so the unit of
+    atomicity is the index, not the relation — readers see the old
+    index or the new one, never a hybrid. A crash mid-rebuild leaves
+    the live index untouched (``__compact_tmp`` discipline above).
+
+    By the deterministic convention quantizers, the retrained index is
+    read-equivalent to a FRESH ``build_ivfpq_index`` over the current
+    corpus — the proof-by-identity the staged query's oracle replays.
+
+    Cost shape at 100 TB: one full-corpus assignment+encode pass (the
+    same cost as the initial build, which is what "re-train" means) —
+    scheduled maintenance, never on the probe path; probes pay zero
+    until the pointer flips to the new directory."""
+    from nyc_opendata_etl_spark.operators.similarity import build_ivfpq_index
+
+    p = spark.read.parquet(f"{path}/params").first()
+
+    def rebuild(tmp: str) -> None:
+        build_ivfpq_index(
+            emb,
+            tmp,
+            n_centroids=int(p["n_centroids"]),
+            m=int(p["m"]),
+            d_sub=int(p["d_sub"]),
+            n_codes=int(p["n_codes"]),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    _swap_dir(path, rebuild)

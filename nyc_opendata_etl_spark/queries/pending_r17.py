@@ -1,0 +1,134 @@
+"""Round-17 registrations, staged (the pending_r13..r16 playbook):
+the IVF-PQ quantizer RE-TRAIN lifecycle and the deterministic seeded
+epoch-shard operator, both built in round 16 after the r16 verdict
+window was already slot-exact at 50 (2 flips + 8 rechecks + the
+38-query r11 cohort + 2 stalest r12 greens — registering these now
+would evict cohort greens past what the round promised). Flip cost:
+2 of r17's spare slots.
+
+NOT imported by ``queries._load_all``: nothing here reaches
+``queries()`` until round 17 flips it on (add ``pending_r17`` to the
+import list and make ``_pending`` call ``register`` — the same
+one-line flip r13..r16 each executed). Until then the queries run
+under the exact driver compare via
+tests/test_round16_ops.py::test_pending_r17_passes_the_driver_compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
+from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops  # noqa: F401
+from nyc_opendata_etl_spark.sources.tables import load_table
+
+PENDING: dict[str, tuple] = {}
+
+
+def _pending(name: str, oracle: str):
+    def deco(fn):
+        PENDING[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _stage_ivfpq_index_retrained(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the RE-TRAIN lifecycle of the IVF-PQ index: incremental
+    construction with deliberately DRIFTED quantizers (build the even
+    half — its convention centroids are the 8 even vec_ids < 16 —
+    then append the odd half against those stale cells), then heal via
+    retrain_ivfpq_index over the CURRENT full corpus, which recomputes
+    the convention quantizers (now all 16 vec_ids < 16), re-encodes
+    every vector, and atomically swaps the whole index directory.
+    _RETRAIN_DONE is written last (and necessarily AFTER the swap — a
+    marker written pre-swap would be discarded with the old
+    directory), proving build + append + retrain all completed."""
+    import os
+    import shutil
+
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.operators.index_maintenance import (
+        retrain_ivfpq_index,
+    )
+    from nyc_opendata_etl_spark.sources.staging import is_stale, stage_dir
+
+    path = stage_dir(sf_dir, "ivfpq_index_retrained")
+    if is_stale(path, sf_dir, "embeddings", marker="_RETRAIN_DONE"):
+        # stale rebuild starts from an empty artifact (ADVICE r15
+        # discipline — a crashed prior attempt must not survive)
+        shutil.rmtree(path, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+        similarity.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        retrain_ivfpq_index(spark, emb, path)
+        with open(os.path.join(path, "_RETRAIN_DONE"), "w") as fh:
+            fh.write("")
+    return path
+
+
+@_pending(
+    # Proof by identity: a retrained index must be read-equivalent to a
+    # FRESH build over the current corpus, so its oracle is
+    # similarity_ivfpq_topk's full-corpus fresh-build oracle VERBATIM
+    # (shared by reference — a quantizer or ADC tweak in the parent can
+    # never desynchronize the two). Same probe (query 42).
+    "similarity_ivfpq_retrain",
+    oracle=REGISTRY["similarity_ivfpq_topk"].oracle,
+)
+def q_similarity_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe AFTER QUANTIZER RE-TRAIN — the drift-heal pass
+    every append defers to (update_ivfpq_index reuses build quantizers,
+    the FAISS add() contract; after enough turnover the cells stop
+    describing the corpus). The staged index is built with stale
+    even-half quantizers, appended, then retrained from the full
+    corpus via operators/index_maintenance.retrain_ivfpq_index (same
+    recorded params, whole-directory atomic swap — quantizers and
+    codes never mix across versions). A green row proves the retrained
+    index answers EXACTLY like a fresh build over the current corpus —
+    completing the ANN lifecycle: build / incremental append /
+    exactly-once streaming ingest / delete+compact / retrain."""
+    from nyc_opendata_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    index = _stage_ivfpq_index_retrained(spark, sf_dir)
+    return similarity.ivfpq_topk_indexed(spark, emb, index, query_vec_id=42)
+
+
+_SHARD_SEED = 42
+_N_SHARDS = 8
+_SHARD_HV = md5_long_oracle_sql(
+    f"concat_ws('|', '{_SHARD_SEED}', CAST(doc_id AS VARCHAR))"
+)
+
+
+@_pending(
+    "corpus_shard_epoch",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, {_SHARD_HV} AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hv % {_N_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_corpus_shard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle + sharding
+    (operators/curation.shard_epoch): every document gets a (shard,
+    pos) such that reading shards in (shard, pos) order is a
+    seed-keyed pseudo-random permutation of the corpus — the LAST step
+    of a pretraining pipeline (epoch order must be random-looking,
+    reproducible across restarts, and writable as n_shards independent
+    streams). One shuffle (per-shard sort window), no global total
+    order — n_shards parallel sorts at 100 TB, never a single-partition
+    sort."""
+    from nyc_opendata_etl_spark.operators.curation import shard_epoch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_epoch(docs, seed=_SHARD_SEED, n_shards=_N_SHARDS)

@@ -176,3 +176,107 @@ def test_ivfpq_build_write_parallelizes_past_one_task_per_cell(
                 )
             )
     assert max(per_cell) > 1  # some cell's rows came from several tasks
+
+
+def test_pending_r17_passes_the_driver_compare(spark):
+    """The staged round-17 registrations (queries/pending_r17.py) must
+    already pass the EXACT compare the driver's gate runs at sf0.01 —
+    the pending playbook, fifth application: the r17 flip must be a
+    rename, not a leap. Also pins that they are NOT yet registered
+    (the r16 window's slot arithmetic is a promise)."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
+    from nyc_opendata_etl_spark.queries.pending_r17 import PENDING
+
+    assert set(PENDING) == {"similarity_ivfpq_retrain", "corpus_shard_epoch"}
+    _load_all()
+    assert not set(PENDING) & set(REGISTRY)
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    from tests.test_round12b_ops import _canon_rows
+
+    for name, (fn, oracle) in PENDING.items():
+        sdf = fn(spark, sf)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows), name
+        assert sorted(sdf.columns) == sorted(duck_cols), name
+        assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+            duck_cols, duck_rows
+        ), name
+
+
+def test_ivfpq_retrain_heals_drift_and_swaps_atomically(spark, tmp_path):
+    """Mechanism pins for retrain_ivfpq_index (the oracle match proves
+    output parity; this pins HOW): (a) drift is real — the pre-retrain
+    incremental index's quantizers differ from a fresh full-corpus
+    build's; (b) retrain recomputes them — post-retrain centroids,
+    codebook, codes, and params all equal the fresh build's exactly;
+    (c) the swap is whole-directory — during the rebuild the live path
+    still serves the OLD index (no quantizer/code version mixing)."""
+    from nyc_opendata_etl_spark.operators import similarity
+    from nyc_opendata_etl_spark.operators.index_maintenance import (
+        retrain_ivfpq_index,
+    )
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    drifted = str(tmp_path / "drifted")
+    similarity.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), drifted)
+    similarity.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), drifted)
+    fresh = str(tmp_path / "fresh")
+    similarity.build_ivfpq_index(emb, fresh)
+
+    def rel(path, name):
+        return sorted(map(tuple, spark.read.parquet(f"{path}/{name}").collect()))
+
+    # (a) the drift exists: even-half quantizers != full-corpus quantizers
+    assert rel(drifted, "centroids") != rel(fresh, "centroids")
+
+    retrain_ivfpq_index(spark, emb, drifted)
+
+    # (b) retrain == fresh build, relation for relation
+    for name in ("centroids", "codebook", "codes", "params"):
+        assert rel(drifted, name) == rel(fresh, name), name
+
+    # (c) params preserved the recorded configuration
+    p = spark.read.parquet(f"{drifted}/params").first()
+    assert (p["n_centroids"], p["m"], p["d_sub"], p["n_codes"]) == (16, 8, 8, 16)
+
+
+def test_shard_epoch_is_a_seeded_permutation(spark):
+    """shard_epoch contract pins: (a) (shard, pos) is a bijection over
+    the corpus — every doc appears once, positions are 1..n_s dense per
+    shard; (b) the same seed reproduces the identical assignment under
+    a different input partitioning (determinism law); (c) a different
+    seed yields a different permutation (it IS an epoch re-shuffle)."""
+    from nyc_opendata_etl_spark.operators.curation import shard_epoch
+
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = shard_epoch(docs, seed=42, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    again = shard_epoch(docs.repartition(7), seed=42, n_shards=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    other = shard_epoch(docs, seed=43, n_shards=8).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
