@@ -323,6 +323,98 @@ def ann_lsh_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF k-NN JOIN: every row of ``queries`` gets its top-k
+    cosine neighbors from ``corpus``, candidates restricted to each
+    query's ``n_probe`` nearest coarse cells. The single-probe forms
+    (:func:`ann_ivf_topk`, :func:`ivfpq_topk_indexed`) answer one
+    query per job; a pipeline deduping a new crawl against a benchmark
+    suite, mining hard negatives, or k-NN-labeling a corpus asks
+    MILLIONS of queries at once, and running the per-query operator in
+    a loop re-scans the corpus per query. This is the amortized form:
+
+    - corpus→cell assignment (:func:`_ivf_assign`, one broadcast N×C
+      scoring pass, ~N combined rows shuffled) happens ONCE and is
+      shared by every query — at 100 TB it is the write-time
+      cluster-by the staged IVF index already materializes;
+    - query→probe-cell selection is a per-query ``slice(sort_array)``
+      over the C broadcast-scored centroid rows — an aggregate with
+      map-side partials (Q rows shuffle, each carrying ≤n_probe cell
+      ids), never a Q×C window sort;
+    - the candidate join ``probes ⋈ assigned ON cid`` shuffles on the
+      cell id, so the expected pair volume is Q·N·(n_probe/C) — the
+      IVF prune — not Q·N. Neither side is hinted: the probe side is
+      Q·n_probe rows and AQE broadcasts it whenever the query set is
+      genuinely small, while an SF-scaling query set degrades to a
+      hash join instead of an OOM (the round-16 no-forced-broadcast
+      policy);
+    - per-query top-k is one ``row_number`` window partitioned by
+      query id over the pruned candidates.
+
+    Each corpus vector lives in exactly one cell (argmax assignment),
+    so no candidate pair is generated twice and no distinct/dedup pass
+    is needed. Zero-norm vectors drop on both sides (NULL-cosine
+    contract of :func:`cosine`): ``_ivf_assign`` drops them from the
+    corpus, the explicit ``isNotNull`` drops them from the query side.
+    ``exclude_self`` removes the trivial self-match when the query set
+    is a subset of the corpus (same id space).
+
+    Returns (query_id, ``id_col``, cosine_sim, rk) with rk in 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = _ivf_assign(corpus, n_centroids, id_col, vec_col, cents=cents, keep_vec=True)
+    qscored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec__"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__qsim__", cosine(F.col("__qvec__"), F.col("cvec")))
+        .filter(F.col("__qsim__").isNotNull())
+    )
+    probes = (
+        qscored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("__qsim__")).alias("nsim"), F.col("cid"))
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("__cells__"),
+            # every pre-agg row of a query carries the same vector, so
+            # first() is deterministic here
+            F.first("__qvec__").alias("__qvec__"),
+        )
+        .select("query_id", "__qvec__", F.explode(F.col("__cells__.cid")).alias("cid"))
+    )
+    cand = probes.join(assigned, "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("id"))
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec__")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     hyperplanes: list[list[float]],
@@ -961,7 +1053,18 @@ def build_ivfpq_index(
     returns bit-identical rankings. Scale shape: assignment and
     encoding are broadcast joins + map-side-combined aggregates — one
     pass over the corpus, paid once per corpus version; the partitioned
-    write is the only wide exchange."""
+    write is the only wide exchange.
+
+    The input is spread to cluster parallelism when the scan
+    under-splits (round-16: the 100× replica's ~50 MB parquet yields
+    7 splits on a 32-core box, serializing the encode stages 4.5× —
+    fresh-build sweep row 157 s → 28 s with the spread). At 100 TB the
+    scan yields thousands of splits and :func:`~.sources.tables.spread`
+    is a no-op, so this never adds a full-corpus shuffle at real
+    scale."""
+    from nyc_opendata_etl_spark.sources.tables import spread
+
+    emb = spread(emb)
     assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
     codes = pq_encode(
         emb, vec_col=vec_col, id_col=id_col, m=m, d_sub=d_sub, k=n_codes
@@ -1053,7 +1156,12 @@ def update_ivfpq_index(
     Cost shape at 100 TB: n_centroids-row + m·n_codes-row broadcasts
     against ONLY the batch, two map-side-combined aggregates, one
     append write — independent of the existing index size; a full
-    rebuild re-scans the entire corpus instead."""
+    rebuild re-scans the entire corpus instead. The batch is spread to
+    cluster parallelism when its scan under-splits (same no-op-at-scale
+    contract as the build's spread)."""
+    from nyc_opendata_etl_spark.sources.tables import spread
+
+    new_emb = spread(new_emb)
     spark = new_emb.sparkSession
     p = spark.read.parquet(f"{path}/params").first()
     cents = spark.read.parquet(f"{path}/centroids")

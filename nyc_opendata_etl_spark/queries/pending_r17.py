@@ -1,10 +1,11 @@
 """Round-17 registrations, staged (the pending_r13..r16 playbook):
-the IVF-PQ quantizer RE-TRAIN lifecycle and the deterministic seeded
-epoch-shard operator, both built in round 16 after the r16 verdict
-window was already slot-exact at 50 (2 flips + 8 rechecks + the
-38-query r11 cohort + 2 stalest r12 greens — registering these now
-would evict cohort greens past what the round promised). Flip cost:
-2 of r17's spare slots.
+the IVF-PQ quantizer RE-TRAIN lifecycle, the deterministic seeded
+epoch-shard operator, the batched IVF k-NN JOIN, and semantic
+benchmark decontamination — all built in round 16 after the r16
+verdict window was already slot-exact at 50 (2 flips + 8 rechecks +
+the 38-query r11 cohort + 2 stalest r12 greens — registering these
+now would evict cohort greens past what the round promised). Flip
+cost: 4 of r17's spare slots.
 
 NOT imported by ``queries._load_all``: nothing here reaches
 ``queries()`` until round 17 flips it on (add ``pending_r17`` to the
@@ -21,6 +22,7 @@ from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long_oracle_sql
 from nyc_opendata_etl_spark.queries import REGISTRY, llm_ops  # noqa: F401
+from nyc_opendata_etl_spark.queries.llm_ops import _cos_sql
 from nyc_opendata_etl_spark.sources.tables import load_table
 
 PENDING: dict[str, tuple] = {}
@@ -132,3 +134,126 @@ def q_corpus_shard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_epoch(docs, seed=_SHARD_SEED, n_shards=_N_SHARDS)
+
+
+_KNN_COS_AC = _cos_sql("a.v", "c.cvec")
+_KNN_COS_QC = _cos_sql("q.qvec", "c.cvec")
+_KNN_COS_AQ = _cos_sql("a.v", "p.qvec")
+
+
+@_pending(
+    "similarity_knn_join",
+    # the oracle replays the full batched protocol: one shared corpus
+    # assignment, per-query probe selection, cell-restricted re-rank
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 64
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ascored AS (
+        SELECT a.vec_id, a.v, c.cid, {_KNN_COS_AC} AS sim
+        FROM e a CROSS JOIN c
+    ),
+    assigned AS (
+        -- sim IS NOT NULL mirrors _ivf_assign's NULL-best drop
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM ascored
+        ) WHERE rn = 1 AND sim IS NOT NULL
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id % 20 = 3
+    ),
+    qscored AS (
+        SELECT q.query_id, q.qvec, c.cid, {_KNN_COS_QC} AS sim
+        FROM q CROSS JOIN c
+    ),
+    probes AS (
+        SELECT query_id, qvec, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM qscored WHERE sim IS NOT NULL
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               round({_KNN_COS_AQ}, 6) AS cosine_sim
+        FROM probes p JOIN assigned a USING (cid)
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rk
+        FROM cand
+    ) WHERE rk <= 5
+    """,
+)
+def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF k-NN JOIN (operators/similarity.knn_join): every
+    query vector (the ``vec_id % 20 == 3`` slice — an SF-scaling query
+    set, ~5% of the corpus) gets its top-5 corpus neighbors restricted
+    to its 2 nearest of 64 coarse cells. The amortized many-queries
+    form the single-probe ANN ops don't cover: ONE shared corpus cell
+    assignment, candidate volume Q·N·(n_probe/C) via a cid shuffle
+    join with NO forced broadcast on either side (AQE broadcasts the
+    probe side while it's small), one row_number window per query for
+    the top-k. Deterministic end-to-end, so the DuckDB oracle replays
+    assignment, probing, and re-rank exactly."""
+    from nyc_opendata_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return similarity.knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 20 == 3),
+        n_centroids=64,
+        n_probe=2,
+        k=5,
+    )
+
+
+_DSEM_COS = _cos_sql("t.embedding", "ev.embedding")
+
+
+@_pending(
+    "corpus_decontaminate_semantic",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+    ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    hit AS (
+        SELECT t.vec_id, ev.eval_id, round({_DSEM_COS}, 6) AS sim
+        FROM t CROSS JOIN ev
+        WHERE round({_DSEM_COS}, 6) >= 0.3
+    )
+    SELECT vec_id,
+           count(*) AS n_eval_hits,
+           max(sim) AS max_cosine,
+           CAST(first(eval_id ORDER BY sim DESC, eval_id) AS BIGINT)
+               AS best_eval_id
+    FROM hit GROUP BY vec_id
+    """,
+)
+def q_corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/curation.decontaminate_semantic): train vectors
+    (``vec_id % 50 != 0``) scoring cosine ≥ 0.3 against ANY eval
+    vector (``% 50 == 0`` — the stand-in benchmark suite, bounded by
+    construction) are flagged with hit count, best similarity, and the
+    matching eval id. The semantic twin of ``corpus_decontaminate``:
+    paraphrased leakage shares no 3-gram shingle but keeps its
+    embedding neighborhood. Eval side broadcasts (bounded benchmark
+    contract — NOT an SF-scaling relation), train side is one scan +
+    map-side aggregate: no train shuffle at any corpus size. Exact on
+    purpose — a pruning false negative here is eval data left in the
+    training set."""
+    from nyc_opendata_etl_spark.operators.curation import decontaminate_semantic
+
+    emb = load_table(spark, sf_dir, "embeddings", spread_input=True)
+    return decontaminate_semantic(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        threshold=0.3,
+    )

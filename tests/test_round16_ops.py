@@ -189,7 +189,12 @@ def test_pending_r17_passes_the_driver_compare(spark):
     from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
     from nyc_opendata_etl_spark.queries.pending_r17 import PENDING
 
-    assert set(PENDING) == {"similarity_ivfpq_retrain", "corpus_shard_epoch"}
+    assert set(PENDING) == {
+        "similarity_ivfpq_retrain",
+        "corpus_shard_epoch",
+        "similarity_knn_join",
+        "corpus_decontaminate_semantic",
+    }
     _load_all()
     assert not set(PENDING) & set(REGISTRY)
     sf = "/root/testdata/sf0.01"
@@ -280,3 +285,69 @@ def test_shard_epoch_is_a_seeded_permutation(spark):
 
     other = shard_epoch(docs, seed=43, n_shards=8).collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_knn_join_is_cell_pruned_and_self_free(spark):
+    """Mechanism pins for similarity.knn_join (the oracle match in
+    test_pending_r17_passes_the_driver_compare proves output parity;
+    this pins HOW): (a) the plan contains NO CartesianProduct — the
+    only cross joins are against the broadcast C-row centroid relation,
+    so candidate volume is cell-pruned, never Q×N; (b) a query drawn
+    from the corpus never matches itself; (c) rk is dense 1..≤k per
+    query; (d) the result is invariant under input repartitioning
+    (determinism law)."""
+    from nyc_opendata_etl_spark.operators.similarity import knn_join
+    from nyc_opendata_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 3)
+    out = knn_join(emb, q, n_centroids=64, n_probe=2, k=5)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.query_id % 20 == 3
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for qid, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), qid
+        assert len(rks) <= 5
+    again = knn_join(
+        emb.repartition(7), q.repartition(3), n_centroids=64, n_probe=2, k=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decontaminate_semantic_broadcasts_eval_and_breaks_ties_low(spark):
+    """Mechanism pins for curation.decontaminate_semantic: (a) the
+    train side NEVER shuffles and never joins — the eval matrix rides
+    a broadcast variable into one mapInPandas scan, so the plan
+    contains no join and no Exchange at all; (b) duplicate
+    equal-similarity eval vectors resolve best_eval_id to the SMALLER
+    id; (c) hits below threshold drop, and hit counting is per eval
+    row, not per distinct similarity; (d) zero-norm vectors never
+    hit (NULL-cosine contract)."""
+    from nyc_opendata_etl_spark.operators.curation import decontaminate_semantic
+
+    schema = "vec_id long, embedding array<float>"
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8]), (4, [0.0, 0.0])],
+        schema,
+    )
+    ev = spark.createDataFrame(
+        [(20, [1.0, 0.0]), (10, [1.0, 0.0]), (30, [0.0, 1.0]), (40, [0.0, 0.0])],
+        schema,
+    )
+    out = decontaminate_semantic(train, ev, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    got = {r.vec_id: (r.n_eval_hits, r.max_cosine, r.best_eval_id) for r in out.collect()}
+    # train 1 ≡ eval 10/20 (sim 1.0 twice): two hits, tie → smaller id
+    assert got[1] == (2, 1.0, 10)
+    # train 2 ≡ eval 30 only (sim to 10/20 is 0.0 < threshold)
+    assert got[2] == (1, 1.0, 30)
+    # train 3: sim 0.6 to 10/20, 0.8 to 30 — all ≥ 0.5, best is 30
+    assert got[3] == (3, 0.8, 30)
+    # train 4 is zero-norm: no row, despite the zero-norm eval 40
+    assert 4 not in got and len(got) == 3
