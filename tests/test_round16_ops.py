@@ -317,6 +317,13 @@ def test_knn_join_is_cell_pruned_and_self_free(spark):
         emb.repartition(7), q.repartition(3), n_centroids=64, n_probe=2, k=5
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the declarative expr kernel and the cogrouped-GEMM kernel are
+    # the SAME operator — identical rows, including 6-dp rounding and
+    # the smaller-id tie-break
+    expr = knn_join(
+        emb, q, n_centroids=64, n_probe=2, k=5, kernel="expr"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expr))
 
 
 def test_decontaminate_semantic_broadcasts_eval_and_breaks_ties_low(spark):
