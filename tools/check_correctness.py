@@ -56,6 +56,11 @@ def main() -> int:
     qs = queries()
     oracles = oracle_sql()
     failures = []
+    # a typo'd name in a recheck list must not report a clean gate
+    unknown = sorted(only - set(qs))
+    for name in unknown:
+        print(f"FAIL {name}: not a registered query")
+        failures.append(name)
     for name, fn in qs.items():
         if only and name not in only:
             continue
