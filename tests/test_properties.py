@@ -423,3 +423,72 @@ def test_asof_merge_matches_pure_python_reference(spark, lrows, rrows):
         }
         want = _ref_asof(lrows, right_rows, direction)
         assert [got[i] for i in range(len(lrows))] == want, direction
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False, width=32
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(VEC, min_size=1, max_size=12),
+    st.lists(VEC, min_size=1, max_size=6),
+    st.floats(min_value=-0.5, max_value=1.0, allow_nan=False),
+)
+def test_decontaminate_semantic_matches_fold_reference(spark, tvecs, evecs, thr):
+    """Determinism-law pin for the GEMM decontamination kernel: on
+    arbitrary float32 vectors (including zero-norm rows and duplicate
+    eval vectors — hypothesis shrinks toward both) the mapInPandas
+    unit-GEMM verdicts equal a pure-Python sequential-fold cosine
+    reference computed the way the DuckDB oracle folds it, after the
+    6-dp round. Any thr sign is legal — zero-norm pairs must never hit
+    even when thr <= 0."""
+    import math
+
+    from nyc_opendata_etl_spark.operators.curation import decontaminate_semantic
+
+    schema = "vec_id long, embedding array<float>"
+    train = spark.createDataFrame(list(enumerate(tvecs)), schema)
+    ev = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(evecs)], schema
+    )
+    got = {
+        r.vec_id: (r.n_eval_hits, r.max_cosine, r.best_eval_id)
+        for r in decontaminate_semantic(train, ev, threshold=thr).collect()
+    }
+
+    def fold_cos(a, b):
+        # float32 ingestion then the oracle's sequential float64 fold
+        import numpy as np
+
+        a = [float(np.float32(x)) for x in a]
+        b = [float(np.float32(x)) for x in b]
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        if na * nb == 0.0:
+            return None
+        return round(dot / (na * nb), 6)
+
+    want = {}
+    for ti, tv in enumerate(tvecs):
+        hits = []
+        for ei, evv in enumerate(evecs):
+            simv = fold_cos(tv, evv)
+            if simv is not None and simv >= thr:
+                hits.append((simv, 100 + ei))
+        if hits:
+            best = max(hits, key=lambda h: (h[0], -h[1]))
+            want[ti] = (len(hits), best[0], best[1])
+    assert set(got) == set(want)
+    for ti, (n, mx, bid) in want.items():
+        gn, gmx, gbid = got[ti]
+        assert gn == n and gbid == bid, (ti, got[ti], want[ti])
+        assert math.isclose(gmx, mx, rel_tol=0, abs_tol=1.5e-6), (ti, gmx, mx)
