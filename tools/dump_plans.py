@@ -149,13 +149,27 @@ SHOWCASE = {
     "q2_min_cost_supplier": (
         "TPC-H Q2 over the derived partsupp: the correlated min-cost "
         "subquery runs as a min window sharing ONE ps_partkey exchange "
-        "with the filter; part/supplier/nation/region all broadcast; "
-        "the ordered LIMIT is TakeOrderedAndProject."
+        "with the filter; since r16 only fixed-cardinality "
+        "nation/region keep broadcast hints - the SF-scaling part and "
+        "europe-supplier sides are unhinted, broadcast here by "
+        "STATISTICS (and by AQE at runtime) while small, degrading to "
+        "hash joins at SF100 instead of an OOM; the ordered LIMIT is "
+        "TakeOrderedAndProject."
     ),
     "q9_product_profit": (
         "TPC-H Q9: six relations, one fact-fact shuffle (lineitem x "
-        "orders) - the name-filtered part, derived partsupp, supplier "
-        "and nation sides all broadcast into the lineitem scan stage."
+        "orders). The name-filtered part, derived partsupp and "
+        "supplier sides are UNHINTED since r16 (statistics/AQE decide "
+        "- they scale with SF); only the 25-row nation keeps its "
+        "hint."
+    ),
+    "scd2_point_in_time": (
+        "SCD2 point-in-time lookup: the versioned dim is built from "
+        "the FULL customer table (versions scale with customer count), "
+        "so since r16 the probe join carries NO broadcast hint - the "
+        "equi hash join on custkey keeps the validity-interval "
+        "residual as a post-join filter, and AQE broadcasts only "
+        "while the dim is genuinely small."
     ),
     "sketch_kll_quantiles": (
         "Mergeable quantile state: per-batch KLL sketches partial-"
