@@ -493,6 +493,75 @@ def knn_join(
     )
 
 
+def knn_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exclude_self: bool = True,
+    kernel: str = "gemm",
+) -> DataFrame:
+    """k-NN label transfer: every query vector is classified by the
+    MAJORITY LABEL of its :func:`knn_join` neighbors — the standard
+    quality-classifier bootstrap of LLM data pipelines (label a small
+    seed set by hand, propagate to the corpus by embedding
+    neighborhood, train the cheap classifier on the propagated
+    labels). Built AS the composition it is: the k-NN join produces
+    (query_id, neighbor, sim, rk); neighbors equi-join their labels
+    back from the corpus (a bounded Q·k-row side — AQE broadcasts it
+    against the corpus scan); two hash aggregates vote. No new
+    distributed machinery — the scale properties are knn_join's.
+
+    NULL-label neighbors (unlabeled corpus rows in a partially
+    labeled corpus) are excluded from voting AND from
+    ``n_neighbors``, so confidence = votes/n_neighbors reads over
+    labeled evidence only.
+
+    Ties: the winning (votes, label) pair maximizes votes and breaks
+    to the SMALLER label — deterministic on both engines.
+
+    Returns (query_id, pred_label, votes, n_neighbors).
+    """
+    nn = knn_join(
+        corpus,
+        queries,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+        kernel=kernel,
+    )
+    labels = corpus.select(
+        F.col(id_col), F.col(label_col).alias("__lbl__")
+    ).filter(F.col(label_col).isNotNull())
+    votes = (
+        nn.join(labels, id_col)
+        .groupBy("query_id", "__lbl__")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("votes"), (-F.col("__lbl__")).alias("__neg__"))
+            ).alias("__best__"),
+            F.sum("votes").alias("n_neighbors"),
+        )
+        .select(
+            "query_id",
+            (-F.col("__best__.__neg__")).cast("int").alias("pred_label"),
+            F.col("__best__.votes").alias("votes"),
+            "n_neighbors",
+        )
+    )
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     hyperplanes: list[list[float]],

@@ -141,11 +141,12 @@ _KNN_COS_QC = _cos_sql("q.qvec", "c.cvec")
 _KNN_COS_AQ = _cos_sql("a.v", "p.qvec")
 
 
-@_pending(
-    "similarity_knn_join",
-    # the oracle replays the full batched protocol: one shared corpus
-    # assignment, per-query probe selection, cell-restricted re-rank
-    oracle=f"""
+# The WITH-chain of the batched k-NN protocol (assignment, probe
+# selection, cell-restricted scoring, per-query ranking), shared
+# VERBATIM by similarity_knn_join's oracle and pending_r18's
+# corpus_knn_label oracle — a protocol tweak can never desynchronize
+# the two (the similarity_ivfpq_retrain shared-oracle discipline).
+KNN_RANKED_CTE = f"""
     WITH c AS (
         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
         FROM embeddings WHERE vec_id < 64
@@ -183,13 +184,22 @@ _KNN_COS_AQ = _cos_sql("a.v", "p.qvec")
                round({_KNN_COS_AQ}, 6) AS cosine_sim
         FROM probes p JOIN assigned a USING (cid)
         WHERE p.query_id <> a.vec_id
-    )
-    SELECT query_id, vec_id, cosine_sim, CAST(rk AS INT) AS rk
-    FROM (
+    ),
+    ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine_sim DESC, vec_id) AS rk
         FROM cand
-    ) WHERE rk <= 5
+    )"""
+
+
+@_pending(
+    "similarity_knn_join",
+    # the oracle replays the full batched protocol: one shared corpus
+    # assignment, per-query probe selection, cell-restricted re-rank
+    oracle=KNN_RANKED_CTE
+    + """
+    SELECT query_id, vec_id, cosine_sim, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
     """,
 )
 def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -358,3 +358,85 @@ def test_decontaminate_semantic_broadcasts_eval_and_breaks_ties_low(spark):
     assert got[3] == (3, 0.8, 30)
     # train 4 is zero-norm: no row, despite the zero-norm eval 40
     assert 4 not in got and len(got) == 3
+
+
+def test_pending_r18_passes_the_driver_compare(spark):
+    """The staged round-18 registrations (queries/pending_r18.py —
+    built in r16 after pending_r17 filled round 17's flip budget)
+    must already pass the EXACT driver compare at sf0.01, and must
+    not be registered."""
+    import duckdb
+
+    from nyc_opendata_etl_spark.queries import REGISTRY, _load_all
+    from nyc_opendata_etl_spark.queries.pending_r18 import PENDING
+
+    assert set(PENDING) == {"corpus_knn_label"}
+    _load_all()
+    assert not set(PENDING) & set(REGISTRY)
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    from tests.test_round12b_ops import _canon_rows
+
+    for name, (fn, oracle) in PENDING.items():
+        sdf = fn(spark, sf)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows), name
+        assert sorted(sdf.columns) == sorted(duck_cols), name
+        assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+            duck_cols, duck_rows
+        ), name
+
+
+def test_knn_label_votes_labeled_neighbors_with_low_tie(spark):
+    """knn_label mechanism pins on a constructed corpus: (a) votes
+    count LABELED neighbors only and n_neighbors excludes NULL-label
+    rows; (b) a vote tie resolves pred_label to the SMALLER label;
+    (c) the composition agrees with hand-computed majority on a
+    separable corpus."""
+    from nyc_opendata_etl_spark.operators.similarity import knn_label
+
+    schema = "vec_id long, embedding array<float>, label int"
+    # two clean clusters on orthogonal axes; centroids = ids 0,1
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.0, 1.0], 9),
+        (2, [0.9, 0.1], 7),
+        (3, [0.8, 0.2], 5),          # minority label in cluster A
+        (4, [0.95, 0.05], None),     # unlabeled — must not vote
+        (5, [0.1, 0.9], 9),
+        (6, [0.2, 0.8], 9),
+        (100, [0.85, 0.15], None),   # query: lands in cluster A
+        (101, [0.15, 0.85], None),   # query: lands in cluster B
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.filter(F.col("vec_id") >= 100)
+    out = {
+        r.query_id: (r.pred_label, r.votes, r.n_neighbors)
+        for r in knn_label(
+            emb, q, n_centroids=2, n_probe=1, k=4, exclude_self=True
+        ).collect()
+    }
+    # query 100 probes cluster A: neighbors 0,2,3,4 (4 is unlabeled)
+    # → labels {7:2, 5:1}: pred 7, votes 2, n_neighbors 3
+    assert out[100] == (7, 2, 3)
+    # query 101 probes cluster B: neighbors 1,5,6 → 9 unanimous
+    assert out[101] == (9, 3, 3)
+
+    # tie case: drop doc 2 so cluster A votes {7:1, 5:1} → smaller label 5
+    emb2 = spark.createDataFrame([r for r in rows if r[0] != 2], schema)
+    out2 = {
+        r.query_id: (r.pred_label, r.votes, r.n_neighbors)
+        for r in knn_label(
+            emb2, emb2.filter(F.col("vec_id") == 100),
+            n_centroids=2, n_probe=1, k=4, exclude_self=True,
+        ).collect()
+    }
+    assert out2[100] == (5, 1, 2)
