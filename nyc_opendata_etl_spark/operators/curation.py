@@ -172,6 +172,7 @@ def decontaminate_semantic(
                 if zr.any():
                     sims[zr, :] = -np.inf
                 np.round(sims, 6, out=sims)
+                sims += 0.0  # fold -0.0 to +0.0 (Spark round() parity)
                 hits = sims >= thr
                 n_hits = hits.sum(axis=1)
                 keep = n_hits > 0

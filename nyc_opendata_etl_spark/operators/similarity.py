@@ -455,6 +455,7 @@ def knn_join(
             am /= np.sqrt((am * am).sum(axis=1))[:, None]
             sims = qm @ am.T
             np.round(sims, 6, out=sims)
+            sims += 0.0  # fold -0.0 to +0.0 (Spark round() parity)
             outs = []
             for i in range(len(q_ids)):
                 row = sims[i]

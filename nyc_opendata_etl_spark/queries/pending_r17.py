@@ -181,7 +181,10 @@ KNN_RANKED_CTE = f"""
     ),
     cand AS (
         SELECT p.query_id, a.vec_id,
-               round({_KNN_COS_AQ}, 6) AS cosine_sim
+               -- "+ 0" folds a possible -0.0 to +0.0: Spark's round()
+               -- (BigDecimal) never emits -0.0, DuckDB's and numpy's
+               -- keep it, and the driver compare distinguishes reprs
+               round({_KNN_COS_AQ}, 6) + 0 AS cosine_sim
         FROM probes p JOIN assigned a USING (cid)
         WHERE p.query_id <> a.vec_id
     ),
@@ -236,7 +239,7 @@ _DSEM_COS = _cos_sql("t.embedding", "ev.embedding")
     WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
     ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
     hit AS (
-        SELECT t.vec_id, ev.eval_id, round({_DSEM_COS}, 6) AS sim
+        SELECT t.vec_id, ev.eval_id, round({_DSEM_COS}, 6) + 0 AS sim
         FROM t CROSS JOIN ev
         WHERE round({_DSEM_COS}, 6) >= 0.3
     )

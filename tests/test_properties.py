@@ -492,3 +492,32 @@ def test_decontaminate_semantic_matches_fold_reference(spark, tvecs, evecs, thr)
         gn, gmx, gbid = got[ti]
         assert gn == n and gbid == bid, (ti, got[ti], want[ti])
         assert math.isclose(gmx, mx, rel_tol=0, abs_tol=1.5e-6), (ti, gmx, mx)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(VEC, min_size=2, max_size=14),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=4),
+)
+def test_knn_join_kernels_agree_on_arbitrary_vectors(spark, vecs, n_probe, k):
+    """Determinism-law pin for the two knn_join scoring kernels: on
+    arbitrary float32 corpora — hypothesis shrinks toward duplicate
+    vectors (equal rounded sims → id tie-breaks), zero vectors
+    (NULL-cosine drops), and axis-aligned ties — the cogrouped
+    unit-GEMM kernel and the declarative expression kernel return the
+    IDENTICAL row set for every (n_probe, k)."""
+    from nyc_opendata_etl_spark.operators.similarity import knn_join
+
+    schema = "vec_id long, embedding array<float>"
+    emb = spark.createDataFrame(list(enumerate(vecs)), schema)
+    q = emb.filter(F.col("vec_id") % 3 == 1)
+    if q.count() == 0:
+        return
+    a = knn_join(
+        emb, q, n_centroids=2, n_probe=n_probe, k=k, kernel="gemm"
+    ).collect()
+    b = knn_join(
+        emb, q, n_centroids=2, n_probe=n_probe, k=k, kernel="expr"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
