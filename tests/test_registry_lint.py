@@ -94,3 +94,36 @@ def test_recheck_and_verified_names_exist():
         assert not missing, f"{attr} names not in registry: {missing}"
     stale = [n for n in q._LAST_VERIFIED if n not in q.REGISTRY]
     assert not stale, f"_LAST_VERIFIED names not in registry: {stale}"
+
+
+def test_oracle_outputs_never_emit_negative_zero():
+    """Signed-zero cross-engine law (r16, NOTES item 20): Spark's
+    round() (BigDecimal) can never emit -0.0, DuckDB's round() and
+    np.round keep it, and the repr-based value compare distinguishes
+    them — so an oracle cell of -0.0 is a latent hash mismatch. The
+    registered surface is deterministically safe on the fixed testdata
+    (this test IS that proof, re-run every suite); pending kernels and
+    oracles normalize with `+ 0` / `sims += 0.0`. A failure here means
+    a new oracle (or new testdata) crossed the law — normalize its
+    rounding the pending_r17 way, don't relax the pin."""
+    import math
+
+    from nyc_opendata_etl_spark.queries.pending_r17 import PENDING as P17
+    from nyc_opendata_etl_spark.queries.pending_r18 import PENDING as P18
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracles = {n: qd.oracle for n, qd in _ordered().items() if qd.oracle}
+    oracles.update({n: o for n, (_, o) in P17.items()})
+    oracles.update({n: o for n, (_, o) in P18.items()})
+    offenders = []
+    for name, sql in oracles.items():
+        for row in con.execute(sql).fetchall():
+            if any(
+                isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+                for v in row
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"oracles emitting -0.0 cells: {offenders}"
