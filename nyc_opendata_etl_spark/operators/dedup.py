@@ -19,7 +19,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.functions.hashing import md5_long
@@ -453,6 +453,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     exponentially across iterations (the standard Spark idiom for
     iterative algorithms). The driver-side loop carries only the
     convergence bit, never data.
+
+    Round 1 is FUSED: the initial labeling is the identity map, so the
+    first propagation join degenerates to the edge list itself and the
+    whole round is one aggregate over edges — min(dst) per src, least'd
+    with src — with no join and no separate node-set job. For the
+    dominant near-dup shape (cliques: every member directly adjacent to
+    the min) the loop then needs exactly ONE join round to confirm the
+    fixpoint, versus four join rounds in the unfused two-per-batch form.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
@@ -460,8 +468,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("id"), F.col("src").alias("label")
+    # fused round 1 (identity labels make the propagation join trivial);
+    # every node appears as src in the bidirectional edge set, so this
+    # also covers the initial node enumeration
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("id"), F.least("src", "mn").alias("label"))
+        .localCheckpoint()
     )
 
     def one_round(lbl: DataFrame) -> DataFrame:
@@ -470,17 +484,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         return lbl.union(prop).groupBy("id").agg(F.min("label").alias("label"))
 
-    # two propagation rounds per materialization + convergence check:
-    # near-dup components are shallow (mostly cliques), so most runs
-    # finish in one batch and the check/checkpoint job count halves
-    # versus per-round checking. The extra round on an already-converged
-    # labeling is a no-op (min of equals), so correctness is unaffected.
-    #
-    # Convergence is detected by comparing sum(label) across batches:
+    # Convergence is detected by comparing sum(label) across rounds:
     # every label is monotonically non-increasing (min over self +
-    # neighbors), so an unchanged total proves no label moved — one
-    # cheap hash aggregate per batch instead of a self-join. DECIMAL(38)
-    # keeps the sum exact for arbitrary 64-bit ids at any row count.
+    # neighbors), so an unchanged total proves no label moved — the
+    # round map is deterministic, so one unchanged round is a fixpoint.
+    # One cheap hash aggregate per round instead of a self-join.
+    # DECIMAL(38) keeps the sum exact for arbitrary 64-bit ids at any
+    # row count.
     def label_sum(lbl: DataFrame):
         return lbl.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -488,8 +498,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     prev_sum = label_sum(labels)
     changed = 1
-    for _ in range(0, max_iter, 2):
-        labels = one_round(one_round(labels)).localCheckpoint()
+    for _ in range(1, max_iter):
+        labels = one_round(labels).localCheckpoint()
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             changed = 0
@@ -520,8 +530,12 @@ def duplicate_clusters_logstar(pairs: DataFrame, max_iter: int = 12) -> DataFram
     neighbors over it) makes it unbounded at 100 TB; star contraction
     halves path lengths every alternation instead.
 
-    Per round, both phases are one shuffle aggregate + one
-    co-partitioned join over the current edge set:
+    Per round, each phase is ONE shuffle of the current edge set: the
+    per-center minimum m(u) is attached with a partition-wide window
+    ``min`` (all rows of a center land in one task either way — the
+    same layout the old groupBy+self-join needed, minus the join and
+    the second pass over the edges), then the re-attachment is a pure
+    projection:
 
     - large-star (center u): every STRICTLY LARGER neighbor v > u
       re-attaches to m(u) = min(Γ(u) ∪ {u});
@@ -557,29 +571,30 @@ def duplicate_clusters_logstar(pairs: DataFrame, max_iter: int = 12) -> DataFram
             ).alias("sh"),
         ).collect()[0]
 
+    w_center = Window.partitionBy("src")
+
     def large_star(ed: DataFrame) -> DataFrame:
         bidir = ed.union(
             ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        m = bidir.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
+        withm = bidir.withColumn(
+            "m", F.least(F.min("dst").over(w_center), F.col("src"))
         )
         return (
-            bidir.join(m, "src")
-            .filter(F.col("dst") > F.col("src"))
+            withm.filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
         # ed is big→small oriented: Γ⁻(u) = dsts of u's rows
-        m = ed.groupBy("src").agg(F.min("dst").alias("m"))
-        nbr_edges = (
-            ed.join(m, "src")
-            .filter(F.col("dst") != F.col("m"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        withm = ed.withColumn("m", F.min("dst").over(w_center))
+        nbr_edges = withm.filter(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
         )
-        center_edges = m.select(F.col("src"), F.col("m").alias("dst"))
+        # one (u, m(u)) row per center; duplicates collapse in the
+        # closing distinct shared with nbr_edges
+        center_edges = withm.select("src", F.col("m").alias("dst"))
         return nbr_edges.union(center_edges).distinct()
 
     prev = _sig(edges)

@@ -300,6 +300,27 @@ _RECHECK_R16: tuple[str, ...] = (
     # atomic compact pointer (ADVICE r15) — the batch updater's query
     # re-verifies.
     "dedup_clusters_incremental",
+    # r16: the five TPC-H queries whose forced broadcasts were dropped
+    # (VERDICT r15 item 1). Previously covered by r11-cohort position;
+    # made explicit because the optimization-round rechecks below would
+    # otherwise push them past the ~50-query window.
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotion_candidates",
+    # r16 optimization round: the connected-components kernels changed
+    # (fused first propagation round in duplicate_clusters; window-min
+    # star phases in duplicate_clusters_logstar) — every query that
+    # flows through a CC kernel re-verifies against its unchanged
+    # oracle. dedup_clusters_incremental and stream_cluster_ingest are
+    # already listed above.
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "corpus_e2e_curation",
+    "corpus_split_leakage_safe",
+    "dedup_keep_best",
+    "multimodal_image_clusters",
 )
 
 def _ordered() -> dict[str, QueryDef]:
