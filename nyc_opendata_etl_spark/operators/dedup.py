@@ -387,6 +387,12 @@ def ngram_jaccard_pairs(
     src = _canon_src(df, text_col, id_col, assume_canonical=assume_canonical)
     if collapse_exact:
         src = _collapse_to_reps(src)
+    # docs is referenced FOUR times below (both prefix-join sides + both
+    # verify sides); without materialization each reference re-ran the
+    # corpus scan, the canonicalization regexes and the collapse shuffle
+    # (4 parquet scans in the uncut plan). One localCheckpoint pins the
+    # compact (id, hashes) proxy — shingle HASHES, never text, so the
+    # materialized footprint is the metadata relation, not the corpus.
     docs = (
         src.select(
             "id",
@@ -399,6 +405,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
+        .localCheckpoint()
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
     pref = docs.select(
@@ -831,6 +838,10 @@ def containment_pairs(
     src = _canon_src(df, text_col, id_col)
     if collapse_exact:
         src = _collapse_to_reps(src)
+    # four references below (prefix, full-index, both verify sides) —
+    # materialize the compact hash proxy once instead of re-running the
+    # scan + canon regexes + collapse per reference (the
+    # ngram_jaccard_pairs rationale, same shape)
     docs = (
         src.select(
             "id",
@@ -843,6 +854,7 @@ def containment_pairs(
         )
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
+        .localCheckpoint()
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
     pref = docs.select("id", F.explode(F.slice(F.col("sh"), 1, prefix_len)).alias("ph"))
