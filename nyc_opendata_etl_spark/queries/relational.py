@@ -1804,9 +1804,15 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift determinism: both products are exact BIGINT multiplies, so the
     single double division agrees bit-for-bit across engines."""
     li = load_table(spark, sf_dir, "lineitem", spread_input=True)
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # the basket relation feeds four consumers (freq, tot, both pair
+    # sides); materialize the two-long proxy once instead of re-running
+    # the lineitem scan + distinct shuffle per consumer (the plan held
+    # four copies of the scan subtree before this)
+    b = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint()
+    )
     freq = b.groupBy("pk").agg(F.count("*").alias("c"))
     tot = b.agg(F.count_distinct("ok").alias("n"))
     b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
@@ -1890,19 +1896,33 @@ def q_market_basket_pairs_relative(spark: SparkSession, sf_dir: str) -> DataFram
     map-side, and the support filter still runs before the lift join so
     item frequencies broadcast onto surviving pairs only."""
     li = load_table(spark, sf_dir, "lineitem", spread_input=True)
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    sup = b.agg(F.count_distinct("ok").alias("n")).select(
-        "n",
-        F.greatest(
-            F.lit(3).cast("long"), F.expr("(n + 4999) div 5000")
-        ).alias("min_sup"),
+    # basket proxy feeds sup/freq/both pair sides; sup (1 row) and
+    # fitems (frequent vocabulary, scale-invariant by construction) are
+    # each consumed three times — materialize all three once instead of
+    # re-running the scan/distinct (b) or a full count_distinct over b
+    # (sup) per consumer (22 scan subtrees in the pre-change plan)
+    b = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sup = (
+        b.agg(F.count_distinct("ok").alias("n"))
+        .select(
+            "n",
+            F.greatest(
+                F.lit(3).cast("long"), F.expr("(n + 4999) div 5000")
+            ).alias("min_sup"),
+        )
+        .localCheckpoint()
     )
     freq = b.groupBy("pk").agg(F.count("*").alias("c"))
-    fitems = freq.crossJoin(F.broadcast(sup)).filter(
-        F.col("c") >= F.col("min_sup")
-    ).select("pk", "c")
+    fitems = (
+        freq.crossJoin(F.broadcast(sup))
+        .filter(F.col("c") >= F.col("min_sup"))
+        .select("pk", "c")
+        .localCheckpoint()
+    )
     fb = b.join(F.broadcast(fitems.select("pk")), "pk")
     fb2 = fb.select(F.col("ok"), F.col("pk").alias("pk2"))
     pairs = (
