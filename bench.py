@@ -255,6 +255,10 @@ def main() -> None:
                 "metric": "full_query_suite_wall_time",
                 "value": total,
                 "unit": "sec",
+                # inline per-query map per the driver contract; the
+                # richer record (steal/iowait context) stays in
+                # bench_queries.json / BENCH_DETAIL_r*.json.
+                "queries": timings,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "errors": errors,

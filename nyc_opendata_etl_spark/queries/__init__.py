@@ -321,6 +321,20 @@ _RECHECK_R16: tuple[str, ...] = (
     "corpus_split_leakage_safe",
     "dedup_keep_best",
     "multimodal_image_clusters",
+    # r16 optimization round: pair generators materialize the compact
+    # shingle-hash proxy once (ngram_jaccard_pairs/containment_pairs) —
+    # the direct pair queries re-verify (cluster consumers are above).
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # r16 optimization round: basket/support/vocabulary proxies
+    # materialized once per market-basket query.
+    "market_basket_pairs",
+    "market_basket_pairs_relative",
+    # r16 optimization round: corpus_perplexity_gate materializes the
+    # (doc_id, mean_logprob) proxy; sketch_countmin_freq materializes
+    # the exploded token relation.
+    "corpus_perplexity_gate",
+    "sketch_countmin_freq",
 )
 
 def _ordered() -> dict[str, QueryDef]:

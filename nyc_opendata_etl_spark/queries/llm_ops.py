@@ -2337,6 +2337,12 @@ def _bigram_mean_logprob(docs: DataFrame) -> DataFrame:
     determinism discipline (9-dp round → exact decimal fold)."""
     from nyc_opendata_etl_spark.operators.curation import shingles
 
+    # grams feeds two consumers (the model-count aggregate and the
+    # scoring join side); both shuffle on `bigram`, so AQE's runtime
+    # exchange reuse already dedups the repeated scan subtree — an A/B
+    # with a localCheckpoint proxy here measured NO warm win and a
+    # cold regression (the materialization barrier costs more than the
+    # reused exchange), so the relation stays lazy.
     grams = docs.select(
         "doc_id", F.explode(shingles("text", 2, distinct=False)).alias("bigram")
     )
@@ -2420,7 +2426,17 @@ def q_corpus_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At real scale the cuts would come from approx_percentile or a
     sample; the exact aggregate here keeps the full value oracle."""
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
-    scores = _bigram_mean_logprob(docs).select("doc_id", "mean_logprob")
+    # scores feeds BOTH the tertile-cut aggregate and the bucketed
+    # output — without materialization the ENTIRE bigram-LM pipeline
+    # (scan, canon, explode, model joins, per-doc fold) ran twice (56
+    # Exchange nodes in plans/r16/corpus_perplexity_gate_before.txt).
+    # The materialized footprint is the (doc_id, mean_logprob) metadata
+    # proxy — two values per doc, never text.
+    scores = (
+        _bigram_mean_logprob(docs)
+        .select("doc_id", "mean_logprob")
+        .localCheckpoint()
+    )
     cuts = scores.agg(
         F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("c1"),
         F.percentile("mean_logprob", F.lit(2.0 / 3)).alias("c2"),
@@ -3769,9 +3785,17 @@ def q_sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents", spread_input=True)
+    # toks feeds FOUR consumers (the two even/odd countmin batches, the
+    # exact probe counts, and the token total); without materialization
+    # each re-ran the corpus scan + lowercase + tokenize + explode
+    # (8 scan subtrees in plans/r16/sketch_countmin_freq_before.txt).
+    # One localCheckpoint pins the exploded (doc_id, term) relation so
+    # the corpus text is scanned and tokenized once; the
+    # merge(batch(even), batch(odd)) re-aggregation identity stays in
+    # the checked plan unchanged.
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
-    )
+    ).localCheckpoint()
     state = countmin_merge(
         countmin_batch(toks.filter(F.col("doc_id") % 2 == 0), "term", w=32),
         countmin_batch(toks.filter(F.col("doc_id") % 2 == 1), "term", w=32),
