@@ -60,8 +60,11 @@ def ann_ingest_batch(
     codebook = spark.read.parquet(f"{index_path}/codebook")
     # spread the file-source batch before the vector math (the
     # index_ingest lesson: input-bytes partitioning leaves a file
-    # 1-2 partitions wide on a 32-core box)
-    batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+    # 1-2 partitions wide on a 32-core box), size-adaptively so a
+    # small batch skips the raw shuffle
+    from nyc_opendata_etl_spark.streaming.ingest import spread_batch
+
+    batch_df = spread_batch(batch_df)
     assigned = similarity._ivf_assign(
         batch_df, p["n_centroids"], id_col, vec_col, cents=cents
     )

@@ -56,6 +56,45 @@ from pyspark.sql import functions as F
 COMPACTED_B = -1
 TAKEDOWN_B = -2
 
+#: Target input bytes per task for the pre-kernel batch spread: regex
+#: canonicalization/tokenization is CPU-bound, so tasks should be far
+#: smaller than the scan-bound 128 MB file-split default.
+_SPREAD_TARGET_BYTES = 8 << 20
+
+
+def spread_batch(batch_df: DataFrame) -> DataFrame:
+    """Spread a file-source micro-batch for CPU-bound text work,
+    SIZE-ADAPTIVELY: a file-source batch is partitioned by input bytes
+    (one ~monthly file → 1-2 partitions at the 128 MB default), which
+    left the regex+hash kernels running 2-wide on a 32-core box — but
+    the old unconditional ``repartition(defaultParallelism)`` was just
+    as wrong in the other direction, paying a full shuffle of the raw
+    text plus 32-task stages for a kilobyte-scale batch (and 32 would
+    be far too narrow on a large cluster). Width is derived from the
+    batch's input bytes at ~8 MB of text per task, never shrinking
+    below the source's own partitioning and capped at 4× session
+    parallelism; when the source already meets the target the shuffle
+    is skipped entirely."""
+    import math
+    import os
+
+    spark = batch_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        nbytes = 0
+        for p in batch_df.inputFiles():
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            nbytes += os.path.getsize(p)
+        width = min(
+            max(math.ceil(nbytes / _SPREAD_TARGET_BYTES), 1), 4 * par
+        )
+    except Exception:  # non-file source / no listing — old behavior
+        width = par
+    if width <= batch_df.rdd.getNumPartitions():
+        return batch_df
+    return batch_df.repartition(width)
+
 
 def _index_or_none(spark: SparkSession, index_path: str) -> DataFrame | None:
     """Read the fingerprint index, or None if it does not exist YET
@@ -91,18 +130,13 @@ def dedup_ingest_batch(
 
     spark = batch_df.sparkSession
     cols = batch_df.columns
-    # Spread the batch to session parallelism BEFORE the expensive
-    # canonicalization/hash expressions: a file-source micro-batch is
-    # partitioned by input bytes (one ~monthly file → 1-2 partitions at
-    # the default maxPartitionBytes), which left the regex+md5 collapse
-    # running 2-wide on a 32-core box. The round-robin shuffle moves
-    # the raw batch once; the collapse's partial aggregation (where the
-    # fingerprint evaluates) then runs at full width. With the
-    # checkpoint below, the two fixes took the 100× replica's 8-batch
-    # drain from 277 s → 24.6 s (identical output) — both found by the
-    # 100× sweep, not the unit tests: batch-size-dependent, invisible
-    # at test scale.
-    batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+    # Spread the batch BEFORE the expensive canonicalization/hash
+    # expressions (size-adaptive — see spread_batch). With the
+    # checkpoint below, the spread+checkpoint pair took the 100×
+    # replica's 8-batch drain from 277 s → 24.6 s (identical output) —
+    # both found by the 100× sweep, not the unit tests:
+    # batch-size-dependent, invisible at test scale.
+    batch_df = spread_batch(batch_df)
     keyed = batch_df.withColumn("__h__", fingerprint(text_col))
     # within-batch collapse: min-id row per canon (min_by is value-
     # deterministic on the id; the struct carries the full row through)
@@ -123,7 +157,11 @@ def dedup_ingest_batch(
     if idx is None:
         fresh = collapsed
     else:
-        probe_hashes = collapsed.select(F.col("__h__").alias("h")).distinct()
+        # collapsed is one row per __h__ by construction (the groupBy
+        # above), so the hash set needs no distinct — a .distinct()
+        # here added a two-stage aggregate before every batch's
+        # broadcast build.
+        probe_hashes = collapsed.select(F.col("__h__").alias("h"))
         live = (
             idx.filter(F.col("b") != batch_id)  # replay-safety exclusion
             .join(F.broadcast(probe_hashes), "h", "left_semi")
