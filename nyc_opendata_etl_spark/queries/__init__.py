@@ -335,6 +335,16 @@ _RECHECK_R16: tuple[str, ...] = (
     # the exploded token relation.
     "corpus_perplexity_gate",
     "sketch_countmin_freq",
+    # r16 optimization round: micro-batch pre-kernel spread became
+    # size-adaptive and the probe-hash distinct was dropped in
+    # dedup_ingest_batch (stream_ivfpq_ingest, whose batch kernel
+    # shares spread_batch, is already listed above).
+    "stream_dedup_ingest",
+    # r16 optimization round: bounded (threshold-banded) levenshtein
+    # kernels; fuzzy_name_match also spreads its probe side.
+    "fuzzy_name_match",
+    "linkage_fellegi_sunter",
+    "linkage_fs_collapsed",
 )
 
 def _ordered() -> dict[str, QueryDef]:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from nyc_opendata_etl_spark.queries import register
 from nyc_opendata_etl_spark.queries._sql import PY_WS_RE2, money_sum
-from nyc_opendata_etl_spark.sources.tables import load_table
+from nyc_opendata_etl_spark.sources.tables import load_table, spread
 
 
 _WS = "[" + PY_WS_RE2 + "]+"
@@ -872,11 +872,18 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs split across blocks are excluded by design (blocking trades
     recall for tractability; the oracle mirrors the same blocks)."""
     part = load_table(spark, sf_dir, "part")
-    a = part.alias("a")
+    # probe side spread: the CPU-bound levenshtein verify join streams
+    # the scan side of a broadcast join, so an under-split small input
+    # serializes the whole Σ|b|² kernel (1 task at bench scale); no-op
+    # once the scan yields >= parallelism splits
+    a = spread(part).alias("a")
     b = part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # bounded levenshtein: the threshold arg caps the DP band and
+    # early-exits, returning -1 past the bound — identical values for
+    # every surviving pair, so `!= -1` is exactly the oracle's `<= 5`
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 5)
     # lossless prune: edit distance >= |len(a)-len(b)|, so pairs whose
-    # lengths differ by more than the threshold never reach the O(mn)
+    # lengths differ by more than the threshold never reach the banded
     # levenshtein kernel
     return (
         a.join(
@@ -899,7 +906,10 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("key_b"),
             dist.cast("int").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 5)
+        # bounded levenshtein signals "past threshold" as -1, so the
+        # oracle's `dist <= 5` translates to `!= -1` (NOT `<= 5`,
+        # which would wrongly admit the -1 sentinel rows)
+        .filter(F.col("edit_dist") != -1)
     )
 
 
@@ -980,7 +990,9 @@ def _fs_collapsed_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.blk_tok") == F.col("b.blk_tok"))
         & (F.col("a.rep_key") < F.col("b.rep_key")),
     ).select(
-        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        # bounded levenshtein (threshold caps the DP band, -1 = past
+        # bound): `!= -1` is exactly the oracle's `dist <= 3`
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3) != -1)
         .cast("int")
         .alias("agree_name"),
         (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("agree_type"),
