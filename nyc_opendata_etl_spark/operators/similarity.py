@@ -1124,33 +1124,77 @@ def _ivf_assign(
 
     ``cents``: explicit (cid, cvec) centroid frame — iterating callers
     (k-means rounds) pass their current means; default is the
-    convention seeds (lowest-id vectors of ``emb``). ``keep_vec=True``
-    carries the vector through the aggregate inside the struct — it
-    never participates in the comparison (sim ties break on the UNIQUE
-    ncid before the vec field is reached), so no join-back is needed
-    where the caller wants (id, cid, vec)."""
+    convention seeds (lowest-id vectors of ``emb``).
+
+    Since the r16 optimization round the argmax is a pure EXPRESSION:
+    the centroid frame collapses to ONE broadcast row holding a
+    (cid, cvec) struct array, and each vector row computes
+    ``array_max`` over the per-centroid (sim, -cid) structs in-stage.
+    The previous form exploded N·C scored rows into a max(struct)
+    hash aggregate — the map-side partials buffered one struct per
+    vector (including the carried vector under ``keep_vec``) and the
+    final aggregation exchanged ~N rows per call; this form moves
+    ZERO rows (the assignment inherits the scan's partitioning) and
+    allocates no per-centroid rows at all. array_max uses the same
+    interpreted struct ordering as the max(struct) aggregate, so the
+    winner — highest sim, ties to the smaller cid via the negated
+    ncid field — is bit-identical. ``keep_vec=True`` just keeps the
+    vector column on the row (it was never compared: sim ties break
+    on the UNIQUE ncid before any later field)."""
     if cents is None:
         cents = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col(vec_col), F.col("cvec"))
+    # one bounded row: the full centroid set as a struct array (C is a
+    # model parameter — 8..4096 — never data-scale). Centroid norms
+    # ride in the array and the vector norm is computed ONCE per row
+    # (the __nv__ projection below): the higher-order array folds run
+    # interpreted, so the redundant per-centroid norm recomputation of
+    # the naive cosine() call was ~2/3 of the kernel's flops.
+    # sim = dot/(nv*cn guarded by nullif) keeps the exact float
+    # expression order of cosine(), so values are bit-identical.
+    carr = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid"),
+                F.col("cvec"),
+                norm2(F.col("cvec")).alias("cn"),
+            )
+        ).alias("__cs__")
     )
-    fields = [F.col("sim"), (-F.col("cid")).alias("ncid")]
-    if keep_vec:
-        fields.append(F.col(vec_col).alias("v"))
-    agg = scored.groupBy(id_col).agg(F.max(F.struct(*fields)).alias("b"))
     # A zero-norm vector has NULL cosine to EVERY centroid (the nullif
-    # guard), so max(struct) would degrade to the ncid tie-break and
-    # silently pile every garbage all-zeros vector onto the smallest
-    # cid — polluting that cell's k-means mean and semantic-neardup
-    # verify group (round-11 advisor). Drop NULL-best assignments
-    # instead; oracle twins replay the same IS NOT NULL filter.
-    agg = agg.filter(F.col("b.sim").isNotNull())
-    cols = [F.col(id_col).alias("id"), (-F.col("b.ncid")).alias("cid")]
+    # guard), so an unfiltered argmax would degrade to the ncid
+    # tie-break and silently pile every garbage all-zeros vector onto
+    # the smallest cid — polluting that cell's k-means mean and
+    # semantic-neardup verify group (round-11 advisor). NULL-sim
+    # entries are filtered before the argmax, and a vector whose every
+    # sim is NULL (empty filtered array → NULL best) is dropped;
+    # oracle twins replay the same IS NOT NULL filter.
+    best = F.array_max(
+        F.filter(
+            F.transform(
+                F.col("__cs__"),
+                lambda c: F.struct(
+                    (
+                        dot(F.col(vec_col), c["cvec"])
+                        / F.nullif(F.col("__nv__") * c["cn"], F.lit(0.0))
+                    ).alias("sim"),
+                    (-c["cid"]).alias("ncid"),
+                ),
+            ),
+            lambda s: s["sim"].isNotNull(),
+        )
+    )
+    cols = [F.col(id_col).alias("id"), (-F.col("__b__.ncid")).alias("cid")]
     if keep_vec:
-        cols.append(F.col("b.v").alias(vec_col))
-    return agg.select(*cols)
+        cols.append(F.col(vec_col))
+    return (
+        emb.crossJoin(F.broadcast(carr))
+        .withColumn("__nv__", norm2(F.col(vec_col)))
+        .withColumn("__b__", best)
+        .filter(F.col("__b__").isNotNull())
+        .select(*cols)
+    )
 
 
 def _salted_cid_repartition(df: DataFrame, n_centroids: int) -> DataFrame:

@@ -345,6 +345,16 @@ _RECHECK_R16: tuple[str, ...] = (
     "fuzzy_name_match",
     "linkage_fellegi_sunter",
     "linkage_fs_collapsed",
+    # r16 optimization round: _ivf_assign became a shuffle-free
+    # expression argmax over a one-row broadcast centroid array with
+    # precomputed norms — every query flowing through the centroid
+    # argmax re-verifies (the ivfpq trio + after_delete are above).
+    "embedding_kmeans_iterate",
+    "embedding_kmeans_update",
+    "dedup_semantic",
+    "similarity_ann_ivf",
+    "similarity_ann_recall",
+    "similarity_pq_encode",
 )
 
 def _ordered() -> dict[str, QueryDef]:
