@@ -943,31 +943,53 @@ def _snm_window_pairs(keyed: DataFrame, window: int, threshold: float) -> DataFr
     """Shared SNM comparison stage: per-block canonical sort, lead()
     neighbors up to ``window``, exact shingle-Jaccard ≥ ``threshold``.
     Expects columns (id, canon, sh, blk); each block sorts in its own
-    task (Window.partitionBy — never a global orderBy)."""
+    task (Window.partitionBy — never a global orderBy).
+
+    ONE window pass (r16 optimization): the per-slot branches of the
+    original formulation each re-ran the whole upstream pipeline —
+    the plan held ``window`` copies of collapse + block shuffle +
+    Sort + Window (3 Window nodes at window=3), because only
+    exchanges get runtime reuse, never the Window/Sort compute above
+    them. The slots now ride a single struct array per row and one
+    explode replaces the union: the corpus is collapsed, shuffled and
+    sorted exactly once. Per-slot rows (non-NULL neighbor, Jaccard
+    filter, least/greatest orientation) are unchanged, so the emitted
+    pair multiset is identical."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("blk").orderBy("canon", "id")
+    # window expressions must sit at the top level of a projection, so
+    # the leads land as flat columns first; the array pack + explode
+    # is a second projection over the SINGLE window pass
     neighbors = keyed.select(
         "id",
         "sh",
         *[F.lead("id", i).over(w).alias(f"nid_{i}") for i in range(1, window + 1)],
         *[F.lead("sh", i).over(w).alias(f"nsh_{i}") for i in range(1, window + 1)],
     )
-    pairs = None
-    for i in range(1, window + 1):
-        inter = F.size(F.array_intersect("sh", f"nsh_{i}"))
-        union = F.size("sh") + F.size(f"nsh_{i}") - inter
-        p = (
-            neighbors.filter(F.col(f"nid_{i}").isNotNull())
-            .select(
-                F.least("id", f"nid_{i}").alias("id_a"),
-                F.greatest("id", f"nid_{i}").alias("id_b"),
-                F.round(inter / union.cast("double"), 6).alias("jaccard"),
+    slots = F.array(
+        *[
+            F.struct(
+                F.col(f"nid_{i}").alias("nid"), F.col(f"nsh_{i}").alias("nsh")
             )
-            .filter(F.col("jaccard") >= threshold)
+            for i in range(1, window + 1)
+        ]
+    )
+    nb = neighbors.select(
+        "id",
+        "sh",
+        F.explode(F.filter(slots, lambda s: s["nid"].isNotNull())).alias("s"),
+    )
+    inter = F.size(F.array_intersect("sh", F.col("s.nsh")))
+    union = F.size("sh") + F.size(F.col("s.nsh")) - inter
+    return (
+        nb.select(
+            F.least("id", F.col("s.nid")).alias("id_a"),
+            F.greatest("id", F.col("s.nid")).alias("id_b"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 #: Separator between a prefix block key and its hash-salt suffix; never

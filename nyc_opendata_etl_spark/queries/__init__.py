@@ -355,6 +355,10 @@ _RECHECK_R16: tuple[str, ...] = (
     "similarity_ann_ivf",
     "similarity_ann_recall",
     "similarity_pq_encode",
+    # r16 optimization round: _snm_window_pairs became a single window
+    # pass (slot array + explode instead of per-slot union branches).
+    "dedup_sorted_neighborhood",
+    "dedup_snm_adaptive",
 )
 
 def _ordered() -> dict[str, QueryDef]:
