@@ -19,6 +19,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -393,6 +394,11 @@ def ngram_jaccard_pairs(
     # (4 parquet scans in the uncut plan). One localCheckpoint pins the
     # compact (id, hashes) proxy — shingle HASHES, never text, so the
     # materialized footprint is the metadata relation, not the corpus.
+    # DISK_ONLY: the proxy is still O(distinct docs) rows of hash
+    # arrays; default-level (deserialized in-memory) blocks pin unified
+    # memory and can starve execution at scale (observed on the
+    # market-basket proxy at the 100× replica) — serialized local-disk
+    # blocks cost one write+read and leave execution memory alone.
     docs = (
         src.select(
             "id",
@@ -405,7 +411,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
     pref = docs.select(
@@ -854,7 +860,9 @@ def containment_pairs(
         )
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
-        .localCheckpoint()
+        # DISK_ONLY: same O(docs)-of-hash-arrays proxy rationale as
+        # ngram_jaccard_pairs above — don't pin unified memory.
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
     pref = docs.select("id", F.explode(F.slice(F.col("sh"), 1, prefix_len)).alias("ph"))

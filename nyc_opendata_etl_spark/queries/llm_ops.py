@@ -6,6 +6,7 @@ full DuckDB oracles; genuinely approximate/structural ops are rows-only.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2432,10 +2433,13 @@ def q_corpus_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange nodes in plans/r16/corpus_perplexity_gate_before.txt).
     # The materialized footprint is the (doc_id, mean_logprob) metadata
     # proxy — two values per doc, never text.
+    # DISK_ONLY: O(docs) rows — keep the proxy off the unified-memory
+    # storage pool (the default level's deserialized blocks starved
+    # execution memory on the like-shaped market-basket proxy at 100×).
     scores = (
         _bigram_mean_logprob(docs)
         .select("doc_id", "mean_logprob")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     cuts = scores.agg(
         F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("c1"),
@@ -3793,9 +3797,12 @@ def q_sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus text is scanned and tokenized once; the
     # merge(batch(even), batch(odd)) re-aggregation identity stays in
     # the checked plan unchanged.
+    # DISK_ONLY: the exploded token stream is O(total tokens) — larger
+    # than the corpus metadata; keep it off the unified-memory storage
+    # pool (same starvation hazard as the market-basket proxy at 100×).
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     state = countmin_merge(
         countmin_batch(toks.filter(F.col("doc_id") % 2 == 0), "term", w=32),
         countmin_batch(toks.filter(F.col("doc_id") % 2 == 1), "term", w=32),

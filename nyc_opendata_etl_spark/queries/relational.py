@@ -1819,11 +1819,18 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the basket relation feeds four consumers (freq, tot, both pair
     # sides); materialize the two-long proxy once instead of re-running
     # the lineitem scan + distinct shuffle per consumer (the plan held
-    # four copies of the scan subtree before this)
+    # four copies of the scan subtree before this). DISK_ONLY: the
+    # proxy is O(distinct basket rows) — the default MEMORY_AND_DISK
+    # deserialized blocks pinned enough unified memory at the 100×
+    # replica to starve execution (UNABLE_TO_ACQUIRE_MEMORY); spilling
+    # the serialized proxy to local disk costs one write+read, same
+    # order as the shuffle that produced it.
+    from pyspark import StorageLevel
+
     b = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     freq = b.groupBy("pk").agg(F.count("*").alias("c"))
     tot = b.agg(F.count_distinct("ok").alias("n"))
@@ -1912,11 +1919,16 @@ def q_market_basket_pairs_relative(spark: SparkSession, sf_dir: str) -> DataFram
     # fitems (frequent vocabulary, scale-invariant by construction) are
     # each consumed three times — materialize all three once instead of
     # re-running the scan/distinct (b) or a full count_distinct over b
-    # (sup) per consumer (22 scan subtrees in the pre-change plan)
+    # (sup) per consumer (22 scan subtrees in the pre-change plan).
+    # b is the one O(n) proxy — DISK_ONLY, same rationale as
+    # market_basket_pairs (default-level blocks starved execution
+    # memory at the 100× replica).
+    from pyspark import StorageLevel
+
     b = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     sup = (
         b.agg(F.count_distinct("ok").alias("n"))
