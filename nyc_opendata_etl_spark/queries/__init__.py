@@ -50,18 +50,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # recorded a full rows+schema+hash pass. Regenerate with
 # ``python tools/registry_rotation.py`` at the start of each round.
 _LAST_VERIFIED: dict[str, int] = {
-    "ampm_parse_time": 11,
-    "bool_flag": 11,
-    "filter_window_yesterday": 11,
-    "join_inner_agg": 11,
-    "linkage_fs_collapsed": 11,
-    "dedup_exact": 11,
-    "dedup_minhash_lsh": 11,
-    "dedup_simhash": 11,
-    "similarity_cosine_topk": 11,
-    "similarity_ann_lsh": 11,
-    "text_token_stats": 11,
-    "text_lang_id": 11,
     "dedup_embedding_cosine": 11,
     "corpus_curation": 11,
     "dedup_incremental": 11,
@@ -69,8 +57,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "corpus_decontaminate": 11,
     "corpus_pack_bins": 11,
     "corpus_curriculum_order": 11,
-    "corpus_perplexity_gate": 11,
-    "similarity_pq_encode": 11,
     "search_bm25": 11,
     "search_bm25_incremental": 11,
     "search_hybrid_rrf": 11,
@@ -83,11 +69,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_anomaly_bands": 11,
     "scd1_merge": 11,
     "q12_latency_priority": 11,
-    "q2_min_cost_supplier": 11,
-    "q9_product_profit": 11,
-    "q11_important_stock": 11,
-    "q16_supplier_part_counts": 11,
-    "q20_promotion_candidates": 11,
     "join_semi": 12,
     "join_anti": 12,
     "join_full_outer": 12,
@@ -101,7 +82,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "window_range_frame": 12,
     "window_distribution": 12,
     "agg_stats": 12,
-    "fuzzy_name_match": 12,
     "graph_triangles": 12,
     "join_null_safe": 12,
     "agg_mode_median": 12,
@@ -112,19 +92,9 @@ _LAST_VERIFIED: dict[str, int] = {
     "corpus_host_gate": 12,
     "dedup_fingerprint": 12,
     "dedup_incremental_minhash": 12,
-    "similarity_ann_ivf": 12,
-    "dedup_clusters": 12,
-    "dedup_clusters_logstar": 12,
-    "corpus_e2e_curation": 12,
     "corpus_pack_bins_tokenized": 12,
     "corpus_tokenize_ids": 12,
     "corpus_chunk_docs": 12,
-    "embedding_kmeans_update": 12,
-    "similarity_ann_recall": 12,
-    "embedding_kmeans_iterate": 12,
-    "dedup_semantic": 12,
-    "similarity_ivfpq_topk": 12,
-    "similarity_ivfpq_incremental": 12,
     "search_bm25_after_delete": 12,
     "corpus_mix_realize": 12,
     "stats_chi2_contingency": 12,
@@ -133,7 +103,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_resample_ohlc": 12,
     "profile_key_skew": 12,
     "events_pattern_match": 12,
-    "pipeline_integrated_fact": 12,
     "multimodal_features": 12,
     "ingest_csv_documents": 13,
     "ingest_jsonl_documents": 13,
@@ -142,12 +111,10 @@ _LAST_VERIFIED: dict[str, int] = {
     "json_extract": 13,
     "json_agg_by_key": 13,
     "map_props_agg": 13,
-    "linkage_fellegi_sunter": 13,
     "unpivot_measures": 13,
     "profile_columns": 13,
     "array_hof_pipeline": 13,
     "join_interval_bucketed": 13,
-    "market_basket_pairs_relative": 13,
     "stats_equidepth_bins_approx": 13,
     "text_quality": 13,
     "text_tfidf_top": 13,
@@ -156,7 +123,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "text_pii_scan": 13,
     "text_unigram_logprob": 13,
     "corpus_sample_stratified": 13,
-    "sketch_countmin_freq": 13,
     "corpus_sample_priority": 13,
     "window_tumbling": 13,
     "window_session": 13,
@@ -167,12 +133,9 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_sessionize": 13,
     "rollup_incremental": 13,
     "rollup_hll_distinct": 13,
-    "pipeline_311_fact": 13,
-    "pipeline_parking_fact": 13,
     "scd2_merge": 13,
     "multimodal_metadata_agg": 13,
     "dedup_incremental_rc": 13,
-    "stream_dedup_ingest": 13,
     "stream_scd2_upserts": 13,
     "multimodal_audio_features": 13,
     "multimodal_video_frames": 13,
@@ -187,12 +150,10 @@ _LAST_VERIFIED: dict[str, int] = {
     "join_bloom_prefiltered": 14,
     "join_bloom_packed": 14,
     "text_rolling_hash": 14,
-    "corpus_split_leakage_safe": 14,
     "agg_distinct_twophase": 14,
     "text_repetition": 14,
     "text_ngram_topk": 14,
     "corpus_domain_mix": 14,
-    "dedup_keep_best": 14,
     "outlier_robust_z": 14,
     "text_boilerplate_ngrams": 14,
     "corpus_sample_weighted": 14,
@@ -206,7 +167,6 @@ _LAST_VERIFIED: dict[str, int] = {
     "events_attribution": 14,
     "cdc_apply_changelog": 14,
     "window_sliding_distinct": 14,
-    "scd2_point_in_time": 14,
     "multimodal_frame_sample": 14,
     "q4_order_priority": 14,
     "q6_forecast_revenue": 14,
@@ -249,121 +209,96 @@ _LAST_VERIFIED: dict[str, int] = {
     "agg_percentile_approx": 15,
     "join_asof_forward": 15,
     "join_asof_nearest": 15,
-    "market_basket_pairs": 15,
     "join_lateral_topn": 15,
     "json_variant_shred": 15,
     "sketch_theta_setops": 15,
     "sketch_bitmap_distinct": 15,
     "stats_weighted_quantiles": 15,
     "stats_weighted_quantiles_approx": 15,
-    "dedup_ngram_jaccard": 15,
     "text_length_histogram": 15,
     "corpus_pack_sequences": 15,
     "text_char_entropy": 15,
     "embedding_gramian": 15,
     "corpus_mix_temperature": 15,
     "search_rerank_crossenc": 15,
-    "dedup_containment": 15,
-    "dedup_sorted_neighborhood": 15,
-    "dedup_snm_adaptive": 15,
     "events_user_sequences": 15,
     "multimodal_image_neardup": 15,
-    "multimodal_image_clusters": 15,
-    "stream_ivfpq_ingest": 15,
-    "dedup_clusters_incremental": 15,
+    "ampm_parse_time": 16,
+    "bool_flag": 16,
+    "filter_window_yesterday": 16,
+    "join_inner_agg": 16,
+    "fuzzy_name_match": 16,
+    "linkage_fellegi_sunter": 16,
+    "linkage_fs_collapsed": 16,
+    "market_basket_pairs": 16,
+    "market_basket_pairs_relative": 16,
+    "dedup_exact": 16,
+    "dedup_ngram_jaccard": 16,
+    "dedup_minhash_lsh": 16,
+    "dedup_simhash": 16,
+    "similarity_cosine_topk": 16,
+    "similarity_ann_lsh": 16,
+    "text_token_stats": 16,
+    "text_lang_id": 16,
+    "similarity_ann_ivf": 16,
+    "dedup_clusters": 16,
+    "dedup_clusters_logstar": 16,
+    "corpus_split_leakage_safe": 16,
+    "corpus_e2e_curation": 16,
+    "dedup_keep_best": 16,
+    "embedding_kmeans_update": 16,
+    "corpus_perplexity_gate": 16,
+    "similarity_ann_recall": 16,
+    "embedding_kmeans_iterate": 16,
+    "dedup_semantic": 16,
+    "similarity_pq_encode": 16,
+    "similarity_ivfpq_topk": 16,
+    "similarity_ivfpq_incremental": 16,
+    "sketch_countmin_freq": 16,
+    "dedup_containment": 16,
+    "dedup_sorted_neighborhood": 16,
+    "dedup_snm_adaptive": 16,
+    "pipeline_311_fact": 16,
+    "pipeline_parking_fact": 16,
+    "pipeline_integrated_fact": 16,
+    "scd2_point_in_time": 16,
+    "multimodal_image_clusters": 16,
+    "q2_min_cost_supplier": 16,
+    "q9_product_profit": 16,
+    "q11_important_stock": 16,
+    "q16_supplier_part_counts": 16,
+    "q20_promotion_candidates": 16,
+    "stream_dedup_ingest": 16,
+    "stream_ivfpq_ingest": 16,
+    "dedup_clusters_incremental": 16,
+    "stream_cluster_ingest": 16,
+    "similarity_after_delete": 16,
 }
 
-# Queries that MUST carry a round-16 verdict regardless of history:
-# every query whose implementation changed THIS round. New round-16
-# registrations (the pending_r16 pair) join group 0 automatically as
-# never-checked. Slot arithmetic: 2 flips + 8 rechecks below + the
-# 38-query r11 cohort (which already contains the five TPC-H
-# derived-partsupp queries whose forced broadcasts were dropped this
-# round — their recheck is free) = 48 of 50; the last 2 slots
-# auto-fill with the stalest r12 greens.
-_RECHECK_R16: tuple[str, ...] = (
-    # r16: scd2_point_in_time lost its forced broadcast of the
-    # SF-scaling versioned dim (VERDICT r15 item 2).
-    "scd2_point_in_time",
-    # r16: build_star's raw-input caches became size-gated (VERDICT
-    # r15 item 4) — all three pipeline facts run through the gate.
-    "pipeline_311_fact",
-    "pipeline_parking_fact",
-    "pipeline_integrated_fact",
-    # r16: the IVF-PQ codes write gained the salted pre-write exchange
-    # (VERDICT r15 item 5) — every query reading a freshly staged
-    # index layout re-verifies against its unchanged oracle.
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_incremental",
-    "stream_ivfpq_ingest",
-    # r16: cluster_index gained the out-of-order batch guard and the
-    # atomic compact pointer (ADVICE r15) — the batch updater's query
-    # re-verifies.
-    "dedup_clusters_incremental",
-    # r16: the five TPC-H queries whose forced broadcasts were dropped
-    # (VERDICT r15 item 1). Previously covered by r11-cohort position;
-    # made explicit because the optimization-round rechecks below would
-    # otherwise push them past the ~50-query window.
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_promotion_candidates",
-    # r16 optimization round: the connected-components kernels changed
-    # (fused first propagation round in duplicate_clusters; window-min
-    # star phases in duplicate_clusters_logstar) — every query that
-    # flows through a CC kernel re-verifies against its unchanged
-    # oracle. dedup_clusters_incremental and stream_cluster_ingest are
-    # already listed above.
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "corpus_e2e_curation",
-    "corpus_split_leakage_safe",
-    "dedup_keep_best",
-    "multimodal_image_clusters",
-    # r16 optimization round: pair generators materialize the compact
-    # shingle-hash proxy once (ngram_jaccard_pairs/containment_pairs) —
-    # the direct pair queries re-verify (cluster consumers are above).
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # r16 optimization round: basket/support/vocabulary proxies
-    # materialized once per market-basket query.
-    "market_basket_pairs",
-    "market_basket_pairs_relative",
-    # r16 optimization round: corpus_perplexity_gate materializes the
-    # (doc_id, mean_logprob) proxy; sketch_countmin_freq materializes
-    # the exploded token relation.
-    "corpus_perplexity_gate",
-    "sketch_countmin_freq",
-    # r16 optimization round: micro-batch pre-kernel spread became
-    # size-adaptive and the probe-hash distinct was dropped in
-    # dedup_ingest_batch (stream_ivfpq_ingest, whose batch kernel
-    # shares spread_batch, is already listed above).
+# Queries that MUST carry a round-17 verdict regardless of history:
+# every query whose implementation changed THIS round (optimization
+# round 2/2 — kernels restructured for job-count/shuffle cost, results
+# identical by construction and re-proven by the differential gate).
+_RECHECK_R17: tuple[str, ...] = (
+    # r17: dedup_ingest_batch persists the `fresh` survivor relation
+    # across its two idempotent writes (the index-probe pipeline ran
+    # twice per micro-batch), and spread_batch's width rule became
+    # fill-then-grow AND actually engages inside foreachBatch (the r16
+    # inputFiles()-based byte probe read empty there — silent no-op).
     "stream_dedup_ingest",
-    # r16 optimization round: bounded (threshold-banded) levenshtein
-    # kernels; fuzzy_name_match also spreads its probe side.
-    "fuzzy_name_match",
-    "linkage_fellegi_sunter",
-    "linkage_fs_collapsed",
-    # r16 optimization round: _ivf_assign became a shuffle-free
-    # expression argmax over a one-row broadcast centroid array with
-    # precomputed norms — every query flowing through the centroid
-    # argmax re-verifies (the ivfpq trio + after_delete are above).
-    "embedding_kmeans_iterate",
-    "embedding_kmeans_update",
-    "dedup_semantic",
-    "similarity_ann_ivf",
-    "similarity_ann_recall",
-    "similarity_pq_encode",
-    # r16 optimization round: _snm_window_pairs became a single window
-    # pass (slot array + explode instead of per-slot union branches).
-    "dedup_sorted_neighborhood",
-    "dedup_snm_adaptive",
+    # r17: index_ingest_batch spreads size-adaptively (was fixed
+    # defaultParallelism) and hash-clusters the postings write (was
+    # repartitionByRange, whose sampling job re-ran the tokenize+join
+    # subtree every batch).
+    "stream_index_ingest",
+    # r17: ann_ingest_batch reads the stream-immutable quantizers once
+    # per drain instead of per batch; shares spread_batch's new rule.
+    "stream_ivfpq_ingest",
 )
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()
-    recheck = {n: i for i, n in enumerate(_RECHECK_R16)}
+    recheck = {n: i for i, n in enumerate(_RECHECK_R17)}
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def sort_key(name: str) -> tuple[int, int, int]:

@@ -59,12 +59,20 @@ def index_ingest_batch(
     Exposed at module level so tests drive replay semantics directly;
     the streaming wrapper passes it to ``foreachBatch``."""
     from nyc_opendata_etl_spark.operators.text import tokens
+    from nyc_opendata_etl_spark.streaming.ingest import spread_batch
 
-    spark = batch_df.sparkSession
     # spread the file-source batch before the expensive tokenize
     # (the dedup_ingest_batch lesson: input-bytes partitioning leaves
-    # a monthly file 1-2 partitions wide on a 32-core box)
-    batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+    # a monthly file 1-2 partitions wide on a 32-core box) —
+    # SIZE-ADAPTIVELY (r17): the old fixed
+    # repartition(defaultParallelism) shuffled every kilobyte-scale
+    # micro-batch into 32 partitions, inflating each downstream stage
+    # to 32 tasks (the profiled drain ran 1189 tasks where ~100 carry
+    # data); spread_batch's fill-then-grow rule keeps full width for
+    # the CPU-bound 100× batches (A/B: 26.4-27.7 s at full width vs
+    # 41.8-44.6 s starved at 2-14 wide) while kilobyte batches skip
+    # the shuffle entirely.
+    batch_df = spread_batch(batch_df)
     toks = batch_df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
@@ -82,8 +90,18 @@ def index_ingest_batch(
         F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
     ).localCheckpoint()
     postings = tf.join(dl, id_col)
+    # HASH-cluster the postings by term (r17, was repartitionByRange):
+    # a range exchange runs a separate SAMPLING job that re-executes
+    # the whole tokenize+aggregate+join subtree once per batch before
+    # the real shuffle does it again. Hash keeps the property the
+    # probe relies on — every term's postings land in exactly one
+    # file, and sortWithinPartitions keeps each file term-sorted so
+    # row-group min/max pruning still skips non-matching stripes; only
+    # whole-FILE footer pruning weakens (each file now spans the
+    # term alphabet), a bounded 4-footer read per batch partition at
+    # probe time vs. a full per-batch recompute at write time.
     (
-        postings.repartitionByRange(4, "term")
+        postings.repartition(4, "term")
         .sortWithinPartitions("term", id_col)
         .withColumn("b", F.lit(batch_id))
         .write.mode("overwrite")

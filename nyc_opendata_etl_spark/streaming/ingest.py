@@ -56,13 +56,21 @@ from pyspark.sql import functions as F
 COMPACTED_B = -1
 TAKEDOWN_B = -2
 
-#: Target input bytes per task for the pre-kernel batch spread: regex
-#: canonicalization/tokenization is CPU-bound, so tasks should be far
-#: smaller than the scan-bound 128 MB file-split default.
+#: Target input bytes per task for the pre-kernel batch spread ONCE the
+#: session's parallelism is filled: regex canonicalization/tokenization
+#: is CPU-bound, so tasks should be far smaller than the scan-bound
+#: 128 MB file-split default.
 _SPREAD_TARGET_BYTES = 8 << 20
 
+#: Smallest (compressed) input slice worth a task of its own: below
+#: this, task-scheduling overhead exceeds the kernel work, so tiny
+#: batches stay narrow instead of being shuffled across every core.
+_SPREAD_MIN_TASK_BYTES = 128 << 10
 
-def spread_batch(batch_df: DataFrame) -> DataFrame:
+
+def spread_batch(
+    batch_df: DataFrame, target_bytes: int = _SPREAD_TARGET_BYTES
+) -> DataFrame:
     """Spread a file-source micro-batch for CPU-bound text work,
     SIZE-ADAPTIVELY: a file-source batch is partitioned by input bytes
     (one ~monthly file → 1-2 partitions at the 128 MB default), which
@@ -70,26 +78,50 @@ def spread_batch(batch_df: DataFrame) -> DataFrame:
     the old unconditional ``repartition(defaultParallelism)`` was just
     as wrong in the other direction, paying a full shuffle of the raw
     text plus 32-task stages for a kilobyte-scale batch (and 32 would
-    be far too narrow on a large cluster). Width is derived from the
-    batch's input bytes at ~8 MB of text per task, never shrinking
-    below the source's own partitioning and capped at 4× session
-    parallelism; when the source already meets the target the shuffle
-    is skipped entirely."""
+    be far too narrow on a large cluster).
+
+    Two-regime width (r17 — replaces r16's pure bytes/8 MB rule after
+    the 100× A/B below): FILL the session's parallelism as soon as the
+    batch offers every core at least ``_SPREAD_MIN_TASK_BYTES`` of
+    compressed input — these kernels expand each compressed byte into
+    10-50× of regex/tokenize work, so per-byte targets tuned for scans
+    starve a CPU-bound stage (the bytes/8 MB rule left the 100× BM25
+    tokenize 2-wide: 41.8 s vs 26.4-27.7 s at full width) — and past
+    that floor grow by ``target_bytes`` per task, capped at 4× session
+    parallelism. Kilobyte-scale batches stay at the source's own width
+    and skip the shuffle entirely (the r16 win this rule keeps: at
+    sf0.1 the 2-file batch reads ~140 KB and is left untouched)."""
     import math
     import os
 
     spark = batch_df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
-        nbytes = 0
-        for p in batch_df.inputFiles():
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            nbytes += os.path.getsize(p)
-        width = min(
-            max(math.ceil(nbytes / _SPREAD_TARGET_BYTES), 1), 4 * par
+        # Batch size from the optimizer's own statistics — the ONLY
+        # byte source that works inside ``foreachBatch``: a micro-batch
+        # DataFrame reports inputFiles() as EMPTY (its scan is an
+        # internal batch relation, not a file index), which made r16's
+        # first spread rule (sum of inputFiles sizes, nbytes=0 → width
+        # 1) a silent no-op on every streaming kernel it was written
+        # for — found by the r17 job profile (the 100× tokenize drain
+        # still ran 2-wide). For a file-source batch sizeInBytes is
+        # exactly the batch files' on-disk bytes.
+        nbytes = int(
+            batch_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:  # non-file source / no listing — old behavior
+        if nbytes <= 0 or nbytes >= (1 << 62):  # unknown-stats sentinel
+            nbytes = 0
+            for p in batch_df.inputFiles():
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                nbytes += os.path.getsize(p)
+            if nbytes <= 0:
+                raise ValueError("no size statistics for batch")
+        fill = min(par, math.ceil(nbytes / _SPREAD_MIN_TASK_BYTES))
+        width = min(
+            max(math.ceil(nbytes / target_bytes), fill, 1), 4 * par
+        )
+    except Exception:  # no stats and no file listing — old behavior
         width = par
     if width <= batch_df.rdd.getNumPartitions():
         return batch_df
@@ -172,24 +204,37 @@ def dedup_ingest_batch(
         )
         fresh = collapsed.join(F.broadcast(live), "__h__", "left_anti")
     # both writes idempotent by batch partition (ordering between them
-    # then doesn't matter — a replay rewrites whichever half landed)
-    (
-        fresh.select(*cols)
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(out_path)
-    )
-    (
-        fresh.groupBy(F.col("__h__").alias("h"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .withColumn("b", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("b")
-        .parquet(index_path)
-    )
+    # then doesn't matter — a replay rewrites whichever half landed).
+    # persist: fresh has TWO consumers (corpus sink, index delta) and
+    # its lineage above the checkpointed `collapsed` is the whole index
+    # probe — scan, semi-join, refcount fold, two broadcast builds —
+    # which the second write re-ran in full every batch (r17 job
+    # profile: ~10 jobs/batch, about half of them the duplicated probe
+    # pipeline). The cache is bounded by the batch's distinct canons
+    # and dropped before the batch commits.
+    if fresh is not collapsed:
+        fresh = fresh.persist()
+    try:
+        (
+            fresh.select(*cols)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        (
+            fresh.groupBy(F.col("__h__").alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("b", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("b")
+            .parquet(index_path)
+        )
+    finally:
+        if fresh is not collapsed:
+            fresh.unpersist()
 
 
 def stream_dedup_ingest(
