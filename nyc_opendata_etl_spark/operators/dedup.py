@@ -694,13 +694,17 @@ def duplicate_clusters_collapsed(
         )
         .persist()
     )
-    grp.count()
     mem = (
         src.select("id", F.md5("__canon__").alias("__ch__"))
         .join(grp.select("__ch__", "rep", "g"), "__ch__")
         .select("id", "rep", "g")
         .persist()
     )
+    # ONE eager fill for BOTH caches (r17): mem's join reads grp's
+    # InMemoryRelation, so materializing mem read-through-fills grp —
+    # the previous separate grp.count() was a redundant pass (its own
+    # corpus canon scan + AQE stage jobs) before mem scanned the corpus
+    # again anyway.
     mem.count()
     rep_docs = grp.select(F.col("rep").alias("id"), "__canon__")
     rep_pairs = ngram_jaccard_pairs(

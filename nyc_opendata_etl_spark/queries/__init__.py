@@ -294,6 +294,17 @@ _RECHECK_R17: tuple[str, ...] = (
     # r17: ann_ingest_batch reads the stream-immutable quantizers once
     # per drain instead of per batch; shares spread_batch's new rule.
     "stream_ivfpq_ingest",
+    # r17: duplicate_clusters_collapsed fills its grp+mem caches with
+    # ONE eager pass (mem's join read-through-fills grp) — every query
+    # flowing through the collapse+expand envelope re-verifies.
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_keep_best",
+    "corpus_e2e_curation",
+    "corpus_split_leakage_safe",
+    "dedup_clusters_incremental",
+    "stream_cluster_ingest",
+    "multimodal_image_clusters",
 )
 
 def _ordered() -> dict[str, QueryDef]:
