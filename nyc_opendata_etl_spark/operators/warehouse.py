@@ -529,36 +529,54 @@ def build_star(
         d.cache()
     _CACHED_INPUTS.extend(eager_dims.values())
 
-    # Fill the raw-input caches (those the size gate admitted) in one
-    # job before the dim probes run. The probe job below holds up to
-    # six subtrees over the same cached raws; cached-partition fill is
-    # not synchronized across concurrent tasks, so without this step
-    # the probe's dim subtrees race and recompute the raw scans several
-    # times over (measured: the probe job alone cost ~11 s at sf0.1 for
-    # the integrated build; with the caches pre-filled the same build's
-    # probe+stamp total is ~6 s). An uncached raw gets no pre-fill —
-    # that would be a pure wasted scan.
+    # ONE eager job fills the admitted raw caches AND answers every F3
+    # emptiness probe (r17 — previously two sequential jobs: a cache
+    # pre-fill count, then a probe job that EXECUTED each stamped dim's
+    # distinct aggregate). The probes can read the RAWS instead of the
+    # dims because every dim builder is a filter-free chain of
+    # projections and distinct/groupBy aggregates — a source with ≥ 1
+    # rows (even all-NULL) always yields a dim with ≥ 1 rows, and an
+    # empty source an empty dim — so dim emptiness ≡ source emptiness:
+    #   dim_agency      ← raw_311 ∪ raw_parking (agency_src unions both)
+    #   dim_location / dim_complaint ← raw_311
+    #   dim_vehicle     ← raw_parking, PROVIDED its natural-key columns
+    #                     exist (build_vehicle_dim returns a literal
+    #                     empty frame when they don't — a driver-side
+    #                     schema check, no job needed)
+    # Cached raws contribute their full scan to the job (the cache
+    # fill; each raw appears exactly once, so there is no concurrent-
+    # fill race — the failure mode that cost ~11 s when six dim
+    # subtrees raced over unfilled caches); an uncached raw (size gate)
+    # contributes only a limit(1) marker. The stamped dims stay
+    # .cache()d and fill lazily at their stamp joins — identical
+    # broadcast subtrees in one job are built once (runtime exchange
+    # reuse), so dropping the probe-time execution removes a whole
+    # pass, not just moves it.
     from functools import reduce
 
-    if raws_cached:
-        reduce(
-            DataFrame.union,
-            [df.select(F.lit(1).alias("one")) for df in raws_cached],
-        ).count()
-
-    # F3 emptiness probes, batched: one job unions limit(1) markers from
-    # every STAMPED dim, so their builds (and cache fills) run
-    # CONCURRENTLY instead of as sequential isEmpty jobs — this was
-    # the bulk of the pipelines' cold query-construction cost.
-    probes = [
-        d.limit(1).select(F.lit(name).alias("dim_name"))
-        for name, d in eager_dims.items()
-    ]
-    nonempty = (
-        {r.dim_name for r in reduce(DataFrame.unionByName, probes).collect()}
-        if probes
-        else set()
-    )
+    parts = []
+    for rname, rdf in (("311", raw_311), ("parking", raw_parking)):
+        marker = rdf if any(rdf is c for c in raws_cached) else rdf.limit(1)
+        parts.append(marker.select(F.lit(rname).alias("src")))
+    raw_ne = {
+        r.src
+        for r in reduce(DataFrame.unionByName, parts)
+        .groupBy("src")
+        .count()
+        .collect()
+    }
+    nonempty = set()
+    if raw_ne:
+        nonempty.add("dim_agency")
+    if "311" in raw_ne:
+        nonempty |= {"dim_location", "dim_complaint"}
+    if "parking" in raw_ne and {
+        "plate_id",
+        "registration_state",
+        "plate_type",
+    }.issubset(raw_parking.columns):
+        nonempty.add("dim_vehicle")
+    nonempty &= set(eager_dims)
 
     def stamp(fact: DataFrame, dim_name: str, nk: list[str], key: str) -> DataFrame:
         return assign_keys(

@@ -305,6 +305,13 @@ _RECHECK_R17: tuple[str, ...] = (
     "dedup_clusters_incremental",
     "stream_cluster_ingest",
     "multimodal_image_clusters",
+    # r17: build_star's raw-cache pre-fill and F3 emptiness probes
+    # fused into one raw-level job (dim emptiness ≡ source emptiness
+    # for the filter-free dim builders) — the three pipeline facts
+    # re-verify.
+    "pipeline_311_fact",
+    "pipeline_parking_fact",
+    "pipeline_integrated_fact",
 )
 
 def _ordered() -> dict[str, QueryDef]:

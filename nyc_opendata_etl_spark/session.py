@@ -21,6 +21,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Spark's supported spark.io.compression.codec short names.
+_IO_CODECS = frozenset({"lz4", "lzf", "snappy", "zstd"})
+
+
+def _io_codec() -> str:
+    """The shuffle/spill block codec, validated EARLY: a typo in
+    SPARK_GRAFT_IO_CODEC (e.g. 'zstandard') would otherwise surface as
+    an opaque JVM ClassNotFound at the first shuffle — and in a
+    session-reusing test run not at all, since getOrCreate() silently
+    ignores configs once a session exists (ADVICE r16)."""
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd").strip().lower()
+    if codec not in _IO_CODECS:
+        raise ValueError(
+            f"SPARK_GRAFT_IO_CODEC={codec!r} is not a supported Spark codec; "
+            f"choose one of {sorted(_IO_CODECS)}"
+        )
+    return codec
+
 
 def get_spark(
     app_name: str = "nyc-opendata-etl-spark",
@@ -61,10 +79,7 @@ def get_spark(
         # CPU-bound kernels (dedup_clusters, containment, q9) neutral;
         # sf0.1 bench neutral (tiny shuffles either way). Env override
         # for boxes where lz4's lower CPU cost wins instead.
-        .config(
-            "spark.io.compression.codec",
-            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
-        )
+        .config("spark.io.compression.codec", _io_codec())
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
