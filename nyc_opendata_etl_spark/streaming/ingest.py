@@ -91,7 +91,6 @@ def spread_batch(
     parallelism. Kilobyte-scale batches stay at the source's own width
     and skip the shuffle entirely (the r16 win this rule keeps: at
     sf0.1 the 2-file batch reads ~140 KB and is left untouched)."""
-    import math
     import os
 
     spark = batch_df.sparkSession
@@ -117,15 +116,23 @@ def spread_batch(
                 nbytes += os.path.getsize(p)
             if nbytes <= 0:
                 raise ValueError("no size statistics for batch")
-        fill = min(par, math.ceil(nbytes / _SPREAD_MIN_TASK_BYTES))
-        width = min(
-            max(math.ceil(nbytes / target_bytes), fill, 1), 4 * par
-        )
+        width = _spread_width(nbytes, par, target_bytes)
     except Exception:  # no stats and no file listing — old behavior
         width = par
     if width <= batch_df.rdd.getNumPartitions():
         return batch_df
     return batch_df.repartition(width)
+
+
+def _spread_width(nbytes: int, par: int, target_bytes: int) -> int:
+    """The fill-then-grow width (see :func:`spread_batch`): fill ``par``
+    once every task gets ≥ ``_SPREAD_MIN_TASK_BYTES``, then grow at
+    ``target_bytes`` per task, capped at ``4 * par``. Pure so the rule
+    is unit-testable apart from the Spark plumbing."""
+    import math
+
+    fill = min(par, math.ceil(nbytes / _SPREAD_MIN_TASK_BYTES))
+    return min(max(math.ceil(nbytes / target_bytes), fill, 1), 4 * par)
 
 
 def _index_or_none(spark: SparkSession, index_path: str) -> DataFrame | None:
